@@ -1,0 +1,240 @@
+"""Table tests for the extraction engines — the rebuild's analog of the
+reference's DateFieldParserTests / DocumentIntelligenceServiceAnalyzeTests.
+
+Invariants checked here (FIXTURES.md §2):
+* spans are Python-str codepoint offsets into the ORIGINAL text;
+* for plain data segments, text[start:end] reproduces the contributing slice;
+* deterministic output.
+"""
+
+from poc_document_ocr_spark.functions.dispatch import extract, sniff_format
+from poc_document_ocr_spark.functions.html_extract import extract_html
+from poc_document_ocr_spark.functions.pdf_layout import extract_layout
+from poc_document_ocr_spark.functions.selection import (
+    TurnSelection,
+    TurnSelectionError,
+)
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# HTML
+# ---------------------------------------------------------------------------
+
+
+def test_html_article_kept_boilerplate_dropped():
+    html = (
+        "<html><head><title>T</title></head><body>"
+        "<nav>Home | About | Contact</nav>"
+        "<article><p>The main story text.</p></article>"
+        "<footer>Copyright 2026</footer>"
+        "</body></html>"
+    )
+    r = extract_html(html)
+    assert r.extracted_text == "The main story text."
+    assert r.rule == "article"
+    assert len(r.spans) == 1
+    s, e = r.spans[0]
+    assert html[s:e] == "The main story text."
+
+
+def test_html_aside_and_header_dropped():
+    html = (
+        "<body><header>Site Header</header><aside>ads ads ads</aside>"
+        "<main><p>Content A.</p><p>Content B.</p></main></body>"
+    )
+    r = extract_html(html)
+    assert r.extracted_text == "Content A.\n\nContent B."
+    assert r.rule == "article"
+    assert [html[s:e] for s, e in r.spans] == ["Content A.", "Content B."]
+
+
+def test_html_high_link_density_block_dropped():
+    html = (
+        "<body>"
+        "<div><a href='/1'>link one</a> <a href='/2'>link two</a> "
+        "<a href='/3'>link three</a></div>"
+        "<div>This is a long paragraph of real body content with many words "
+        "and only one <a href='/x'>link</a> inside it.</div>"
+        "</body>"
+    )
+    r = extract_html(html)
+    assert "link one" not in r.extracted_text
+    assert r.extracted_text.startswith("This is a long paragraph")
+    assert r.rule == "density"
+
+
+def test_html_entity_decoding_with_spans():
+    html = "<article><p>Fish &amp; Chips &#8212; great</p></article>"
+    r = extract_html(html)
+    assert r.extracted_text == "Fish & Chips — great"
+    # reconstructing from spans + entity decode reproduces the text
+    import html as html_mod
+
+    rebuilt = "".join(html_mod.unescape(html[s:e]) for s, e in r.spans)
+    assert rebuilt == r.extracted_text
+
+
+def test_html_nested_markup_inline_tags():
+    html = "<main><p>Hello <b>brave</b> new <i>world</i></p></main>"
+    r = extract_html(html)
+    assert r.extracted_text == "Hello brave new world"
+    assert [html[s:e] for s, e in r.spans] == [
+        "Hello ",
+        "brave",
+        " new ",
+        "world",
+    ]
+
+
+def test_html_boilerplate_only_page_empty():
+    html = "<body><nav>a b c</nav><footer>x y z</footer></body>"
+    r = extract_html(html)
+    assert r.extracted_text == ""
+    assert r.spans == []
+    assert r.rule == "empty"
+
+
+def test_html_boiler_class_dropped():
+    html = (
+        "<body><div class='sidebar'>junk junk junk junk</div>"
+        "<div>Real content sentence here.</div></body>"
+    )
+    r = extract_html(html)
+    assert r.extracted_text == "Real content sentence here."
+
+
+def test_html_empty_input():
+    assert extract_html("").rule == "empty"
+    assert extract_html("   ").rule == "empty"
+
+
+def test_html_script_style_dropped():
+    html = (
+        "<body><script>var x = 1;</script><style>p{color:red}</style>"
+        "<p>Visible text only.</p></body>"
+    )
+    r = extract_html(html)
+    assert r.extracted_text == "Visible text only."
+
+
+# ---------------------------------------------------------------------------
+# PDF-layout
+# ---------------------------------------------------------------------------
+
+
+def test_layout_single_column_passthrough():
+    text = "First line of text.\nSecond line of text.\nThird line."
+    r = extract_layout(text)
+    assert r.extracted_text == text
+    assert [text[s:e] for s, e in r.spans] == text.split("\n")
+    assert r.rule == "layout-1col"
+
+
+def test_layout_two_column_reading_order():
+    #           0123456789...
+    text = (
+        "Left one.      Right one.\n"
+        "Left two.      Right two.\n"
+        "Left three.    Right three."
+    )
+    r = extract_layout(text)
+    assert r.extracted_text == (
+        "Left one.\nLeft two.\nLeft three.\n"
+        "Right one.\nRight two.\nRight three."
+    )
+    assert r.rule == "layout-2col"
+    for (s, e), frag in zip(r.spans, r.extracted_text.split("\n")):
+        assert text[s:e] == frag
+
+
+def test_layout_page_number_footer_stripped():
+    text = "Body line alpha.\nBody line beta.\nPage 3 of 10"
+    r = extract_layout(text)
+    assert r.extracted_text == "Body line alpha.\nBody line beta."
+
+
+def test_layout_repeated_headers_across_pages_stripped():
+    text = (
+        "ACME QUARTERLY REPORT\nAlpha content.\n- 1 -\x0c"
+        "ACME QUARTERLY REPORT\nBeta content.\n- 2 -"
+    )
+    r = extract_layout(text)
+    assert r.extracted_text == "Alpha content.\nBeta content."
+
+
+def test_layout_empty():
+    assert extract_layout("").rule == "empty"
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    ("payload", "fmt"),
+    [
+        ("<html><body><p>x</p></body></html>", "html"),
+        ("<div>a</div><div>b</div>", "html"),
+        ("just plain text with no markup", "plain"),
+        ("# markdown title\nsome prose", "plain"),
+        ("col a      col b\ncol c      col d", "layout"),
+        ("page one\x0cpage two", "layout"),
+        ("", "empty"),
+        (None, "empty"),
+        ("   \n  ", "empty"),
+        ("a < b and c > d", "plain"),  # lone angle brackets are not HTML
+    ],
+)
+def test_sniff(payload, fmt):
+    assert sniff_format(payload) == fmt
+
+
+def test_extract_plain_identity_span():
+    text = "plain text payload"
+    ext, spans, rule, fmt = extract(text)
+    assert ext == text
+    assert spans == [(0, len(text))]
+    assert (rule, fmt) == ("plain", "plain")
+
+
+def test_extract_empty():
+    assert extract(None) == ("", [], "empty", "empty")
+    assert extract("  ") == ("", [], "empty", "empty")
+
+
+def test_extract_deterministic():
+    payload = "<main><p>Stable output &amp; spans.</p></main>"
+    assert extract(payload) == extract(payload)
+
+
+# ---------------------------------------------------------------------------
+# Turn selection (PageSelection parity, FIXTURES.md §5)
+# ---------------------------------------------------------------------------
+
+
+def test_selection_all_sentinel():
+    assert TurnSelection.parse(None).is_all
+    assert TurnSelection.parse("").is_all
+    assert TurnSelection.parse("   ").is_all
+    assert TurnSelection.parse("  ").resolve_against(3) == (1, 2, 3)
+
+
+def test_selection_ranges_and_dedup():
+    sel = TurnSelection.parse("3-12, 15")
+    assert sel.resolve_against(20) == (3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 15)
+    assert TurnSelection.parse("2,2,3-4,3").resolve_against(20) == (2, 3, 4)
+
+
+def test_selection_out_of_bounds_names_both():
+    with pytest.raises(TurnSelectionError) as ei:
+        TurnSelection.parse("25").resolve_against(20)
+    assert "25" in str(ei.value) and "20" in str(ei.value)
+
+
+@pytest.mark.parametrize("expr", ["abc", "1-", "-3", "5-2", "1,,2", "0"])
+def test_selection_invalid(expr):
+    with pytest.raises(TurnSelectionError):
+        TurnSelection.parse(expr)
