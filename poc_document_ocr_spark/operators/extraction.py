@@ -1,0 +1,67 @@
+"""The extraction operator: Arrow-batched pandas UDF over the ``text`` column.
+
+Rebuild of the reference's per-page OCR stage (the single expensive hop,
+``DocumentIntelligenceService.cs:72-201`` called from the per-page loop at
+``PdfProcessorFunction.cs:292-356``), as one vectorized UDF stage:
+
+* JVM → Python transfer is Arrow-batched (``spark.sql.execution.arrow.*``);
+  the per-element Python work is the parser itself (like any tokenizer).
+* The UDF sees ONLY the ``text`` column — column pruning keeps the scan
+  narrow (the reference analog: only selected pages' streams reach OCR).
+* Filters (turn selection, conv filters) must be applied BEFORE this stage;
+  Python UDFs are plan barriers, Catalyst will not push predicates through
+  them (SURVEY.md §7.4 trap 5).
+
+Scale notes (100 TB): extraction is turn-local, so the stage runs under
+whatever partitioning the scan produced — no shuffle is introduced here.
+Long conversations (skew) are safe: we do NOT group by conv_id before
+extraction; regrouping happens later in the cheap fold stage with AQE skew
+handling (SURVEY.md §4 skew row).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dispatch
+from ..schema import EXTRACTION_DDL
+
+__all__ = ["extraction_col", "extract_turns"]
+
+
+@F.pandas_udf(EXTRACTION_DDL)
+def _extract_udf(text: pd.Series) -> pd.DataFrame:
+    rows = [dispatch.extract(t) for t in text]
+    return pd.DataFrame(
+        {
+            "extracted_text": [r[0] for r in rows],
+            "spans": [
+                [{"start": s, "end": e} for (s, e) in r[1]] for r in rows
+            ],
+            "rule": [r[2] for r in rows],
+            "fmt": [r[3] for r in rows],
+        }
+    )
+
+
+def extraction_col(text_col: str = "text") -> Column:
+    """The extraction struct column expression."""
+    return _extract_udf(F.col(text_col))
+
+
+def extract_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append extraction output columns to a transcripts DataFrame.
+
+    Output adds: ``extracted_text``, ``spans``, ``rule``, ``fmt``.
+    """
+    with_struct = df.withColumn("_ex", extraction_col(text_col))
+    return (
+        with_struct.withColumn("extracted_text", F.col("_ex.extracted_text"))
+        .withColumn("spans", F.col("_ex.spans"))
+        .withColumn("rule", F.col("_ex.rule"))
+        .withColumn("fmt", F.col("_ex.fmt"))
+        .drop("_ex")
+    )
