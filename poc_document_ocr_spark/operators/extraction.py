@@ -27,12 +27,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import dispatch
-from ..schema import EXTRACTION_DDL
+from ..schema import EXTRACTION_TYPE
 
 __all__ = ["extraction_col", "extract_turns"]
 
 
-@F.pandas_udf(EXTRACTION_DDL)
+@F.pandas_udf(EXTRACTION_TYPE)
 def _extract_udf(text: pd.Series) -> pd.DataFrame:
     rows = [dispatch.extract(t) for t in text]
     return pd.DataFrame(

@@ -1,0 +1,203 @@
+"""The batch pipeline: transcripts → extraction → folds → consolidated records.
+
+Rebuild of the reference's entry point A (SURVEY.md §3.1,
+``PdfProcessorFunction.Run`` → decode → OCR loop → aggregate → fold →
+persist → checkpoint), as a Spark batch job:
+
+    read → turn-range filter (BEFORE the UDF barrier) → pandas-UDF extraction
+    → field contributions → forward-fill runs → consolidation folds
+    → duplicate-skip anti-join → append output → lineage row per partition
+
+Checkpoint/resume model (north rule): work is split into ``n_buckets`` hash
+buckets of ``conv_id`` (production: Iceberg ``bucket(N, conv_id)`` partitions,
+so each wave's scan prunes to its bucket — no full rescans). A lineage row is
+committed per bucket; a re-run with the same ``run_id`` anti-joins completed
+buckets and processes only the remainder, and the duplicate-skip anti-join
+(FR-019, ``PdfProcessorFunction.cs:261-277``) makes the append idempotent
+even if a bucket died after writing output but before its lineage commit.
+
+Skew: extraction is turn-local, so the extraction stage runs under the scan's
+partitioning — a million-turn conversation does NOT serialize into one task.
+Conversations regroup only for the (cheap) fold shuffle, with AQE skew
+handling enabled in the session.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregation import consolidate, with_runs
+from ..operators.extraction import extract_turns
+from ..operators.fields import (
+    extract_field_contributions,
+    with_extracted_identifier,
+)
+from ..functions.selection import TurnSelection
+from ..sources.catalog import Catalog
+
+__all__ = ["PipelineConfig", "run_pipeline", "extract_stage", "consolidate_stage"]
+
+_BUCKET = "part_bucket"
+
+
+@dataclass
+class PipelineConfig:
+    input_table: str = "transcripts"
+    output_table: str = "consolidated"
+    extracted_table: str = "extracted_turns"
+    lineage_table: str = "lineage"
+    run_id: str = "run-0"
+    turn_range: str | None = None
+    n_buckets: int = 8
+    write_extracted: bool = True
+    #: injectable clock (driver-side only; executors never see wall time)
+    clock: object = field(default=lambda: datetime.now(timezone.utc))
+
+
+def _bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
+
+
+def extract_stage(turns: DataFrame, turn_range: str | None = None) -> DataFrame:
+    """Selection filter (pushed before the UDF barrier) + extraction.
+
+    The turn-range filter sits BEFORE the pandas UDF in the plan — excluded
+    turns never reach the expensive stage (reference FR-009 dispose-before-OCR,
+    ``PdfProcessorFunction.cs:311-318``; SC-003 ≥80% cost cut).
+    """
+    sel = TurnSelection.parse(turn_range)
+    if not sel.is_all:
+        turns = turns.filter(F.col("turn_idx").isin(*sel.turns))
+    return extract_turns(turns)
+
+
+def consolidate_stage(extracted: DataFrame) -> DataFrame:
+    """Field contributions → identifier forward-fill runs → folded records."""
+    contribs = extract_field_contributions(extracted)
+    turns_with_id = with_extracted_identifier(
+        extracted.select("conv_id", "turn_idx"), contribs
+    )
+    runs = with_runs(turns_with_id)
+    contribs_with_run = contribs.join(
+        runs.select("conv_id", "turn_idx", "run_id"), ["conv_id", "turn_idx"]
+    )
+    return consolidate(runs, contribs_with_run)
+
+
+def _dedup_within_batch(records: DataFrame) -> DataFrame:
+    """Keep the first document per doc_key in (conv_id, run_id) order.
+
+    Reference FR-019 processes documents sequentially and skips an identifier
+    already persisted — within one batch the first occurrence wins.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_key").orderBy("conv_id", "run_id")
+    return (
+        records.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession, catalog: Catalog, cfg: PipelineConfig
+) -> dict:
+    """Run (or resume) the pipeline; returns a summary dict.
+
+    One wave per remaining bucket: process → append output → commit lineage.
+    A killed run resumes by lineage anti-join; partially-written buckets are
+    healed by the doc_key duplicate-skip anti-join.
+    """
+    turns = catalog.read(cfg.input_table).withColumn(
+        "part_bucket", _bucket_col(cfg.n_buckets)
+    )
+
+    completed: set[int] = set()
+    if catalog.exists(cfg.lineage_table):
+        lineage = catalog.read(cfg.lineage_table)
+        completed = {
+            r.partition_id
+            for r in lineage.filter(
+                (F.col("run_id") == cfg.run_id)
+                & (F.col("status") == "Succeeded")
+            )
+            .select("partition_id")
+            .distinct()
+            .collect()
+        }
+
+    summary = {"run_id": cfg.run_id, "buckets": [], "skipped_duplicates": 0}
+    for k in range(cfg.n_buckets):
+        if k in completed:
+            summary["buckets"].append({"partition_id": k, "status": "Resumed"})
+            continue
+        t0 = time.monotonic()
+        bucket_turns = turns.filter(F.col("part_bucket") == k).drop("part_bucket")
+        extracted = extract_stage(bucket_turns, cfg.turn_range)
+        extracted = extracted.persist()
+        try:
+            rows_in = extracted.count()
+            rule_hits = {
+                r["rule"]: r["count"]
+                for r in extracted.groupBy("rule").count().collect()
+            }
+            if cfg.write_extracted and rows_in:
+                catalog.append(
+                    extracted.withColumn("run_id", F.lit(cfg.run_id)),
+                    cfg.extracted_table,
+                )
+            records = consolidate_stage(extracted)
+            # run correlation stamp (reference: cosmosEntity.OperationId,
+            # PdfProcessorFunction.cs:197) — injected as a job arg, never
+            # wall-clock inside executors
+            records = _dedup_within_batch(records).withColumn(
+                "op_run_id", F.lit(cfg.run_id)
+            )
+            n_records = records.count()
+            # duplicate-skip anti-join vs already-persisted identifiers
+            # (FR-019). The existing-keys side is tiny relative to the data
+            # (keys only, column-pruned) → broadcast.
+            if catalog.exists(cfg.output_table):
+                existing = catalog.read(cfg.output_table).select("doc_key")
+                new_records = records.join(
+                    F.broadcast(existing), "doc_key", "left_anti"
+                )
+            else:
+                new_records = records
+            rows_out = new_records.count()
+            summary["skipped_duplicates"] += n_records - rows_out
+            if rows_out:
+                catalog.append(new_records, cfg.output_table)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            _commit_lineage(
+                spark, catalog, cfg, k, rows_in, rows_out, rule_hits, wall_ms,
+                "Succeeded",
+            )
+            summary["buckets"].append(
+                {
+                    "partition_id": k,
+                    "status": "Succeeded",
+                    "rows_in": rows_in,
+                    "rows_out": rows_out,
+                    "wall_ms": wall_ms,
+                }
+            )
+        finally:
+            extracted.unpersist()
+    return summary
+
+
+def _commit_lineage(
+    spark, catalog, cfg, k, rows_in, rows_out, rule_hits, wall_ms, status
+):
+    now = cfg.clock() if callable(cfg.clock) else cfg.clock
+    from ..schema import LINEAGE_SCHEMA
+
+    row = [(cfg.run_id, k, rows_in, rows_out, rule_hits, wall_ms, status, now)]
+    catalog.append(spark.createDataFrame(row, LINEAGE_SCHEMA), cfg.lineage_table)

@@ -1,0 +1,73 @@
+"""Catalog adapter: same logical semantics over parquet dirs or Iceberg.
+
+Reference analog: blob + Cosmos I/O services (``BlobStorageService.cs``,
+``CosmosDbService.cs``). In production the pipeline reads/writes Iceberg
+tables (snapshot-committed, partition-pruned); this sandbox has no Iceberg
+jars (verified), so the adapter speaks parquet directories with identical
+logical behavior:
+
+* ``read(name)``      — full-scan with pushdown-friendly plain reads
+* ``write(df, name)`` — idempotent overwrite (blob ``overwrite:true`` analog)
+* ``append(df, name)``— lineage-style append
+* dynamic-partition overwrite for per-partition idempotent re-runs
+  (Iceberg ``overwritePartitions()`` analog).
+
+At 100 TB the production table is partitioned ``bucket(N, conv_id)`` (plus
+``days(ts)`` if time-scoped); the bucket column written here mirrors that so
+file layout and pruning behave the same way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["Catalog"]
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        # accept both bare table names and pre-suffixed files
+        p = os.path.join(self.root, name)
+        if not name.endswith(".parquet") and not os.path.isdir(p):
+            pq = p + ".parquet"
+            if os.path.exists(pq):
+                return pq
+        return p
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write_overwrite(self, df: DataFrame, name: str) -> None:
+        """Full idempotent overwrite (blob overwrite:true analog)."""
+        df.write.mode("overwrite").parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self.path(name))
+
+    def write_bucketed(
+        self, df: DataFrame, name: str, key: str = "conv_id", buckets: int = 32
+    ) -> None:
+        """Overwrite partitioned by a hash bucket of the key.
+
+        Iceberg analog: ``PARTITIONED BY (bucket(N, conv_id))`` with
+        ``overwritePartitions()`` — co-locates a conversation's records and
+        makes per-partition re-runs idempotent. Spark's dynamic partition
+        overwrite replaces only the buckets present in ``df``.
+        """
+        out = df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key)), buckets))
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.path(name))
+        )

@@ -1,0 +1,154 @@
+"""Golden end-to-end pipeline tests (FIXTURES.md §2, §6).
+
+* 100% per-turn extracted-text equality vs generator goldens, under stable
+  turn ordering (the per-row invariant from BASELINE.json:input_hint).
+* span invariant: spans index the ORIGINAL text.
+* resume: kill after bucket k → re-run → identical output, completed buckets
+  not re-extracted.
+* duplicate-skip idempotency: full re-run appends nothing new.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_document_ocr_spark.plans.pipeline import (
+    PipelineConfig,
+    consolidate_stage,
+    extract_stage,
+    run_pipeline,
+)
+from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+from poc_document_ocr_spark.sources.catalog import Catalog
+from poc_document_ocr_spark.sources.datagen import generate
+
+
+@pytest.fixture(scope="module")
+def data():
+    return generate(n_convs=12, median_turns=6, seed=7, skew=False)
+
+
+@pytest.fixture(scope="module")
+def turns_df(spark, data):
+    return spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+
+
+def test_extraction_golden_equality(spark, turns_df, data):
+    out = extract_stage(turns_df).select(
+        "conv_id", "turn_idx", "text", "extracted_text", "spans", "fmt"
+    )
+    rows = out.collect()
+    assert len(rows) == len(data.golden)
+    mismatches = []
+    for r in rows:
+        expect_text, expect_fmt = data.golden[(r.conv_id, r.turn_idx)]
+        if r.extracted_text != expect_text or r.fmt != expect_fmt:
+            mismatches.append((r.conv_id, r.turn_idx, r.fmt, expect_fmt))
+        # span invariant: every span indexes the original text and its slice
+        # (entity-decoded for html) contributes to the extraction
+        for sp in r.spans:
+            assert 0 <= sp.start <= sp.end <= len(r.text)
+    assert not mismatches, f"{len(mismatches)} turns mismatched: {mismatches[:5]}"
+
+
+def test_plain_spans_roundtrip(spark, turns_df, data):
+    plain = (
+        extract_stage(turns_df)
+        .filter(F.col("fmt") == "plain")
+        .select("text", "extracted_text", "spans")
+        .collect()
+    )
+    for r in plain:
+        rebuilt = "".join(r.text[sp.start : sp.end] for sp in r.spans)
+        assert rebuilt == r.extracted_text
+
+
+def test_consolidation_produces_runs(spark, turns_df):
+    recs = consolidate_stage(extract_stage(turns_df))
+    rows = recs.collect()
+    assert rows, "no consolidated records"
+    # identifiers fire on turn_idx % 3 == 1 → every conversation has runs
+    keys = {r.doc_key for r in rows}
+    assert any(k.startswith("TK-") for k in keys)
+    for r in rows:
+        # all-13-keys completion is checked elsewhere; here: provenance sane
+        assert r.turn_count == len(r.turn_idxs)
+        for p in r.provenance:
+            if p.source == "Inferred":
+                assert p.extracted_id is None
+            else:
+                assert p.extracted_id is not None
+
+
+def _collect_sorted(df, cols=("doc_key",)):
+    return [tuple(r) for r in df.orderBy(*cols).collect()]
+
+
+def test_pipeline_run_resume_and_idempotency(spark, turns_df, data, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    cat.write_overwrite(turns_df, "transcripts")
+
+    # --- uninterrupted reference run ---
+    cfg = PipelineConfig(run_id="run-A", n_buckets=4, output_table="out_full")
+    cfg.extracted_table = "ext_full"
+    cfg.lineage_table = "lin_full"
+    run_pipeline(spark, cat, cfg)
+    full = _collect_sorted(cat.read("out_full").drop("op_run_id"))
+
+    # --- killed-after-k run: simulate by running only buckets {0,1} then
+    # resuming (same run_id picks up remaining buckets) ---
+    cfg2 = PipelineConfig(run_id="run-B", n_buckets=4, output_table="out_kill")
+    cfg2.extracted_table = "ext_kill"
+    cfg2.lineage_table = "lin_kill"
+
+    # phase 1: run the full loop but blow up after 2 buckets
+    class Boom(Exception):
+        pass
+
+    orig_append = cat.append
+    calls = {"lineage_commits": 0}
+
+    def bombed_append(df, name):
+        orig_append(df, name)
+        if name == "lin_kill":
+            calls["lineage_commits"] += 1
+            if calls["lineage_commits"] == 2:
+                raise Boom()
+
+    cat.append = bombed_append
+    with pytest.raises(Boom):
+        run_pipeline(spark, cat, cfg2)
+    cat.append = orig_append
+
+    # phase 2: resume — completed buckets must be skipped
+    summary = run_pipeline(spark, cat, cfg2)
+    statuses = {b["partition_id"]: b["status"] for b in summary["buckets"]}
+    assert list(statuses.values()).count("Resumed") == 2
+    killed = _collect_sorted(cat.read("out_kill").drop("op_run_id"))
+    assert killed == full, "resumed output differs from uninterrupted run"
+
+    # --- duplicate-skip: full re-run with a NEW run id appends nothing ---
+    cfg3 = PipelineConfig(run_id="run-C", n_buckets=4, output_table="out_kill")
+    cfg3.extracted_table = "ext_kill2"
+    cfg3.lineage_table = "lin_kill"
+    summary3 = run_pipeline(spark, cat, cfg3)
+    assert summary3["skipped_duplicates"] == len(full)
+    again = _collect_sorted(cat.read("out_kill").drop("op_run_id"))
+    assert again == full
+
+    # lineage rows recorded per bucket with counters
+    lin = cat.read("lin_kill").filter(F.col("run_id") == "run-B").collect()
+    assert {r.partition_id for r in lin} == {0, 1, 2, 3}
+    assert all(r.status == "Succeeded" for r in lin)
+    assert sum(r.rows_in for r in lin) == len(data.golden)
+
+
+def test_turn_range_filter_before_udf(spark, turns_df):
+    out = extract_stage(turns_df, turn_range="1-2")
+    assert set(r.turn_idx for r in out.select("turn_idx").distinct().collect()) == {1, 2}
+    # the filter must sit below the Python-UDF stage in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    udf_pos = plan.find("ArrowEvalPython")
+    filter_pos = plan.find("Filter")
+    assert udf_pos != -1 and filter_pos != -1
+    # deeper in the tree (= later in the string) executes earlier
+    assert filter_pos > udf_pos, "turn-range filter not below the UDF barrier"
