@@ -1,0 +1,884 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 is exposed here as a named query
+(``QUERIES[name](spark, sf_dir) -> DataFrame``) with a matching ANSI-SQL
+oracle (``ORACLES[name]``) that DuckDB runs over the same parquet tables.
+
+Oracle strategy: the north-rule input (a transcripts table) is *derived*
+from the testdata ``documents`` table with dialect-neutral SQL shared
+verbatim by both engines (``sources/derive.py``), so inputs are
+byte-identical. The extraction pandas UDF is oracle-checked through
+construction templates with closed-form expected output (plain → identity;
+HTML wrap → the article inner text at a constant offset; two-page layout →
+header/footer-stripped page bodies). The fold/window layer is re-implemented
+independently in portable SQL on the oracle side.
+
+All aliases are lowercase in both engines (the driver hash sorts columns by
+name). No floating-point sums cross engines — only min/max/count and
+division of identical integers/parsed literals (IEEE-identical).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.selection import TurnSelection
+from .operators.aggregation import parse_ocr_date, with_local_index, with_runs
+from .operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    word_shingles,
+)
+from .operators.extraction import extract_turns
+from .operators.fields import (
+    extract_field_contributions,
+    with_extracted_identifier,
+)
+from .operators.similarity import cosine_topk
+from .operators.textstats import fingerprint, lang_id, token_stats
+from .plans.pipeline import consolidate_stage
+from .sources.derive import (
+    N_CONV,
+    RUN_LEN,
+    TRANSCRIPTS_SQL,
+    load_views,
+    oracle_cte,
+    spark_transcripts,
+)
+
+__all__ = ["QUERIES", "ORACLES", "entry"]
+
+# ---------------------------------------------------------------------------
+# Shared construction templates (constants on both sides)
+# ---------------------------------------------------------------------------
+
+_HTML_PRE = (
+    "<html><head><title>doc</title></head><body>"
+    "<nav><a href='/'>Home</a> <a href='/x'>Search</a> <a href='/y'>Login</a></nav>"
+    "<article><p>"
+)
+_HTML_SUF = "</p></article><footer>footer text copy 2024</footer></body></html>"
+
+_LAY_HDR = "CASE TRANSCRIPT\n"
+_LAY_P2 = "closing remarks and final disposition of the case"
+_LAY_MID = "\nPage 1 of 2\x0c" + _LAY_HDR
+_LAY_SUF = "\nPage 2 of 2"
+
+# span arithmetic constants (codepoint offsets into the constructed text)
+_H_OFF = len(_HTML_PRE)  # html article content start
+_L_S0 = len(_LAY_HDR)  # layout page-1 content start
+_L_GAP = len(_LAY_MID)  # between page-1 end and page-2 start
+_L_P2LEN = len(_LAY_P2)
+
+_MON3 = "('JAN','FEB','MAR','APR','MAY','JUN','JUL','AUG','SEP','OCT','NOV','DEC')"
+_MONFULL = (
+    "('JANUARY','FEBRUARY','MARCH','APRIL','MAY','JUNE','JULY','AUGUST',"
+    "'SEPTEMBER','OCTOBER','NOVEMBER','DECEMBER')"
+)
+
+
+def _mon_case(expr: str, names: str) -> str:
+    """Dialect-neutral month-name CASE over a 1-based month expression."""
+    parts = [
+        f"WHEN {i + 1} THEN '{n}'"
+        for i, n in enumerate(names.strip("()").replace("'", "").split(","))
+    ]
+    return f"CASE CAST({expr} AS INT) " + " ".join(parts) + " END"
+
+
+# Dialect-neutral raw-date construction over orders (both engines run this).
+_DATE_RAW_SQL = f"""
+SELECT o_orderkey,
+  CASE CAST(o_orderkey % 4 AS INT)
+    WHEN 0 THEN CAST(year(o_orderdate) AS STRING)
+         || {_mon_case("month(o_orderdate)", _MON3)}
+         || CAST(day(o_orderdate) AS STRING)
+    WHEN 1 THEN CAST(day(o_orderdate) AS STRING) || 'TH DAY OF '
+         || {_mon_case("month(o_orderdate)", _MONFULL)}
+         || ', ' || CAST(year(o_orderdate) AS STRING)
+    WHEN 2 THEN 'not a date'
+    ELSE CAST(year(o_orderdate) AS STRING) || '-'
+         || lpad(CAST(month(o_orderdate) AS STRING), 2, '0') || '-'
+         || lpad(CAST(day(o_orderdate) AS STRING), 2, '0')
+  END AS raw
+FROM orders
+"""
+
+# Oracle-side contributions CTE: what the field-line regex must recover,
+# constructed directly from doc_id (no regex on the oracle side).
+_C_SQL = f"""
+  SELECT conv_id, turn_idx, 'identifier' AS field,
+         'TK-' || CAST(doc_id % {N_CONV} AS STRING) || '-'
+           || CAST(CAST(floor(floor(doc_id / {N_CONV}.0) / {RUN_LEN}.0) AS INT) AS STRING) AS raw_value,
+         CAST('0.9' || CAST(doc_id % 10 AS STRING) AS DOUBLE) AS confidence,
+         CAST(NULL AS STRING) AS date_iso
+  FROM t WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT conv_id, turn_idx, 'firstName',
+         'Name' || CAST(doc_id % 23 AS STRING),
+         CAST('0.' || CAST(50 + doc_id % 49 AS STRING) AS DOUBLE), NULL
+  FROM t WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT conv_id, turn_idx, 'courtDate',
+         CAST(1980 + doc_id % 30 AS STRING)
+           || {_mon_case("doc_id % 12 + 1", _MON3)}
+           || CAST(1 + doc_id % 28 AS STRING),
+         CAST(NULL AS DOUBLE),
+         printf('%04d-%02d-%02d', CAST(1980 + doc_id % 30 AS INT),
+                CAST(doc_id % 12 AS INT) + 1, CAST(1 + doc_id % 28 AS INT))
+  FROM t WHERE doc_id % 5 = 2
+  UNION ALL
+  SELECT conv_id, turn_idx, 'mainCharge',
+         'charge item ' || CAST(doc_id % 9 AS STRING),
+         CAST('0.' || CAST(60 + doc_id % 39 AS STRING) AS DOUBLE), NULL
+  FROM t WHERE doc_id % 6 = 3
+  UNION ALL
+  SELECT conv_id, turn_idx, 'additionalCharges',
+         'extra charge ' || CAST(doc_id % 7 AS STRING),
+         CAST('0.' || CAST(55 + doc_id % 40 AS STRING) AS DOUBLE), NULL
+  FROM t WHERE doc_id % 6 = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, 'defendantSignature', 'present',
+         CAST('0.88' AS DOUBLE), NULL
+  FROM t WHERE doc_id % 7 = 4
+  UNION ALL
+  SELECT conv_id, turn_idx, 'officerSignature', 'unsigned',
+         CAST('0.70' AS DOUBLE), NULL
+  FROM t WHERE doc_id % 11 = 6
+  UNION ALL
+  SELECT conv_id, turn_idx, 'phoneNumber',
+         '555-01' || lpad(CAST(doc_id % 100 AS STRING), 2, '0'),
+         CAST('0.9' || CAST(doc_id % 9 AS STRING) AS DOUBLE), NULL
+  FROM t WHERE doc_id % 8 = 5
+  UNION ALL
+  SELECT conv_id, turn_idx, 'notes', 'reviewed by clerk',
+         CAST('0.' || CAST(40 + doc_id % 60 AS STRING) AS DOUBLE), NULL
+  FROM t WHERE doc_id % 9 = 7
+"""
+
+# Oracle-side forward-fill runs chain over t (DuckDB windows).
+_RUNS_SQL = f"""
+c AS ({_C_SQL}),
+ids AS (SELECT conv_id, turn_idx, raw_value AS extracted_id
+        FROM c WHERE field = 'identifier'),
+tt AS (SELECT t.conv_id, t.turn_idx, ids.extracted_id
+       FROM t LEFT JOIN ids
+         ON t.conv_id = ids.conv_id AND t.turn_idx = ids.turn_idx),
+ff AS (SELECT conv_id, turn_idx, extracted_id,
+         last_value(extracted_id IGNORE NULLS) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS UNBOUNDED PRECEDING) AS ffill_id
+       FROM tt),
+lg AS (SELECT *, lag(ffill_id) OVER
+         (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ffill FROM ff),
+runs AS (SELECT conv_id, turn_idx, extracted_id, ffill_id,
+           CAST(sum(CASE WHEN extracted_id IS NOT NULL
+                          AND (prev_ffill IS NULL OR extracted_id <> prev_ffill)
+                     THEN 1 ELSE 0 END)
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS UNBOUNDED PRECEDING) AS INT) AS run_id,
+           CASE WHEN extracted_id IS NOT NULL THEN 'Extracted'
+                ELSE 'Inferred' END AS id_source
+         FROM lg)
+"""
+
+# Shared dup-corpus constructions (dialect-neutral).
+_CORPUS_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 < 3
+"""
+_CORPUS_NEAR = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra trailing token' AS text
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 < 2
+"""
+_NEAR_PAIRS = """
+  SELECT doc_id AS id_a, doc_id + 100000 AS id_b
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 < 2
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "documents")
+    return spark.table("documents")
+
+
+def _sql_over(spark: SparkSession, sf_dir: str, sql: str,
+              *tables: str) -> DataFrame:
+    load_views(spark, sf_dir, *tables)
+    return spark.sql(sql)
+
+
+# ---------------------------------------------------------------------------
+# North-rule queries: extraction
+# ---------------------------------------------------------------------------
+
+
+def q_extract_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn extraction over the derived transcripts (plain payloads)."""
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        "extracted_text",
+        "rule",
+        "fmt",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.col("spans")[0]["start"].cast("long").alias("span_start"),
+        F.col("spans")[0]["end"].cast("long").alias("span_end"),
+    )
+
+
+_O_EXTRACT_PLAIN = oracle_cte(
+    """
+SELECT conv_id, turn_idx, text AS extracted_text,
+       'plain' AS rule, 'plain' AS fmt,
+       CAST(1 AS BIGINT) AS n_spans, CAST(0 AS BIGINT) AS span_start,
+       CAST(length(text) AS BIGINT) AS span_end
+FROM t
+"""
+)
+
+
+def q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate strip: nav/footer dropped, article content kept,
+    spans point into the original markup at a computable offset."""
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_SUF)).alias(
+            "text"
+        ),
+    )
+    ex = extract_turns(wrapped)
+    return ex.select(
+        "doc_id",
+        "extracted_text",
+        "rule",
+        "fmt",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.col("spans")[0]["start"].cast("long").alias("span_start"),
+        F.col("spans")[0]["end"].cast("long").alias("span_end"),
+    )
+
+
+_O_EXTRACT_HTML = f"""
+SELECT doc_id, text AS extracted_text, 'article' AS rule, 'html' AS fmt,
+       CAST(1 AS BIGINT) AS n_spans,
+       CAST({_H_OFF} AS BIGINT) AS span_start,
+       CAST({_H_OFF} + length(text) AS BIGINT) AS span_end
+FROM documents
+"""
+
+
+def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-page PDF-layout extraction: repeated page headers and page-number
+    footers stripped, page bodies joined in order, two spans."""
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_LAY_HDR),
+            F.col("text"),
+            F.lit(_LAY_MID),
+            F.lit(_LAY_P2),
+            F.lit(_LAY_SUF),
+        ).alias("text"),
+    )
+    ex = extract_turns(wrapped)
+    return ex.select(
+        "doc_id",
+        "extracted_text",
+        "rule",
+        "fmt",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.col("spans")[0]["start"].cast("long").alias("s0_start"),
+        F.col("spans")[0]["end"].cast("long").alias("s0_end"),
+        F.col("spans")[1]["start"].cast("long").alias("s1_start"),
+        F.col("spans")[1]["end"].cast("long").alias("s1_end"),
+    )
+
+
+_O_EXTRACT_LAYOUT = f"""
+SELECT doc_id,
+       text || chr(10) || '{_LAY_P2}' AS extracted_text,
+       'layout-1col' AS rule, 'layout' AS fmt,
+       CAST(2 AS BIGINT) AS n_spans,
+       CAST({_L_S0} AS BIGINT) AS s0_start,
+       CAST({_L_S0} + length(text) AS BIGINT) AS s0_end,
+       CAST({_L_S0} + length(text) + {_L_GAP} AS BIGINT) AS s1_start,
+       CAST({_L_S0} + length(text) + {_L_GAP} + {_L_P2LEN} AS BIGINT) AS s1_end
+FROM documents
+"""
+
+
+def q_dispatch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format dispatcher over a mixed corpus: counts by (fmt, rule)."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    payload = (
+        F.when(d % 4 == 0, F.col("text"))
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_SUF)),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit(_LAY_HDR),
+                F.col("text"),
+                F.lit(_LAY_MID),
+                F.lit(_LAY_P2),
+                F.lit(_LAY_SUF),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    ex = extract_turns(docs.select("doc_id", payload.alias("text")))
+    return ex.groupBy("fmt", "rule").agg(F.count(F.lit(1)).alias("n"))
+
+
+_O_DISPATCH_MIX = """
+SELECT CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'html'
+            WHEN 2 THEN 'layout' ELSE 'empty' END AS fmt,
+       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'article'
+            WHEN 2 THEN 'layout-1col' ELSE 'empty' END AS rule,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# North-rule queries: field contributions, runs, consolidation
+# ---------------------------------------------------------------------------
+
+
+def q_field_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extracted text → long-format (field, raw_value, confidence) rows."""
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    return extract_field_contributions(ex).select(
+        "conv_id", "turn_idx", "field", "raw_value", "confidence"
+    )
+
+
+_O_FIELD_CONTRIBS = oracle_cte(
+    f"SELECT conv_id, turn_idx, field, raw_value, confidence FROM ({_C_SQL}) c"
+)
+
+
+def q_forward_fill_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill + gaps-and-islands run ids (the aggregation core)."""
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    contribs = extract_field_contributions(ex)
+    turns = with_extracted_identifier(
+        ex.select("conv_id", "turn_idx"), contribs
+    )
+    return with_runs(turns).select(
+        "conv_id", "turn_idx", "extracted_id", "ffill_id", "run_id",
+        "id_source",
+    )
+
+
+_O_FFILL_RUNS = oracle_cte(
+    f"""
+, {_RUNS_SQL}
+SELECT conv_id, turn_idx, extracted_id, ffill_id, run_id, id_source FROM runs
+""".replace("\n, ", ",\n", 1)
+)
+
+
+def q_run_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-run document headers: doc_key, turn stats."""
+    from .operators.aggregation import run_headers
+
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    contribs = extract_field_contributions(ex)
+    turns = with_runs(
+        with_extracted_identifier(ex.select("conv_id", "turn_idx"), contribs)
+    )
+    hdr = run_headers(turns)
+    return hdr.select(
+        "conv_id",
+        "run_id",
+        "doc_key",
+        "turn_count",
+        "first_turn",
+        F.array_join(
+            F.transform("turn_idxs", lambda x: x.cast("string")), ","
+        ).alias("turns_csv"),
+    )
+
+
+_O_RUN_HEADERS = oracle_cte(
+    f"""
+, {_RUNS_SQL}
+SELECT conv_id, run_id,
+  CASE WHEN min(ffill_id) IS NOT NULL AND trim(min(ffill_id)) <> ''
+       THEN min(ffill_id)
+       ELSE 'unknown-' || conv_id || '-' || CAST(min(turn_idx) AS STRING)
+  END AS doc_key,
+  CAST(count(*) AS INT) AS turn_count,
+  min(turn_idx) AS first_turn,
+  string_agg(CAST(turn_idx AS STRING), ',' ORDER BY turn_idx) AS turns_csv
+FROM runs GROUP BY conv_id, run_id
+""".replace("\n, ", ",\n", 1)
+)
+
+
+def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: full pipeline (extract → contributions → runs → folds →
+    all-13-keys completion), flattened to scalar columns."""
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    rec = consolidate_stage(ex)
+    return rec.select(
+        "conv_id",
+        "run_id",
+        "doc_key",
+        "turn_count",
+        "first_turn",
+        F.col("identifier.value").alias("identifier_value"),
+        F.col("identifier.confidence").alias("identifier_conf"),
+        F.col("firstName.value").alias("firstname_value"),
+        F.col("firstName.confidence").alias("firstname_conf"),
+        F.col("lastName.value").alias("lastname_value"),
+        F.col("lastName.status").alias("lastname_status"),
+        F.col("courtDate.value").alias("courtdate_value"),
+        F.col("courtDate.raw_text").alias("courtdate_raw"),
+        F.col("mainCharge.value").alias("maincharge_value"),
+        F.col("mainCharge.confidence").alias("maincharge_conf"),
+        F.col("additionalCharges.value").alias("addcharges_value"),
+        F.col("additionalCharges.confidence").alias("addcharges_conf"),
+        F.col("defendantSignature.value").alias("defsig_value"),
+        F.col("defendantSignature.confidence").alias("defsig_conf"),
+        F.col("officerSignature.value").alias("offsig_value"),
+        F.col("officerSignature.confidence").alias("offsig_conf"),
+        F.col("phoneNumber.value").alias("phone_value"),
+        F.col("notes.value").alias("notes_value"),
+    )
+
+
+_O_CONSOLIDATE = oracle_cte(
+    f"""
+, {_RUNS_SQL},
+hdr AS (SELECT conv_id, run_id, min(ffill_id) AS ident,
+          CAST(count(*) AS INT) AS turn_count, min(turn_idx) AS first_turn
+        FROM runs GROUP BY conv_id, run_id),
+cr AS (SELECT c.conv_id, c.turn_idx, c.field, c.raw_value, c.confidence,
+              c.date_iso, runs.run_id
+       FROM c JOIN runs
+         ON c.conv_id = runs.conv_id AND c.turn_idx = runs.turn_idx),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY conv_id, run_id, field
+          ORDER BY coalesce(confidence, -1e308) DESC, turn_idx ASC) AS rn
+       FROM cr),
+folded AS (
+  SELECT conv_id, run_id, field,
+    max(CASE WHEN rn = 1 THEN raw_value END) AS best_raw,
+    max(CASE WHEN rn = 1 THEN confidence END) AS best_conf,
+    max(CASE WHEN rn = 1 THEN date_iso END) AS best_date,
+    string_agg(raw_value, chr(10) ORDER BY turn_idx) AS concat_raw,
+    min(confidence) AS conf_min,
+    max(CASE WHEN lower(raw_value) IN ('signed', 'present')
+        THEN 1 ELSE 0 END) AS sig_present
+  FROM rk GROUP BY conv_id, run_id, field),
+wide AS (
+  SELECT conv_id, run_id,
+    max(CASE WHEN field = 'identifier' THEN best_raw END) AS identifier_value,
+    max(CASE WHEN field = 'identifier' THEN best_conf END) AS identifier_conf,
+    max(CASE WHEN field = 'firstName' THEN best_raw END) AS firstname_value,
+    max(CASE WHEN field = 'firstName' THEN best_conf END) AS firstname_conf,
+    max(CASE WHEN field = 'courtDate' THEN best_date END) AS courtdate_value,
+    max(CASE WHEN field = 'courtDate' THEN best_raw END) AS courtdate_raw,
+    max(CASE WHEN field = 'mainCharge' THEN concat_raw END) AS maincharge_value,
+    max(CASE WHEN field = 'mainCharge' THEN conf_min END) AS maincharge_conf,
+    max(CASE WHEN field = 'additionalCharges' THEN concat_raw END) AS addcharges_value,
+    max(CASE WHEN field = 'additionalCharges' THEN conf_min END) AS addcharges_conf,
+    max(CASE WHEN field = 'defendantSignature'
+        THEN CASE WHEN sig_present = 1 THEN 'true' ELSE 'false' END END) AS defsig_value,
+    max(CASE WHEN field = 'defendantSignature' THEN conf_min END) AS defsig_conf,
+    max(CASE WHEN field = 'officerSignature'
+        THEN CASE WHEN sig_present = 1 THEN 'true' ELSE 'false' END END) AS offsig_value,
+    max(CASE WHEN field = 'officerSignature' THEN conf_min END) AS offsig_conf,
+    max(CASE WHEN field = 'phoneNumber' THEN best_raw END) AS phone_value,
+    max(CASE WHEN field = 'notes' THEN best_raw END) AS notes_value
+  FROM folded GROUP BY conv_id, run_id)
+SELECT h.conv_id, h.run_id,
+  CASE WHEN h.ident IS NOT NULL AND trim(h.ident) <> '' THEN h.ident
+       ELSE 'unknown-' || h.conv_id || '-' || CAST(h.first_turn AS STRING)
+  END AS doc_key,
+  h.turn_count, h.first_turn,
+  w.identifier_value, w.identifier_conf,
+  w.firstname_value, w.firstname_conf,
+  CAST(NULL AS STRING) AS lastname_value, 'Pending' AS lastname_status,
+  w.courtdate_value, w.courtdate_raw,
+  w.maincharge_value, w.maincharge_conf,
+  w.addcharges_value, w.addcharges_conf,
+  w.defsig_value, w.defsig_conf,
+  w.offsig_value, w.offsig_conf,
+  w.phone_value, w.notes_value
+FROM hdr h LEFT JOIN wide w
+  ON h.conv_id = w.conv_id AND h.run_id = w.run_id
+""".replace("\n, ", ",\n", 1)
+)
+
+
+# ---------------------------------------------------------------------------
+# North-rule queries: selection, anti-join, re-assembly, dates, lineage
+# ---------------------------------------------------------------------------
+
+
+def q_turn_select_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Print-dialog turn selection + document-local 1..N re-index."""
+    t = spark_transcripts(spark, sf_dir)
+    sel = TurnSelection.parse("1-6, 9")
+    t = t.filter(F.col("turn_idx").isin(*sel.turns))
+    return with_local_index(t).select(
+        "conv_id", "turn_idx", "local_idx", "role"
+    )
+
+
+_O_SELECT_REINDEX = oracle_cte(
+    """
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT)
+         AS local_idx,
+       role
+FROM t WHERE (turn_idx BETWEEN 1 AND 6) OR turn_idx = 9
+"""
+)
+
+
+def q_dup_skip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-skip / resume primitive: left-anti join on existing keys."""
+    t = spark_transcripts(spark, sf_dir)
+    existing = (
+        t.filter(F.col("doc_id") % 5 == 0).select("conv_id").distinct()
+    )
+    return (
+        t.join(F.broadcast(existing), "conv_id", "left_anti")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+_O_DUP_SKIP = oracle_cte(
+    """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+FROM t
+WHERE NOT EXISTS (
+  SELECT 1 FROM t t2 WHERE t2.doc_id % 5 = 0 AND t2.conv_id = t.conv_id)
+GROUP BY conv_id
+"""
+)
+
+
+def q_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-conversation re-assembly of extracted content (the
+    ImageToPdf page-ordered re-encode analog)."""
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    return ex.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("t"),
+                            F.col("extracted_text").alias("x"),
+                        )
+                    )
+                ),
+                lambda s: s["x"],
+            ),
+            "\n\n",
+        ).alias("assembled"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+_O_REASSEMBLY = oracle_cte(
+    """
+SELECT conv_id,
+       string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS assembled,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM t GROUP BY conv_id
+"""
+)
+
+
+def q_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateFieldParser parity: compact / long-form parsed, garbage and
+    ISO-format inputs rejected (null), raw always preserved."""
+    raws = _sql_over(spark, sf_dir, _DATE_RAW_SQL, "orders")
+    return raws.select(
+        "o_orderkey", "raw", parse_ocr_date(F.col("raw")).alias("parsed")
+    )
+
+
+_O_DATE_PARSE = f"""
+SELECT o_orderkey, raw,
+  CASE WHEN o_orderkey % 4 IN (0, 1)
+       THEN strftime(o_orderdate, '%Y-%m-%d') END AS parsed
+FROM ({_DATE_RAW_SQL.replace("SELECT o_orderkey,", "SELECT o_orderkey, o_orderdate,")}) r
+"""
+
+
+def q_lineage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage metrics: rows in, conversations, contribution
+    (rule-hit) counts — the checkpoint table's aggregation shape."""
+    t = spark_transcripts(spark, sf_dir).withColumn(
+        "bucket", (F.col("doc_id") % 8).cast("int")
+    )
+    ex = extract_turns(t)
+    contribs = extract_field_contributions(
+        ex, keep_cols=("conv_id", "turn_idx", "bucket")
+    )
+    rows = t.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    hits = contribs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_contribs")
+    )
+    return rows.join(hits, "bucket", "left").select(
+        "bucket", "rows_in", "n_convs",
+        F.coalesce("n_contribs", F.lit(0)).alias("n_contribs"),
+    )
+
+
+_O_LINEAGE = oracle_cte(
+    f"""
+, c AS ({_C_SQL}),
+tb AS (SELECT conv_id, turn_idx, CAST(doc_id % 8 AS INT) AS bucket FROM t)
+SELECT tb.bucket,
+       CAST(count(DISTINCT tb.conv_id || '#' || CAST(tb.turn_idx AS STRING)) AS BIGINT)
+         AS rows_in,
+       CAST(count(DISTINCT tb.conv_id) AS BIGINT) AS n_convs,
+       CAST(count(c.field) AS BIGINT) AS n_contribs
+FROM tb LEFT JOIN c
+  ON tb.conv_id = c.conv_id AND tb.turn_idx = c.turn_idx
+GROUP BY tb.bucket
+""".replace("\n, ", ",\n", 1)
+)
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline queries: dedup, similarity, text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT}) corpus", "documents"
+    )
+    return exact_dedup_groups(corpus)
+
+
+_O_DEDUP_EXACT = f"""
+SELECT md5(text) AS fingerprint,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM ({_CORPUS_EXACT}) corpus GROUP BY 1
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    sigs = minhash_signatures(word_shingles(corpus))
+    return lsh_candidate_pairs(sigs)
+
+
+_O_MINHASH_LSH = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = _sql_over(spark, sf_dir, _NEAR_PAIRS, "documents")
+    return ngram_jaccard(word_shingles(corpus), pairs)
+
+
+_O_NGRAM_JACCARD = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS ({_NEAR_PAIRS}),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS inter
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+          GROUP BY p.id_a, p.id_b)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(za.sz + zb.sz - i.inter AS BIGINT) AS union_n,
+       i.inter / (za.sz + zb.sz - i.inter) AS jaccard
+FROM inter i
+JOIN sz za ON za.doc_id = i.id_a
+JOIN sz zb ON zb.doc_id = i.id_b
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_docs(spark, sf_dir))
+
+
+_O_TOKEN_STATS = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+    AS n_alpha_chars,
+  length(replace(text, ' ', '')) / len(string_split(text, ' '))
+    AS avg_token_len,
+  len(list_filter(string_split(text, ' '),
+      x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it')))
+    / len(string_split(text, ' ')) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+_O_LANG_ID = """
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('the','and','of','is'))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('el','la','los','que'))) AS BIGINT) AS hits_es,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('le','la','les','est'))) AS BIGINT) AS hits_fr,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('der','die','und','ist'))) AS BIGINT) AS hits_de
+  FROM documents)
+SELECT doc_id, hits_en, hits_es, hits_fr, hits_de,
+  CASE WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
+       WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
+       WHEN hits_es > hits_en THEN 'es'
+       ELSE 'en' END AS pred_lang
+FROM h
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+_O_FINGERPRINT = r"""
+SELECT doc_id,
+  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+  substr(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 8)
+    AS fingerprint_short
+FROM documents
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+_O_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.q_id, e.vec_id AS n_id,
+        list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+        (sqrt(list_dot_product(q.qv, q.qv)) *
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))) AS cos
+      FROM q, embeddings e WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, n_id,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+          AS INT) AS rank
+      FROM s)
+SELECT q_id, n_id, rank FROM r WHERE rank <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry + driver entry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_plain": q_extract_plain,
+    "extract_html": q_extract_html,
+    "extract_layout": q_extract_layout,
+    "dispatch_mix": q_dispatch_mix,
+    "field_contributions": q_field_contributions,
+    "forward_fill_runs": q_forward_fill_runs,
+    "run_headers": q_run_headers,
+    "consolidate": q_consolidate,
+    "turn_select_reindex": q_turn_select_reindex,
+    "dup_skip_anti": q_dup_skip_anti,
+    "reassembly": q_reassembly,
+    "date_parse": q_date_parse,
+    "lineage_counts": q_lineage_counts,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "ngram_jaccard": q_ngram_jaccard,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_topk": q_ann_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "extract_plain": _O_EXTRACT_PLAIN,
+    "extract_html": _O_EXTRACT_HTML,
+    "extract_layout": _O_EXTRACT_LAYOUT,
+    "dispatch_mix": _O_DISPATCH_MIX,
+    "field_contributions": _O_FIELD_CONTRIBS,
+    "forward_fill_runs": _O_FFILL_RUNS,
+    "run_headers": _O_RUN_HEADERS,
+    "consolidate": _O_CONSOLIDATE,
+    "turn_select_reindex": _O_SELECT_REINDEX,
+    "dup_skip_anti": _O_DUP_SKIP,
+    "reassembly": _O_REASSEMBLY,
+    "date_parse": _O_DATE_PARSE,
+    "lineage_counts": _O_LINEAGE,
+    "dedup_exact": _O_DEDUP_EXACT,
+    "minhash_lsh": _O_MINHASH_LSH,
+    "ngram_jaccard": _O_NGRAM_JACCARD,
+    "token_stats": _O_TOKEN_STATS,
+    "lang_id": _O_LANG_ID,
+    "fingerprint": _O_FINGERPRINT,
+    "ann_topk": _O_ANN_TOPK,
+}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: consolidated records over sf0.001-derived transcripts."""
+    return q_consolidate(spark, "/root/testdata/sf0.001")

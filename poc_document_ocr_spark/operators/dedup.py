@@ -1,0 +1,164 @@
+"""Deduplication operators for large-scale text corpora.
+
+Exact dedup (hash-groupBy), word-shingle MinHash signatures, LSH banding for
+near-duplicate candidate pairs, and exact n-gram Jaccard verification — the
+standard large-corpus dedup ladder, expressed entirely with built-in Spark
+SQL functions (no Python UDFs: hashing is ``md5``, shingling is
+``sequence``/``slice`` higher-order functions, so everything stays inside
+whole-stage codegen).
+
+Scale notes (100 TB):
+* ``md5`` is computed map-side; the only shuffles are the groupBys on
+  (doc, k) / (doc, band) and the final band-bucket self-join.
+* The band join is an equi-join on (band, sig) — AQE handles skewed buckets
+  (a hot bucket means a real near-dup cluster; pairs within it are the
+  output, not an accident).
+* MinHash here uses lexicographic min over ``md5(k || '|' || shingle)`` hex
+  strings — deterministic, portable across engines (the DuckDB oracle
+  reproduces it bit-for-bit), and uniform enough for Jaccard estimation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup_groups",
+    "word_shingles",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard",
+]
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash.
+
+    Returns one row per distinct content: ``fingerprint`` (md5 hex),
+    ``keeper_id`` (lowest id — the row a dedup pass would keep),
+    ``n_copies``.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: ``(id, shingle)``.
+
+    Documents with fewer than ``n`` words yield no shingles (same convention
+    as the DuckDB oracle: ``range(0, len(words)-n+1)`` is empty).
+    """
+    words = F.split(F.col(text_col), " ")
+    shingles = F.expr(
+        f"transform(sequence(0, size(split({text_col}, ' ')) - {n}), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n})))"
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def _perm_hash(k: int) -> Column:
+    return F.md5(F.concat(F.lit(f"{k}|"), F.col("shingle")))
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = 8) -> DataFrame:
+    """Per-document MinHash signature rows: ``(id, k, h)``.
+
+    ``h`` = lexicographic min over ``md5(k || '|' || shingle)`` — one
+    map-side pass builds all K hash columns, a single groupBy(id) reduces
+    them (partial aggregation makes this one shuffle of K columns, not K
+    shuffles).
+    """
+    mins = [
+        F.min(_perm_hash(k)).alias(f"h{k}") for k in range(num_hashes)
+    ]
+    wide = shingled.groupBy(id_col).agg(*mins)
+    # unpivot to long (id, k, h) for banding
+    stack_expr = ", ".join(f"{k}, h{k}" for k in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_expr}) as (k, h)"
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        rows_per_band: int = 4) -> DataFrame:
+    """LSH banding: hash each band of the signature, bucket-join for pairs.
+
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b`` sharing at least
+    one band. The join is equi on (band, sig); only bucket collisions pair
+    up — at corpus scale this is the step that avoids the O(n²) compare.
+    """
+    bands = (
+        signatures.withColumn(
+            "band", F.floor(F.col("k") / rows_per_band).cast("int")
+        )
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("k"), F.col("h")))
+                        ),
+                        lambda x: x["h"],
+                    ),
+                    "",
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("sig")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(shingled: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs over distinct shingles.
+
+    ``pairs``: (id_a, id_b). Returns (id_a, id_b, inter, union_n, jaccard).
+    Shingle-set sizes are computed once per doc and broadcast into the pair
+    table; the intersection is a single equi-join on shingle.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(F.broadcast(za), "id_a")
+        .join(F.broadcast(zb), "id_b")
+        .withColumn("union_n", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn(
+            "jaccard", F.col("inter") / F.col("union_n")
+        )
+    )
+    return out.select("id_a", "id_b", "inter", "union_n", "jaccard")

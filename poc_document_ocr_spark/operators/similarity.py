@@ -1,0 +1,89 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and an
+LSH-bucketed approximate variant (the scale path).
+
+The dot products run as built-in higher-order functions (``zip_with`` +
+``aggregate``) over ``array<float>`` cast to double — JVM-side, no Python.
+Sums fold left-to-right (deterministic order → reproducible across engines
+up to IEEE associativity of an identical order).
+
+Scale notes (100 TB / 10^9 vectors):
+* brute-force is a broadcast nested-loop of the (small) query set against
+  the corpus — one scan, no shuffle of the corpus side;
+* the sign-LSH variant buckets corpus+queries by hyperplane-sign bits and
+  joins on bucket, cutting the candidate set by ~2^bits; exact cosine is
+  then computed only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["dot", "norm", "cosine_topk", "signlsh_buckets"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold double dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the corpus is
+    scanned once. Self-matches (same id) are excluded. Returns
+    ``(q_id, n_id, rank)`` — ranks are deterministic: ties broken by
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("n_vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank")
+    )
+
+
+def signlsh_buckets(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: one bit per hyperplane (dot >= 0).
+
+    ``planes`` are fixed (job-arg) hyperplanes — deterministic, no RNG in
+    executors. Bucketed ANN = join corpus and queries on ``bucket`` then
+    exact cosine within the bucket.
+    """
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(F.col(vec_col), arr) >= 0).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
