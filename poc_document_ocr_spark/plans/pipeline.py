@@ -77,12 +77,34 @@ def extract_stage(turns: DataFrame, turn_range: str | None = None) -> DataFrame:
 
 
 def consolidate_stage(extracted: DataFrame) -> DataFrame:
-    """Field contributions → identifier forward-fill runs → folded records."""
-    contribs = extract_field_contributions(extracted)
+    """Field contributions → identifier forward-fill runs → folded records.
+
+    ``extracted`` is referenced by several plan branches (contributions,
+    turn list, provenance); without materialization Spark would re-run the
+    pandas-UDF extraction stage once per branch. The production pipeline
+    writes the extracted table to storage first (reference analog: per-page
+    OCR results exist before aggregation); here we persist if the caller
+    has not already.
+    """
+    from pyspark import StorageLevel
+
+    if extracted.storageLevel == StorageLevel.NONE:
+        # persist AND materialize: a lazy persist inside one multi-branch
+        # job races its own cache fill and re-runs the UDF per branch
+        extracted = extracted.persist()
+        extracted.count()
+    # contribs feeds three branches (identifier extraction, the run join,
+    # the folds) — persist the (much smaller) long table as well
+    contribs = extract_field_contributions(extracted).persist()
+    contribs.count()
     turns_with_id = with_extracted_identifier(
         extracted.select("conv_id", "turn_idx"), contribs
     )
-    runs = with_runs(turns_with_id)
+    # runs feeds headers, the run-id join, and the folds — materialize the
+    # narrow (conv, turn, id, run) table once instead of re-running the
+    # window chain per branch
+    runs = with_runs(turns_with_id).persist()
+    runs.count()
     contribs_with_run = contribs.join(
         runs.select("conv_id", "turn_idx", "run_id"), ["conv_id", "turn_idx"]
     )
