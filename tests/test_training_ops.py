@@ -1,0 +1,172 @@
+"""Table tests for the training-data operators: dedup, similarity,
+text analysis.
+
+Mirrors the reference's table-test style (``DateFieldParserTests``): small
+fixed inputs, exact expected outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from poc_document_ocr_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    word_shingles,
+)
+from poc_document_ocr_spark.operators.similarity import (
+    cosine_topk,
+    signlsh_buckets,
+)
+from poc_document_ocr_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    token_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(
+        spark,
+        [(1, "a b c"), (2, "a b c"), (3, "different text"), (9, "a b c")],
+    )
+    out = {
+        r.fingerprint: (r.keeper_id, r.n_copies)
+        for r in exact_dedup_groups(df).collect()
+    }
+    h = hashlib.md5(b"a b c").hexdigest()
+    assert out[h] == (1, 3)
+    assert len(out) == 2
+
+
+def test_word_shingles_exact_set(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "x y")])
+    got = sorted(
+        (r.doc_id, r.shingle) for r in word_shingles(df, n=3).collect()
+    )
+    # 4 words -> 2 shingles; 2 words -> none
+    assert got == [(1, "a b c"), (1, "b c d")]
+
+
+def test_shingles_distinct(spark):
+    df = _docs(spark, [(1, "a b a b a b")])
+    got = {r.shingle for r in word_shingles(df, n=3).collect()}
+    assert got == {"a b a", "b a b"}
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = _docs(spark, [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5")])
+    sigs = minhash_signatures(word_shingles(df))
+    rows = sigs.collect()
+    s1 = sorted((r.k, r.h) for r in rows if r.doc_id == 1)
+    s2 = sorted((r.k, r.h) for r in rows if r.doc_id == 2)
+    assert s1 == s2 and len(s1) == 8
+
+
+def test_lsh_pairs_identical_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally unrelated content words here now"),
+        ],
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(df)))
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(1, 2)]
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e}
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_jaccard(word_shingles(df), pairs).collect()[0]
+    assert (r.inter, r.union_n) == (1, 3)
+    assert r.jaccard == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_token_stats_values(spark):
+    df = _docs(spark, [(1, "the cat sat")])
+    r = token_stats(df).collect()[0]
+    assert (r.n_chars, r.n_tokens, r.n_alpha_chars) == (11, 3, 9)
+    assert r.avg_token_len == pytest.approx(3.0)
+    assert r.stopword_ratio == pytest.approx(1 / 3)
+
+
+def test_lang_id_markers_and_tiebreak(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the dog and the cat"),  # en
+            (2, "el perro y la casa que"),  # es
+            (3, "nothing matching at all"),  # tie 0 -> first lang (en)
+        ],
+    )
+    got = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "es", 3: "en"}
+
+
+def test_fingerprint_normalizes_case_and_space(spark):
+    df = _docs(spark, [(1, "  Hello   World "), (2, "hello world")])
+    rows = fingerprint(df).collect()
+    fps = {r.doc_id: r.fingerprint for r in rows}
+    assert fps[1] == fps[2] == hashlib.md5(b"hello world").hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_orthogonal(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r.n_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2]  # nearest first; -x excluded by k=2
+
+
+def test_cosine_topk_excludes_self_and_breaks_ties_by_id(spark):
+    rows = [(i, [1.0, 0.0]) for i in range(4)]  # all identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    ranked = [r.n_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [1, 2, 3]
+
+
+def test_signlsh_buckets_deterministic(spark):
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 0.9]), (2, [-1.0, -1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    got = {
+        r.vec_id: r.bucket
+        for r in signlsh_buckets(df, planes).collect()
+    }
+    assert got[0] == got[1] == 0b11
+    assert got[2] == 0b00
