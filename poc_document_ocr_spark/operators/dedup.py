@@ -120,6 +120,10 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ).alias("sig")
         )
     )
+    # both sides of the self-join read bands — materialize once (a lazy
+    # persist inside the join job would race its own cache fill)
+    bands = bands.persist()
+    bands.count()
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
     )

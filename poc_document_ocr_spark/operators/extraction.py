@@ -29,7 +29,24 @@ from pyspark.sql import functions as F
 from ..functions import dispatch
 from ..schema import EXTRACTION_TYPE
 
-__all__ = ["extraction_col", "extract_turns"]
+__all__ = ["extraction_col", "extract_turns", "salted_repartition"]
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Salted-hash repartition on (conv_id, turn_idx) ahead of the UDF stage.
+
+    The north rule's skew discipline: extraction is turn-local, so the salt
+    can include ``turn_idx`` — a million-turn conversation spreads across
+    all partitions instead of serializing into one task. Also defends
+    against file-packing: a small-file scan can collapse to a handful of
+    input splits (``maxPartitionBytes``), starving a parallel UDF stage.
+    Default width: 4× the cluster's default parallelism.
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
+    return df.repartition(
+        num_partitions, F.xxhash64(F.col("conv_id"), F.col("turn_idx"))
+    )
 
 
 @F.pandas_udf(EXTRACTION_TYPE)

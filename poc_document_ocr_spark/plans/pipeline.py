@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregation import consolidate, with_runs
-from ..operators.extraction import extract_turns
+from ..operators.extraction import extract_turns, salted_repartition
 from ..operators.fields import (
     extract_field_contributions,
     with_extracted_identifier,
@@ -73,7 +73,10 @@ def extract_stage(turns: DataFrame, turn_range: str | None = None) -> DataFrame:
     sel = TurnSelection.parse(turn_range)
     if not sel.is_all:
         turns = turns.filter(F.col("turn_idx").isin(*sel.turns))
-    return extract_turns(turns)
+    # salted-hash repartition (north-rule skew discipline): turn-local salt
+    # spreads long conversations across tasks and defends against
+    # file-packed scans starving the parallel UDF stage
+    return extract_turns(salted_repartition(turns))
 
 
 def consolidate_stage(extracted: DataFrame) -> DataFrame:

@@ -41,12 +41,12 @@ def output_hash(cpus: int, sf_dir: str) -> str:
 import hashlib, sys
 sys.path.insert(0, {REPO!r})
 from poc_document_ocr_spark.session import get_spark
-from poc_document_ocr_spark.operators.extraction import extract_turns
+from poc_document_ocr_spark.operators.extraction import extract_turns, salted_repartition
 from poc_document_ocr_spark.plans.pipeline import consolidate_stage
 import bench
 spark = get_spark("scalehash", cpus={cpus}, shuffle_partitions={cpus})
 turns = bench.synth_transcripts(spark, bench._sf_of({sf_dir!r}))
-rec = consolidate_stage(extract_turns(turns)).drop("provenance", "turn_idxs")
+rec = consolidate_stage(extract_turns(salted_repartition(turns))).drop("provenance", "turn_idxs")
 rows = sorted(repr(tuple(r)) for r in rec.collect())
 print("HASH:" + hashlib.md5("\\n".join(rows).encode()).hexdigest())
 """
@@ -59,7 +59,12 @@ print("HASH:" + hashlib.md5("\\n".join(rows).encode()).hexdigest())
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    lo, hi = 8, 32
+    # N and 4N parallelism. Default 4→16: both within the box's physical
+    # cores, so the ratio measures the job's scaling rather than
+    # hyperthread siblings sharing execution units (a real cluster's
+    # executors don't share cores). Override: bench_scaling.py <sf_dir> lo hi
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     r_lo = run_bench(lo, sf_dir)
     r_hi = run_bench(hi, sf_dir)
     tput_lo, tput_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
