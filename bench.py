@@ -72,7 +72,9 @@ def synth_transcripts(spark, sf: str):
 
     n_convs = _SF_CONVS.get(sf, 25_000)
     path = os.path.join(_REPO, ".bench_cache", f"transcripts_{sf}_v2.parquet")
-    if not os.path.exists(path):
+    # gate cache reuse on the _SUCCESS marker: a run killed mid-write leaves
+    # a partial directory that would silently corrupt all throughput numbers
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         cols = [f.name for f in TRANSCRIPT_SCHEMA.fields]
 
         def gen(batches):
@@ -119,17 +121,18 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        # isolate sections (the pipeline materializes intermediates
-        # internally), then take the best of two runs: the first run after
-        # an idle gap can pay Python-worker respawn, which is a local-mode
-        # session artifact, not workload cost
-        best = float("inf")
-        for _ in range(2):
+        # METHODOLOGY: median of 3 timed runs after the warm-up pass above.
+        # The first full-size execution of a plan can pay a one-time JIT
+        # profile-recompile (and, after an idle gap, Python-worker respawn) —
+        # local-mode session artifacts, not workload cost; the median keeps
+        # one outlier from defining the number while not taking the best.
+        runs = []
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.monotonic()
             fn()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.monotonic() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     # headline: per-turn extraction over the full corpus (salted repartition
     # per the north rule's skew/partitioning discipline)
@@ -142,12 +145,25 @@ def main() -> None:
         )
         .collect(),
     )
-    # full fold pipeline
+    # full fold pipeline (includes the embedded extraction stage)
     timed(
         "consolidate",
         lambda: consolidate_stage(extract_turns(salted_repartition(turns)))
         .agg(F.count(F.lit(1)))
         .collect(),
+    )
+    # folds only, from a materialized extracted table (the production shape:
+    # extraction results land in storage before aggregation) — isolates the
+    # fold pipeline from the pandas-UDF extraction cost
+    ex_path = os.path.join(_REPO, ".bench_cache", f"extracted_{sf}.parquet")
+    if not os.path.exists(os.path.join(ex_path, "_SUCCESS")):
+        extract_turns(salted_repartition(turns)).write.mode("overwrite").parquet(
+            ex_path
+        )
+    extracted = spark.read.parquet(ex_path)
+    timed(
+        "consolidate_folds",
+        lambda: consolidate_stage(extracted).agg(F.count(F.lit(1))).collect(),
     )
 
     # training-data ops over the sf-dir tables

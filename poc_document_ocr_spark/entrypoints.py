@@ -461,6 +461,12 @@ def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("officerSignature.confidence").alias("offsig_conf"),
         F.col("phoneNumber.value").alias("phone_value"),
         F.col("notes.value").alias("notes_value"),
+        # contract guarantee 6 asserted on real columns: reviewed_* are null
+        # at creation (SchemaField.cs:13-63)
+        F.col("identifier.reviewed_value").alias("identifier_reviewed_value"),
+        F.col("identifier.reviewed_by").alias("identifier_reviewed_by"),
+        F.col("identifier.reviewed_at").alias("identifier_reviewed_at"),
+        F.col("courtDate.reviewed_value").alias("courtdate_reviewed_value"),
     )
 
 
@@ -522,9 +528,230 @@ SELECT h.conv_id, h.run_id,
   w.addcharges_value, w.addcharges_conf,
   w.defsig_value, w.defsig_conf,
   w.offsig_value, w.offsig_conf,
-  w.phone_value, w.notes_value
+  w.phone_value, w.notes_value,
+  CAST(NULL AS STRING) AS identifier_reviewed_value,
+  CAST(NULL AS STRING) AS identifier_reviewed_by,
+  CAST(NULL AS TIMESTAMP) AS identifier_reviewed_at,
+  CAST(NULL AS STRING) AS courtdate_reviewed_value
 FROM hdr h LEFT JOIN wide w
   ON h.conv_id = w.conv_id AND h.run_id = w.run_id
+""".replace("\n, ", ",\n", 1)
+)
+
+
+# ---------------------------------------------------------------------------
+# Serving-layer queries: review state machine, projections, listings
+# ---------------------------------------------------------------------------
+
+#: shared pinned review-session constants (both engines)
+_AS_OF = "2026-01-01"
+_CAROL, _ALICE, _BOB, _EVE = (
+    "carol@example.com",
+    "alice@example.com",
+    "bob@example.com",
+    "eve@example.com",
+)
+
+
+def q_review_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving layer over consolidated records: a deterministic simulated
+    review session (per-field Confirmed/Corrected edits incl. a rejected
+    future-date correction), then the Review-page projections — fields-
+    reviewed count, derived record status, confidence band, primary-turn
+    anchor — and the review-list 'free' checkout filter.
+
+    Reference: ``DocumentListFilter.cs:18-49``,
+    ``DocumentReviewService.cs:70-170``, ``ReviewUiHelpers.cs:25-38,119-141``.
+    """
+    from .operators.review import (
+        apply_field_edit,
+        confidence_band,
+        derived_review_status,
+        fields_reviewed_count,
+        filter_documents,
+        primary_turn,
+    )
+    from .schema import DATE_FIELDS, FIELD_NAMES
+
+    rec = consolidate_stage(extract_turns(spark_transcripts(spark, sf_dir)))
+    as_of = F.lit(_AS_OF)
+    now = F.to_timestamp(F.lit(f"{_AS_OF} 00:00:00"))
+    # deterministic edit selector: conversation number + run id (spreads all
+    # residues at every sf; pure modular arithmetic → oracle-computable)
+    edited = rec.withColumn(
+        "_sel", F.substring("conv_id", 2, 6).cast("int") + F.col("run_id")
+    )
+    sel = F.col("_sel")
+    confirm_all = sel % 7 == 6
+    none_str = F.lit(None).cast("string")
+    for name in FIELD_NAMES:
+        if name == "firstName":
+            st = F.when(confirm_all | (sel % 2 == 0), F.lit("Confirmed"))
+            val = none_str
+            rev = F.when(confirm_all, _CAROL).otherwise(_ALICE)
+        elif name == "notes":
+            st = F.when(confirm_all, "Confirmed").when(
+                sel % 3 == 1, "Corrected"
+            )
+            val = F.when(~confirm_all & (sel % 3 == 1), "corrected note")
+            rev = F.when(confirm_all, _CAROL).otherwise(_BOB)
+        elif name == "courtDate":
+            st = F.when(confirm_all, "Confirmed").when(
+                (sel % 5).isin(2, 3), F.lit("Corrected")
+            )
+            # %5==2 → future date, rejected by FR-002a validation; %5==3 →
+            # valid leap-day correction
+            val = F.when(~confirm_all & (sel % 5 == 2), "2030-01-01").when(
+                ~confirm_all & (sel % 5 == 3), "2020-02-29"
+            )
+            rev = F.when(confirm_all, _CAROL).otherwise(_BOB)
+        else:
+            st = F.when(confirm_all, F.lit("Confirmed"))
+            val = none_str
+            rev = F.lit(_CAROL)
+        edited = edited.withColumn(
+            name,
+            apply_field_edit(
+                F.col(name), st, val, rev, now, name in DATE_FIELDS, as_of
+            ),
+        )
+
+    listed = filter_documents(
+        edited.withColumn(
+            "checked_out_by", F.when(sel % 4 == 1, F.lit(_EVE))
+        ),
+        review_status=None,
+        checkout="free",
+    )
+    return listed.select(
+        "conv_id",
+        "run_id",
+        "doc_key",
+        fields_reviewed_count().alias("fields_reviewed"),
+        derived_review_status(F.lit("Pending")).alias("review_status"),
+        confidence_band(F.col("identifier.confidence")).alias("id_conf_band"),
+        primary_turn(F.col("doc_key")).alias("primary_turn"),
+        F.col("firstName.status").alias("firstname_status"),
+        F.col("firstName.reviewed_by").alias("firstname_reviewed_by"),
+        F.col("notes.status").alias("notes_status"),
+        F.col("notes.reviewed_value").alias("notes_reviewed_value"),
+        F.col("courtDate.status").alias("courtdate_status"),
+        F.col("courtDate.reviewed_value").alias("courtdate_reviewed_value"),
+    )
+
+
+_REVIEW_CORE_SQL = f"""
+hdr0 AS (SELECT conv_id, run_id, min(ffill_id) AS ident,
+           CAST(count(*) AS INT) AS turn_count, min(turn_idx) AS first_turn
+         FROM runs GROUP BY conv_id, run_id),
+hdr2 AS (SELECT conv_id, run_id,
+           CASE WHEN ident IS NOT NULL AND trim(ident) <> '' THEN ident
+                ELSE 'unknown-' || conv_id || '-' || CAST(first_turn AS STRING)
+           END AS doc_key,
+           turn_count, first_turn,
+           CAST(substr(conv_id, 2, 6) AS INT) + run_id AS sel
+         FROM hdr0)
+"""
+
+_O_REVIEW_PROJECTIONS = oracle_cte(
+    f"""
+, {_RUNS_SQL},
+{_REVIEW_CORE_SQL},
+idc AS (SELECT r.conv_id, r.run_id, max(c.confidence) AS id_conf
+        FROM c JOIN runs r ON c.conv_id = r.conv_id AND c.turn_idx = r.turn_idx
+        WHERE c.field = 'identifier' GROUP BY r.conv_id, r.run_id),
+p AS (SELECT h.conv_id, h.run_id,
+        min(CASE WHEN r.extracted_id = h.doc_key THEN r.turn_idx END)
+          AS match_turn
+      FROM hdr2 h JOIN runs r
+        ON r.conv_id = h.conv_id AND r.run_id = h.run_id
+      GROUP BY h.conv_id, h.run_id),
+loc AS (SELECT h.conv_id, h.run_id,
+          CAST(sum(CASE WHEN r.turn_idx <= coalesce(p.match_turn, h.first_turn)
+                   THEN 1 ELSE 0 END) AS INT) AS primary_turn
+        FROM hdr2 h
+        JOIN p ON p.conv_id = h.conv_id AND p.run_id = h.run_id
+        JOIN runs r ON r.conv_id = h.conv_id AND r.run_id = h.run_id
+        GROUP BY h.conv_id, h.run_id)
+SELECT h.conv_id, h.run_id, h.doc_key,
+  CAST(CASE WHEN h.sel % 7 = 6 THEN 13 ELSE
+    (CASE WHEN h.sel % 2 = 0 THEN 1 ELSE 0 END) +
+    (CASE WHEN h.sel % 3 = 1 THEN 1 ELSE 0 END) +
+    (CASE WHEN h.sel % 5 = 3 THEN 1 ELSE 0 END) END AS INT) AS fields_reviewed,
+  CASE WHEN h.sel % 7 = 6 THEN 'Reviewed' ELSE 'Pending' END AS review_status,
+  CASE WHEN i.id_conf IS NULL THEN 'Unknown'
+       WHEN i.id_conf >= 0.85 THEN 'High'
+       WHEN i.id_conf >= 0.60 THEN 'Medium'
+       ELSE 'Low' END AS id_conf_band,
+  l.primary_turn,
+  CASE WHEN h.sel % 7 = 6 OR h.sel % 2 = 0 THEN 'Confirmed'
+       ELSE 'Pending' END AS firstname_status,
+  CASE WHEN h.sel % 7 = 6 THEN '{_CAROL}'
+       WHEN h.sel % 2 = 0 THEN '{_ALICE}' END AS firstname_reviewed_by,
+  CASE WHEN h.sel % 7 = 6 THEN 'Confirmed'
+       WHEN h.sel % 3 = 1 THEN 'Corrected'
+       ELSE 'Pending' END AS notes_status,
+  CASE WHEN h.sel % 7 <> 6 AND h.sel % 3 = 1
+       THEN 'corrected note' END AS notes_reviewed_value,
+  CASE WHEN h.sel % 7 = 6 THEN 'Confirmed'
+       WHEN h.sel % 5 = 3 THEN 'Corrected'
+       ELSE 'Pending' END AS courtdate_status,
+  CASE WHEN h.sel % 7 <> 6 AND h.sel % 5 = 3
+       THEN '2020-02-29' END AS courtdate_reviewed_value
+FROM hdr2 h
+JOIN loc l ON l.conv_id = h.conv_id AND l.run_id = h.run_id
+LEFT JOIN idc i ON i.conv_id = h.conv_id AND i.run_id = h.run_id
+WHERE h.sel % 4 <> 1
+""".replace("\n, ", ",\n", 1)
+)
+
+
+def q_status_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operations/status listing: TOP-1 document per conversation (largest
+    run wins, deterministic tie-break), then the global ORDER BY … DESC
+    LIMIT 20 listing with positions — the reference's list endpoints
+    (ORDER BY _ts DESC / MaxItemCount, ``CosmosDbService.cs`` listings).
+    """
+    from pyspark.sql import Window as W
+
+    from .operators.aggregation import run_headers
+
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    contribs = extract_field_contributions(ex)
+    turns = with_runs(
+        with_extracted_identifier(ex.select("conv_id", "turn_idx"), contribs)
+    )
+    hdr = run_headers(turns)
+    per_conv = W.partitionBy("conv_id").orderBy(
+        F.desc("turn_count"), F.asc("run_id")
+    )
+    top = (
+        hdr.withColumn("rnk", F.row_number().over(per_conv))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    listing = W.orderBy(F.desc("turn_count"), F.asc("doc_key"))
+    return (
+        top.withColumn("pos", F.row_number().over(listing).cast("int"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "conv_id", "run_id", "doc_key", "turn_count",
+                "first_turn")
+    )
+
+
+_O_STATUS_PROJECTION = oracle_cte(
+    f"""
+, {_RUNS_SQL},
+{_REVIEW_CORE_SQL},
+rk1 AS (SELECT *, row_number() OVER
+          (PARTITION BY conv_id ORDER BY turn_count DESC, run_id) AS rnk
+        FROM hdr2),
+lst AS (SELECT CAST(row_number() OVER
+                 (ORDER BY turn_count DESC, doc_key) AS INT) AS pos,
+               conv_id, run_id, doc_key, turn_count, first_turn
+        FROM rk1 WHERE rnk = 1)
+SELECT pos, conv_id, run_id, doc_key, turn_count, first_turn
+FROM lst WHERE pos <= 20
 """.replace("\n, ", ",\n", 1)
 )
 
@@ -841,6 +1068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forward_fill_runs": q_forward_fill_runs,
     "run_headers": q_run_headers,
     "consolidate": q_consolidate,
+    "review_projections": q_review_projections,
+    "status_projection": q_status_projection,
     "turn_select_reindex": q_turn_select_reindex,
     "dup_skip_anti": q_dup_skip_anti,
     "reassembly": q_reassembly,
@@ -864,6 +1093,8 @@ ORACLES: dict[str, str] = {
     "forward_fill_runs": _O_FFILL_RUNS,
     "run_headers": _O_RUN_HEADERS,
     "consolidate": _O_CONSOLIDATE,
+    "review_projections": _O_REVIEW_PROJECTIONS,
+    "status_projection": _O_STATUS_PROJECTION,
     "turn_select_reindex": _O_SELECT_REINDEX,
     "dup_skip_anti": _O_DUP_SKIP,
     "reassembly": _O_REASSEMBLY,

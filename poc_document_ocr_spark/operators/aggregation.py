@@ -43,8 +43,8 @@ __all__ = [
     "with_local_index",
     "with_runs",
     "run_headers",
-    "fold_contributions",
     "consolidate",
+    "consolidate_compact",
     "parse_ocr_date",
 ]
 
@@ -185,100 +185,192 @@ def parse_ocr_date(raw: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Folds
+# Folds — single-pass array-expression engine.
+#
+# The per-document fold runs as ONE groupBy(conv_id, run_id): header
+# aggregates plus a flatten-collect of the per-turn contribution arrays;
+# the four merge rules (FR-004/005/006/002a,
+# ``DocumentSchemaMapperService.cs:48-133``) are then per-row higher-order
+# array expressions over the collected contributions — no pivot, no second
+# aggregation, no headers join. Round-1 measured the pivot+join shape at 4×
+# the cost at local[32]; this shape is one shuffle and stays in codegen.
 # ---------------------------------------------------------------------------
 
 
-def fold_contributions(contribs: DataFrame) -> DataFrame:
-    """Fold long-format field contributions into per-(doc, field) SchemaFields.
-
-    Input columns: ``conv_id, run_id, field, turn_idx, raw_value, confidence``
-    (one row per unit contribution; rows where both raw_value and confidence
-    are null must already be dropped — reference ``CollectContributions``
-    skip, ``DocumentSchemaMapperService.cs:150-153``).
-
-    Output: one row per (conv_id, run_id, field) with ``value, raw_text,
-    confidence, status`` per the four merge rules.
-    """
-    raw = F.col("raw_value")
-    conf = F.col("confidence")
-    nonws = raw.isNotNull() & (F.trim(raw) != "")
-
-    # argmax ordering: highest confidence (null → -inf), tie → lowest turn
-    order_key = F.struct(
-        F.coalesce(conf, F.lit(_NEG_INF)).alias("c"),
-        (-F.col("turn_idx")).cast("long").alias("nt"),
-    )
-
-    folded = contribs.groupBy("conv_id", "run_id", "field").agg(
-        F.max_by(raw, order_key).alias("best_raw"),
-        F.max_by(conf, order_key).alias("best_conf"),
-        # ordered concat of non-whitespace parts (struct sort is total:
-        # turn_idx first — deterministic under any input order)
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            nonws,
-                            F.struct(
-                                F.col("turn_idx").alias("t"),
-                                raw.alias("v"),
-                            ),
-                        )
-                    )
-                ),
-                lambda x: x["v"],
-            ),
-            "\n",
-        ).alias("concat_raw"),
-        F.sum(nonws.cast("int")).alias("n_parts"),
-        F.min(F.when(nonws, conf)).alias("concat_conf_min"),
-        F.max(
-            F.when(F.lower(raw).isin("signed", "present"), True).otherwise(False)
-        ).alias("sig_present"),
-        F.min(conf).alias("sig_conf_min"),
-    )
-
-    fld = F.col("field")
-    is_sig = fld.isin(*SIGNATURE_FIELDS)
-    is_date = fld.isin(*DATE_FIELDS)
-    is_multi = fld.isin(*MULTI_VALUE_FIELDS)
-
-    parsed_date = parse_ocr_date(F.col("best_raw"))
-
-    value = (
-        F.when(is_sig, F.when(F.col("sig_present"), "true").otherwise("false"))
-        .when(is_date, parsed_date)
-        .when(
-            is_multi,
-            F.when(F.col("n_parts") > 0, F.col("concat_raw")),
-        )
-        .otherwise(F.col("best_raw"))
-    )
-    confidence = (
-        F.when(is_sig, F.col("sig_conf_min"))
-        .when(
-            is_multi,
-            F.when(
-                F.col("n_parts") > 0,
-                F.coalesce(F.col("concat_conf_min"), F.lit(0.0)),
-            ),
-        )
-        .otherwise(F.col("best_conf"))
-    )
-    # raw text preserved only for date fields (SchemaField.OcrRawText contract)
-    raw_text = F.when(is_date, F.col("best_raw"))
-
-    return folded.select(
-        "conv_id",
-        "run_id",
-        "field",
-        value.alias("value"),
-        raw_text.alias("raw_text"),
-        confidence.alias("confidence"),
+def _empty_field_struct() -> Column:
+    """(null…, 'Pending') — contract guarantee 1+6, all keys present with
+    reviewed_* null at creation (``SchemaField.cs:13-63``)."""
+    return F.struct(
+        F.lit(None).cast("string").alias("value"),
+        F.lit(None).cast("string").alias("raw_text"),
+        F.lit(None).cast("double").alias("confidence"),
+        F.lit(None).cast("string").alias("reviewed_value"),
+        F.lit(None).cast("timestamp").alias("reviewed_at"),
+        F.lit(None).cast("string").alias("reviewed_by"),
         F.lit("Pending").alias("status"),
     )
+
+
+def _field_struct(cs: Column, name: str) -> Column:
+    """SchemaField struct for catalog field ``name`` from the document's
+    sorted contributions array ``cs`` (struct<t:int, field, raw, conf>).
+
+    Merge-rule parity with the reference mapper:
+
+    * highest-confidence-wins (FR-004): max over (conf→-inf, -turn) —
+      tie → lowest turn (spec.md:113);
+    * ordered concat (FR-005): non-whitespace parts in turn order, min
+      confidence, all-null-confidence → 0.0 (the ``DefaultIfEmpty(0.0)``
+      quirk, ``DocumentSchemaMapperService.cs:238``);
+    * signature OR-fold (FR-006): signed/present case-insensitive, min
+      confidence over ALL contributors (code behavior);
+    * date parse (FR-002a): winner's raw parsed, raw preserved.
+    """
+    parts = F.filter(cs, lambda c: c["field"] == name)
+    nonws = F.filter(
+        parts,
+        lambda c: c["raw"].isNotNull() & (F.trim(c["raw"]) != ""),
+    )
+
+    best = F.array_max(
+        F.transform(
+            parts,
+            lambda c: F.struct(
+                F.coalesce(c["conf"], F.lit(_NEG_INF)).alias("c"),
+                (-c["t"]).cast("long").alias("nt"),
+                c["raw"].alias("v"),
+                c["conf"].alias("cf"),
+            ),
+        )
+    )
+    best_raw, best_conf = best["v"], best["cf"]
+
+    if name in SIGNATURE_FIELDS:
+        sig_present = (
+            F.size(
+                F.filter(
+                    parts,
+                    lambda c: F.coalesce(
+                        F.lower(c["raw"]).isin("signed", "present"),
+                        F.lit(False),
+                    ),
+                )
+            )
+            > 0
+        )
+        value = F.when(
+            F.size(parts) > 0,
+            F.when(sig_present, "true").otherwise("false"),
+        )
+        confidence = F.array_min(F.transform(parts, lambda c: c["conf"]))
+        raw_text = F.lit(None).cast("string")
+    elif name in DATE_FIELDS:
+        value = parse_ocr_date(best_raw)
+        confidence = best_conf
+        raw_text = best_raw
+    elif name in MULTI_VALUE_FIELDS:
+        n_parts = F.size(nonws)
+        value = F.when(
+            n_parts > 0,
+            F.array_join(F.transform(nonws, lambda c: c["raw"]), "\n"),
+        )
+        confidence = F.when(
+            n_parts > 0,
+            F.coalesce(
+                F.array_min(F.transform(nonws, lambda c: c["conf"])),
+                F.lit(0.0),
+            ),
+        )
+        raw_text = F.lit(None).cast("string")
+    else:
+        value = best_raw
+        confidence = best_conf
+        raw_text = F.lit(None).cast("string")
+
+    return F.struct(
+        value.cast("string").alias("value"),
+        raw_text.alias("raw_text"),
+        confidence.cast("double").alias("confidence"),
+        F.lit(None).cast("string").alias("reviewed_value"),
+        F.lit(None).cast("timestamp").alias("reviewed_at"),
+        F.lit(None).cast("string").alias("reviewed_by"),
+        F.lit("Pending").alias("status"),
+    )
+
+
+def _consolidate_grouped(
+    turns: DataFrame, id_col: str = "extracted_id"
+) -> DataFrame:
+    """One groupBy(conv_id, run_id) → headers + all 13 SchemaField structs.
+
+    ``turns`` is turn-grain with run columns (``with_runs``) plus a
+    ``contribs`` array column (struct<field, raw_value, confidence>; null or
+    empty for turns without recognized field lines).
+    """
+    with_t = F.transform(
+        F.coalesce(F.col("contribs"), F.array()),
+        lambda c: F.struct(
+            F.col("turn_idx").alias("t"),
+            c["field"].alias("field"),
+            c["raw_value"].alias("raw"),
+            c["confidence"].alias("conf"),
+        ),
+    )
+    grouped = turns.groupBy("conv_id", "run_id").agg(
+        F.min("ffill_id").alias("identifier_raw"),
+        F.count(F.lit(1)).cast("int").alias("turn_count"),
+        F.sort_array(F.collect_list("turn_idx")).alias("turn_idxs"),
+        F.min("turn_idx").alias("first_turn"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("turn_idx").alias("turn_idx"),
+                    F.col("id_source").alias("source"),
+                    F.col(id_col).alias("extracted_id"),
+                )
+            )
+        ).alias("provenance"),
+        # all contributions of the document, sorted by (turn, field, raw) —
+        # a total order, so the fold is deterministic at any parallelism
+        F.array_sort(F.flatten(F.collect_list(with_t))).alias("_cs"),
+    )
+
+    identifier = F.coalesce(F.col("identifier_raw"), F.lit(""))
+    doc_key = F.when(F.trim(identifier) != "", identifier).otherwise(
+        F.concat(
+            F.lit("unknown-"), F.col("conv_id"), F.lit("-"), F.col("first_turn")
+        )
+    )
+    cs = F.col("_cs")
+    return grouped.select(
+        "conv_id",
+        "run_id",
+        doc_key.alias("doc_key"),
+        "turn_count",
+        "turn_idxs",
+        "first_turn",
+        "provenance",
+        *[_field_struct(cs, name).alias(name) for name in FIELD_NAMES],
+    )
+
+
+def consolidate_compact(extracted: DataFrame) -> DataFrame:
+    """Extracted turns → consolidated records in a single linear plan.
+
+    The production fold path: contributions and the per-turn identifier are
+    array/scalar column expressions over ``extracted_text`` (no explode, no
+    groupBy+join back), runs are one window pass, and the fold is ONE
+    aggregation — two shuffles end-to-end (window sort + group), zero
+    persists, zero Python.
+    """
+    from .fields import best_extracted_id, contributions_array
+
+    t = extracted.select(
+        "conv_id",
+        "turn_idx",
+        contributions_array("extracted_text").alias("contribs"),
+    ).withColumn("extracted_id", best_extracted_id(F.col("contribs")))
+    return _consolidate_grouped(with_runs(t))
 
 
 def consolidate(
@@ -286,34 +378,26 @@ def consolidate(
     contribs: DataFrame,
     id_col: str = "extracted_id",
 ) -> DataFrame:
-    """Headers + folded fields → one wide consolidated record per document.
+    """Headers + folded fields from a long-format contributions table.
 
     All 13 catalog keys always present (contract guarantee 1,
     ``contracts/IDocumentSchemaMapperService.md:40``); absent fields are
-    ``(null, null, null, 'Pending')``.
+    ``(null, …, 'Pending')`` with reviewed_* null (guarantee 6).
 
     ``turns_with_fields`` must already carry run columns (``with_runs``);
     ``contribs`` is the long-format contribution table for the same rows.
+    This wrapper regroups the long table to turn-grain arrays and runs the
+    same single-pass engine as :func:`consolidate_compact` (which is the
+    no-extra-shuffle path when contributions are still column expressions).
     """
-    headers = run_headers(turns_with_fields, id_col=id_col)
-    folded = fold_contributions(contribs)
-
-    # pivot to wide: one struct column per catalog field; pivot over the
-    # closed field list avoids a distinct-values job
-    field_struct = F.struct("value", "raw_text", "confidence", "status")
-    wide = (
-        folded.groupBy("conv_id", "run_id")
-        .pivot("field", list(FIELD_NAMES))
-        .agg(F.first(field_struct))
+    arr = contribs.groupBy("conv_id", "turn_idx").agg(
+        F.collect_list(
+            F.struct(
+                F.col("field").alias("field"),
+                F.col("raw_value").alias("raw_value"),
+                F.col("confidence").alias("confidence"),
+            )
+        ).alias("contribs")
     )
-
-    default_field = F.struct(
-        F.lit(None).cast("string").alias("value"),
-        F.lit(None).cast("string").alias("raw_text"),
-        F.lit(None).cast("double").alias("confidence"),
-        F.lit("Pending").alias("status"),
-    )
-    out = headers.join(wide, ["conv_id", "run_id"], "left")
-    for name in FIELD_NAMES:
-        out = out.withColumn(name, F.coalesce(F.col(f"`{name}`"), default_field))
-    return out
+    t = turns_with_fields.join(arr, ["conv_id", "turn_idx"], "left")
+    return _consolidate_grouped(t, id_col=id_col)

@@ -26,10 +26,80 @@ from pyspark.sql import functions as F
 
 from ..schema import FIELD_NAMES, IDENTIFIER_FIELD
 
-__all__ = ["extract_field_contributions", "with_extracted_identifier"]
+__all__ = [
+    "extract_field_contributions",
+    "with_extracted_identifier",
+    "contributions_array",
+    "best_extracted_id",
+]
 
 #: ``key: value [0.93]`` — confidence suffix optional; value may be empty.
 _FIELD_LINE_PAT = r"^([A-Za-z][A-Za-z0-9_]*)\s*:\s*(.*?)\s*(?:\[(0(?:\.\d+)?|1(?:\.0+)?)\])?\s*$"
+
+
+def contributions_array(text_col: str = "extracted_text") -> Column:
+    """Per-turn field contributions as an ``array<struct>`` column expression.
+
+    Same recognition semantics as :func:`extract_field_contributions`
+    (same regex, same field whitelist, same both-null drop rule) but with NO
+    explode: the turn stays one row, so the consolidation path can run a
+    single shuffle over turn-grain data. Entirely JVM-side higher-order
+    functions — stays in whole-stage codegen.
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+    # Cheap prefilter before the regex: a matching line's text before the
+    # first ':' (modulo the pattern's \s* before the colon) must be exactly a
+    # catalog field name. Payload lines — the vast majority, and the long
+    # ones where the lazy-group regex backtracks quadratically — never reach
+    # the regex. Exactly the lines the full pattern would keep survive.
+    cands = F.filter(
+        lines,
+        lambda l: F.rtrim(F.substring_index(l, ":", 1)).isin(*FIELD_NAMES),
+    )
+    parsed = F.transform(
+        cands,
+        lambda l: F.struct(
+            F.regexp_extract(l, _FIELD_LINE_PAT, 1).alias("field"),
+            F.nullif(F.regexp_extract(l, _FIELD_LINE_PAT, 2), F.lit("")).alias(
+                "raw_value"
+            ),
+            F.nullif(F.regexp_extract(l, _FIELD_LINE_PAT, 3), F.lit(""))
+            .cast("double")
+            .alias("confidence"),
+        ),
+    )
+    return F.filter(
+        parsed,
+        lambda c: c["field"].isin(*FIELD_NAMES)
+        & (c["raw_value"].isNotNull() | c["confidence"].isNotNull()),
+    )
+
+
+def best_extracted_id(
+    contribs_col: Column, id_field: str = IDENTIFIER_FIELD
+) -> Column:
+    """Per-turn extracted identifier from a contributions array.
+
+    Shuffle-free equivalent of :func:`with_extracted_identifier`'s groupBy +
+    join: highest confidence wins, tie → max trimmed value (same ordering
+    struct). Whitespace-only values are null (TryExtractIdentifier parity,
+    ``DocumentAggregatorService.cs:78-100``).
+    """
+    cands = F.filter(
+        contribs_col,
+        lambda c: (c["field"] == id_field)
+        & (F.trim(F.coalesce(c["raw_value"], F.lit(""))) != ""),
+    )
+    best = F.array_max(
+        F.transform(
+            cands,
+            lambda c: F.struct(
+                F.coalesce(c["confidence"], F.lit(float("-inf"))).alias("c"),
+                F.trim(c["raw_value"]).alias("v"),
+            ),
+        )
+    )
+    return best["v"]
 
 
 def extract_field_contributions(
@@ -49,6 +119,10 @@ def extract_field_contributions(
         F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
             "_line"
         ),
+    ).filter(
+        # same cheap pre-regex gate as contributions_array: keeps the
+        # backtracking regex off long payload lines
+        F.rtrim(F.substring_index(F.col("_line"), ":", 1)).isin(*FIELD_NAMES)
     )
     key = F.regexp_extract("_line", _FIELD_LINE_PAT, 1)
     val = F.regexp_extract("_line", _FIELD_LINE_PAT, 2)

@@ -31,12 +31,8 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregation import consolidate, with_runs
+from ..operators.aggregation import consolidate_compact
 from ..operators.extraction import extract_turns, salted_repartition
-from ..operators.fields import (
-    extract_field_contributions,
-    with_extracted_identifier,
-)
 from ..functions.selection import TurnSelection
 from ..sources.catalog import Catalog
 
@@ -80,38 +76,17 @@ def extract_stage(turns: DataFrame, turn_range: str | None = None) -> DataFrame:
 
 
 def consolidate_stage(extracted: DataFrame) -> DataFrame:
-    """Field contributions → identifier forward-fill runs → folded records.
+    """Extracted turns → forward-fill runs → folded consolidated records.
 
-    ``extracted`` is referenced by several plan branches (contributions,
-    turn list, provenance); without materialization Spark would re-run the
-    pandas-UDF extraction stage once per branch. The production pipeline
-    writes the extracted table to storage first (reference analog: per-page
-    OCR results exist before aggregation); here we persist if the caller
-    has not already.
+    One linear plan (``consolidate_compact``): contributions and the
+    per-turn identifier are column expressions over ``extracted_text``, so
+    the extracted table is consumed exactly once — no multi-branch re-run of
+    the pandas-UDF stage and no intermediate persists (round 1's persisted
+    contribs/runs + pivot + headers join was the 4× local[32] cliff in
+    BENCH_r01). Two shuffles end-to-end: the run window sort and the fold
+    groupBy.
     """
-    from pyspark import StorageLevel
-
-    if extracted.storageLevel == StorageLevel.NONE:
-        # persist AND materialize: a lazy persist inside one multi-branch
-        # job races its own cache fill and re-runs the UDF per branch
-        extracted = extracted.persist()
-        extracted.count()
-    # contribs feeds three branches (identifier extraction, the run join,
-    # the folds) — persist the (much smaller) long table as well
-    contribs = extract_field_contributions(extracted).persist()
-    contribs.count()
-    turns_with_id = with_extracted_identifier(
-        extracted.select("conv_id", "turn_idx"), contribs
-    )
-    # runs feeds headers, the run-id join, and the folds — materialize the
-    # narrow (conv, turn, id, run) table once instead of re-running the
-    # window chain per branch
-    runs = with_runs(turns_with_id).persist()
-    runs.count()
-    contribs_with_run = contribs.join(
-        runs.select("conv_id", "turn_idx", "run_id"), ["conv_id", "turn_idx"]
-    )
-    return consolidate(runs, contribs_with_run)
+    return consolidate_compact(extracted)
 
 
 def _dedup_within_batch(records: DataFrame) -> DataFrame:

@@ -17,6 +17,28 @@ __all__ = ["get_spark", "DEFAULT_CPUS"]
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """SPARK_DRIVER_MEM, else ~1/4 of host RAM clamped to [2g, 32g] — big
+    enough for local-mode shuffles at bench scale, small enough to launch on
+    modest hosts."""
+    env = os.environ.get("SPARK_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = max(2, min(32, int(page / (1 << 30) // 4)))
+    except (ValueError, OSError):
+        gb = 4
+    return f"{gb}g"
+
+
+def _driver_java_opts() -> str:
+    """Code-cache reserve appended to (not clobbering) env-supplied opts."""
+    user = os.environ.get("SPARK_DRIVER_JAVA_OPTS", "")
+    ours = "-XX:ReservedCodeCacheSize=1g"
+    return f"{user} {ours}".strip()
+
+
 def get_spark(
     app_name: str = "poc_document_ocr_spark",
     cpus: int | None = None,
@@ -37,15 +59,15 @@ def get_spark(
         # larger Arrow batches amortize JVM↔Python transfer at high task
         # concurrency: 40k raised 32-thread extraction throughput ~37%
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", _default_driver_mem())
         # whole-stage codegen emits one class per plan shape; a long session
         # running many distinct plans fills the JVM's default 240 MB code
         # cache, after which JIT compilation stops and everything crawls —
-        # reserve enough and let the VM flush cold compiled code
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
-        )
+        # reserve enough up front. Deliberately NO -XX:+UseCodeCacheFlushing:
+        # measured here, flushing evicts *warm* generated methods and
+        # re-executions drop to interpreted speed (6s folds became 60s on
+        # random reps); a fixed 1g reserve is stable.
+        .config("spark.driver.extraJavaOptions", _driver_java_opts())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -9,7 +9,6 @@ from pyspark.sql import functions as F
 
 from poc_document_ocr_spark.operators.aggregation import (
     consolidate,
-    fold_contributions,
     parse_ocr_date,
     run_headers,
     with_local_index,
@@ -111,8 +110,12 @@ def test_local_reindex(spark):
 
 
 def fold_one(spark, rows, field):
-    df = fold_contributions(contribs_df(spark, rows))
-    return df.filter(F.col("field") == field).collect()[0]
+    """Fold the fixture through the production single-pass engine and
+    return the SchemaField struct for ``field``."""
+    turn_keys = sorted({(r[0], r[3]) for r in rows})
+    turns = with_runs(turns_df(spark, [(c, t, None) for c, t in turn_keys]))
+    rec = consolidate(turns, contribs_df(spark, rows)).collect()[0]
+    return rec[field]
 
 
 def test_highest_confidence_wins(spark):
@@ -241,6 +244,10 @@ def test_consolidate_all_keys_present(spark):
     rec = out[0]
     for name in FIELD_NAMES:
         assert rec[name] is not None, name
+        # contract guarantee 6: reviewed_* null at creation (SchemaField.cs)
+        assert rec[name].reviewed_value is None, name
+        assert rec[name].reviewed_at is None, name
+        assert rec[name].reviewed_by is None, name
     assert rec["firstName"].value == "Ada"
     assert rec["lastName"].value is None
     assert rec["lastName"].status == "Pending"
