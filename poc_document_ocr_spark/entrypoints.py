@@ -1031,6 +1031,61 @@ FROM documents
 """
 
 
+#: Fixed sign-LSH hyperplanes (4 bits → 16 buckets over 64-dim embeddings):
+#: deterministic small integers, shared verbatim with the DuckDB oracle — a
+#: production job ships these as job args, never RNG in executors.
+_ANN_PLANES = [
+    [((7 * i + 3 * j) % 11) - 5 for j in range(64)] for i in range(4)
+]
+
+
+def _plane_sql(p: list[int]) -> str:
+    return "[" + ", ".join(f"{float(x):.1f}" for x in p) + "]"
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed approximate nearest neighbors: sign-LSH bucket join + exact
+    cosine within buckets — the O(N/2^bits) scale path next to the
+    brute-force ``ann_topk`` baseline."""
+    from .operators.similarity import lsh_topk
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries, _ANN_PLANES, k=5)
+
+
+_O_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v,
+        CAST(
+          (CASE WHEN list_dot_product(v, {_plane_sql(_ANN_PLANES[0])}) >= 0
+                THEN 1 ELSE 0 END)
+        + 2 * (CASE WHEN list_dot_product(v, {_plane_sql(_ANN_PLANES[1])}) >= 0
+                THEN 1 ELSE 0 END)
+        + 4 * (CASE WHEN list_dot_product(v, {_plane_sql(_ANN_PLANES[2])}) >= 0
+                THEN 1 ELSE 0 END)
+        + 8 * (CASE WHEN list_dot_product(v, {_plane_sql(_ANN_PLANES[3])}) >= 0
+                THEN 1 ELSE 0 END)
+        AS BIGINT) AS bucket
+      FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+qp AS (SELECT q_id, qv, p.pb AS bucket
+       FROM q, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)]) AS p(pb)),
+s AS (SELECT qp.q_id, b.vec_id AS n_id, b.bucket,
+        list_dot_product(qp.qv, b.v) /
+        (sqrt(list_dot_product(qp.qv, qp.qv)) *
+         sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM qp JOIN b ON b.bucket = qp.bucket AND b.vec_id <> qp.q_id),
+r AS (SELECT q_id, n_id, bucket,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+          AS INT) AS rank
+      FROM s)
+SELECT q_id, n_id, bucket, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
@@ -1082,6 +1137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
 }
 
 ORACLES: dict[str, str] = {
@@ -1107,6 +1163,7 @@ ORACLES: dict[str, str] = {
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,
     "ann_topk": _O_ANN_TOPK,
+    "ann_lsh": _O_ANN_LSH,
 }
 
 

@@ -29,7 +29,19 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard",
+    "DEMO_PROFILE",
+    "SCALE_PROFILE",
 ]
+
+#: Oracle-checked demo configuration (small enough for the DuckDB twin).
+DEMO_PROFILE = {"num_hashes": 8, "rows_per_band": 4}
+
+#: Production configuration for real corpora: 128 hashes in 16 bands × 8
+#: rows. Band collision probability 1-(1-J^8)^16 ≈ 0.9996 at J=0.9 and
+#: ≈ 4e-5 at J=0.3 — near-dups essentially always collide, unrelated pairs
+#: essentially never (at the demo profile's 2 bands × 4 rows that separation
+#: collapses on large corpora). Pinned in tests/test_training_ops.py.
+SCALE_PROFILE = {"num_hashes": 128, "rows_per_band": 8}
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id",

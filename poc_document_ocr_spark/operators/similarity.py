@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["dot", "norm", "cosine_topk", "signlsh_buckets"]
+__all__ = ["dot", "norm", "cosine_topk", "signlsh_buckets", "lsh_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -87,3 +87,62 @@ def signlsh_buckets(
         bit = (dot(F.col(vec_col), arr) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-probe sign-LSH — the
+    100 TB similarity path.
+
+    Corpus vectors land in exactly one hyperplane-sign bucket; each query
+    probes its own bucket plus (``probe_radius=1``) every bucket one bit-flip
+    away — near neighbors lost to a single close hyperplane are recovered,
+    the classic multi-probe recall fix. The probe list is exploded on the
+    (small) query side, so the join stays EQUI on ``bucket``: each query
+    touches (1+bits)/2^bits of the corpus instead of all of it, and no
+    cross-join shape appears at any scale. Exact cosine ranks candidates.
+    Returns ``(q_id, n_id, bucket, rank)``; ties break by neighbor id.
+
+    Recall vs the exact baseline and the pruning ratio are pinned in
+    ``tests/test_training_ops.py``.
+    """
+    b = signlsh_buckets(corpus, planes, id_col=id_col, vec_col=vec_col)
+    q = signlsh_buckets(queries, planes, id_col=id_col, vec_col=vec_col)
+    probe_cols = [F.col("bucket")]
+    if probe_radius >= 1:
+        probe_cols += [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(len(planes))
+        ]
+    qs = q.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+    cs = b.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        "bucket",
+    )
+    sims = (
+        cs.join(F.broadcast(qs), "bucket")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("n_vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "bucket", "rank")
+    )

@@ -170,3 +170,65 @@ def test_signlsh_buckets_deterministic(spark):
     }
     assert got[0] == got[1] == 0b11
     assert got[2] == 0b00
+
+
+def test_lsh_topk_recall_and_pruning(spark):
+    """Bucketed ANN vs exact brute force on the real embeddings table:
+    recall must clear a floor AND the bucket join must actually prune."""
+    from poc_document_ocr_spark.entrypoints import _ANN_PLANES
+    from poc_document_ocr_spark.operators.similarity import (
+        lsh_topk,
+        signlsh_buckets,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < 8)
+    k = 5
+
+    exact = cosine_topk(emb, queries, k=k).collect()
+    approx = lsh_topk(emb, queries, _ANN_PLANES, k=k).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.q_id, set()).add(r.n_id)
+    ap = {}
+    for r in approx:
+        ap.setdefault(r.q_id, set()).add(r.n_id)
+    recalls = [
+        len(ex[q] & ap.get(q, set())) / k for q in ex
+    ]
+    recall = sum(recalls) / len(recalls)
+    # deterministic fixture → deterministic recall; floor leaves headroom
+    assert recall >= 0.5, recalls
+
+    # pruning: candidates compared = corpus rows in each query's 5 probe
+    # buckets (own + 4 at Hamming distance 1) — must stay well under the
+    # brute-force 8 * (n - 1)
+    b = signlsh_buckets(emb, _ANN_PLANES)
+    sizes = {r.bucket: r.n for r in b.groupBy("bucket").count()
+             .withColumnRenamed("count", "n").collect()}
+    qb = signlsh_buckets(queries, _ANN_PLANES).collect()
+    candidates = sum(
+        sum(sizes.get(r.bucket ^ m, 0) for m in (0, 1, 2, 4, 8)) - 1
+        for r in qb
+    )
+    assert candidates < 0.5 * 8 * (n - 1), (candidates, n)
+
+
+def test_minhash_scale_profile_band_separation(spark):
+    """At SCALE_PROFILE (128 hashes, 16 bands × 8 rows) a true near-dup
+    pair must share a band; a low-Jaccard pair must not."""
+    from poc_document_ocr_spark.operators.dedup import SCALE_PROFILE
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # J ≈ 0.93
+    far = " ".join(f"other{i}" for i in range(30)) + " tok1 tok2 tok3"
+    df = _docs(spark, [(1, base), (2, near), (3, far)])
+    sigs = minhash_signatures(
+        word_shingles(df), num_hashes=SCALE_PROFILE["num_hashes"]
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, rows_per_band=SCALE_PROFILE["rows_per_band"]
+    )
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert got == [(1, 2)]
