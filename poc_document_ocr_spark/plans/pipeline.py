@@ -114,9 +114,22 @@ def run_pipeline(
     A killed run resumes by lineage anti-join; partially-written buckets are
     healed by the doc_key duplicate-skip anti-join.
     """
-    turns = catalog.read(cfg.input_table).withColumn(
-        "part_bucket", _bucket_col(cfg.n_buckets)
-    )
+    raw = catalog.read(cfg.input_table)
+    phys_buckets = catalog.bucket_values(cfg.input_table)
+    if phys_buckets and "bucket" in raw.columns:
+        # physically bucketed input (Catalog.write_bucketed — Iceberg
+        # bucket(N, conv_id) analog): the per-wave filter below is PARTITION
+        # PRUNING — bucket k's files are simply not read on other waves, and
+        # a resume reads zero bytes of completed buckets. The physical
+        # layout defines the wave list; cfg.n_buckets is ignored.
+        turns = raw.withColumnRenamed("bucket", _BUCKET)
+        bucket_ids = phys_buckets
+    else:
+        # unbucketed input: bucket is a computed column, so every wave scans
+        # the full input — correct but O(n_buckets) scans; bucket the input
+        # with Catalog.write_bucketed for large runs
+        turns = raw.withColumn(_BUCKET, _bucket_col(cfg.n_buckets))
+        bucket_ids = list(range(cfg.n_buckets))
 
     completed: set[int] = set()
     if catalog.exists(cfg.lineage_table):
@@ -133,12 +146,12 @@ def run_pipeline(
         }
 
     summary = {"run_id": cfg.run_id, "buckets": [], "skipped_duplicates": 0}
-    for k in range(cfg.n_buckets):
+    for k in bucket_ids:
         if k in completed:
             summary["buckets"].append({"partition_id": k, "status": "Resumed"})
             continue
         t0 = time.monotonic()
-        bucket_turns = turns.filter(F.col("part_bucket") == k).drop("part_bucket")
+        bucket_turns = turns.filter(F.col(_BUCKET) == k).drop(_BUCKET)
         extracted = extract_stage(bucket_turns, cfg.turn_range)
         extracted = extracted.persist()
         try:

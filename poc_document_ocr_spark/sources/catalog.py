@@ -54,6 +54,19 @@ class Catalog:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def bucket_values(self, name: str) -> list[int]:
+        """Physical ``bucket=k`` partition values of a bucketed table
+        (empty when the table is not bucket-partitioned). Filesystem
+        listing only — no scan (Iceberg analog: partition metadata)."""
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(p)
+            if d.startswith("bucket=")
+        )
+
     def write_bucketed(
         self, df: DataFrame, name: str, key: str = "conv_id", buckets: int = 32
     ) -> None:

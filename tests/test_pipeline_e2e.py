@@ -142,6 +142,65 @@ def test_pipeline_run_resume_and_idempotency(spark, turns_df, data, tmp_path):
     assert sum(r.rows_in for r in lin) == len(data.golden)
 
 
+def test_bucketed_input_partition_pruning(spark, turns_df, tmp_path):
+    """Physically bucketed input: a wave's scan reads ONLY its bucket's
+    files (partition pruning), and the pipeline over the bucketed layout
+    produces exactly the computed-bucket pipeline's output."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.write_bucketed(turns_df, "transcripts_b", buckets=4)
+    assert cat.bucket_values("transcripts_b") == [0, 1, 2, 3]
+
+    # the per-wave filter is a PARTITION filter in the physical plan (file
+    # pruning), not a post-scan row filter
+    raw = cat.read("transcripts_b")
+    one = raw.filter(F.col("bucket") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and "= 2)" in pf[1][:200], plan
+
+    # bucketed-layout pipeline ≡ computed-bucket pipeline
+    cat.write_overwrite(turns_df, "transcripts")
+    cfg_flat = PipelineConfig(
+        run_id="run-F", n_buckets=4, output_table="out_flat",
+        extracted_table="ext_flat", lineage_table="lin_flat",
+    )
+    run_pipeline(spark, cat, cfg_flat)
+    cfg_b = PipelineConfig(
+        input_table="transcripts_b", run_id="run-P", n_buckets=999,
+        output_table="out_b", extracted_table="ext_b",
+        lineage_table="lin_b",
+    )
+    summary = run_pipeline(spark, cat, cfg_b)
+    # physical layout defines the waves (cfg.n_buckets=999 ignored)
+    assert {b["partition_id"] for b in summary["buckets"]} == {0, 1, 2, 3}
+    assert _collect_sorted(cat.read("out_b").drop("op_run_id")) == \
+        _collect_sorted(cat.read("out_flat").drop("op_run_id"))
+
+    # resume over the bucketed layout: all waves skipped without a scan
+    resumed = run_pipeline(spark, cat, cfg_b)
+    assert all(b["status"] == "Resumed" for b in resumed["buckets"])
+
+    # behavioral pruning proof: physically remove every OTHER bucket's
+    # files; the bucket-2 wave must still run to completion because its
+    # scan never reads those buckets
+    import os
+    import shutil
+
+    for d in ("bucket=0", "bucket=1", "bucket=3"):
+        shutil.rmtree(os.path.join(str(tmp_path), "transcripts_b", d))
+    cfg_one = PipelineConfig(
+        input_table="transcripts_b", run_id="run-O", output_table="out_one",
+        extracted_table="ext_one", lineage_table="lin_one",
+    )
+    s_one = run_pipeline(spark, cat, cfg_one)
+    assert [b["partition_id"] for b in s_one["buckets"]] == [2]
+    assert s_one["buckets"][0]["status"] == "Succeeded"
+    n_b2 = turns_df.filter(
+        F.pmod(F.xxhash64(F.col("conv_id")), F.lit(4)) == 2
+    ).count()
+    assert s_one["buckets"][0]["rows_in"] == n_b2
+
+
 def test_turn_range_filter_before_udf(spark, turns_df):
     out = extract_stage(turns_df, turn_range="1-2")
     assert set(r.turn_idx for r in out.select("turn_idx").distinct().collect()) == {1, 2}
