@@ -1031,6 +1031,93 @@ FROM documents
 """
 
 
+def _media_payload() -> F.Column:
+    """Demo media payload: documents' bytes behind real magic-number
+    prefixes by doc_id — deterministic, byte-identical in both engines."""
+    body = F.encode(F.col("text"), "utf-8")
+    d = F.col("doc_id")
+    return (
+        F.when(d % 4 == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), body))
+        .when(d % 4 == 1, F.concat(F.unhex(F.lit("FFD8FFE0")), body))
+        .when(
+            d % 4 == 2,
+            F.concat(F.unhex(F.lit("524946460000000057415645")), body),
+        )
+        .otherwise(body)
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns, metadata tier: magic-number format sniff, byte
+    length, head bytes, content digest, and frame count via fixed-size
+    chunking — all without decoding a payload."""
+    from .operators.multimodal import chunk_frames, media_meta
+
+    docs = _docs(spark, sf_dir)
+    with_payload = docs.select("doc_id", _media_payload().alias("payload"))
+    frames_n = (
+        chunk_frames(with_payload, frame_bytes=256)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
+    )
+    meta = with_payload.select(
+        "doc_id", media_meta(F.col("payload")).alias("m")
+    )
+    return meta.join(frames_n, "doc_id").select(
+        "doc_id",
+        F.col("m.fmt").alias("fmt"),
+        F.col("m.n_bytes").alias("n_bytes"),
+        F.col("m.head_hex").alias("head_hex"),
+        F.col("m.content_md5").alias("content_md5"),
+        "n_frames",
+    )
+
+
+_O_MULTIMODAL_META = r"""
+WITH p AS (SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN '\x89\x50\x4E\x47\x0D\x0A\x1A\x0A'::BLOB || encode(text)
+    WHEN 1 THEN '\xFF\xD8\xFF\xE0'::BLOB || encode(text)
+    WHEN 2 THEN '\x52\x49\x46\x46\x00\x00\x00\x00\x57\x41\x56\x45'::BLOB
+                || encode(text)
+    ELSE encode(text) END AS payload
+  FROM documents)
+SELECT doc_id,
+  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       WHEN 2 THEN 'wav' ELSE 'bin' END AS fmt,
+  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+  left(hex(payload), 16) AS head_hex,
+  md5(hex(payload)) AS content_md5,
+  greatest(CAST(ceil(octet_length(payload) / 256.0) AS INT), 1) AS n_frames
+FROM p
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode tier: Arrow-batched mapInPandas over raw payload bytes (the
+    codec itself is a deterministic byte-stats stand-in — see
+    operators/multimodal.py — so the oracle can reproduce the features)."""
+    from .operators.multimodal import decode_media_features
+
+    docs = _docs(spark, sf_dir)
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return decode_media_features(with_payload)
+
+
+_O_MULTIMODAL_DECODE = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+    AS BIGINT) AS byte_sum,
+  list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+    / length(text) AS byte_mean,
+  'bytestats' AS decoder
+FROM documents
+"""
+
+
 #: Fixed sign-LSH hyperplanes (4 bits → 16 buckets over 64-dim embeddings):
 #: deterministic small integers, shared verbatim with the DuckDB oracle — a
 #: production job ships these as job args, never RNG in executors.
@@ -1138,6 +1225,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLES: dict[str, str] = {
@@ -1164,6 +1253,8 @@ ORACLES: dict[str, str] = {
     "fingerprint": _O_FINGERPRINT,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
+    "multimodal_meta": _O_MULTIMODAL_META,
+    "multimodal_decode": _O_MULTIMODAL_DECODE,
 }
 
 

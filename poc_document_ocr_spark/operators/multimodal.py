@@ -1,0 +1,171 @@
+"""Multimodal (image/audio/video) columns: opaque binary + typed metadata.
+
+The 100 TB pattern for media in a training-data pipeline: payloads travel as
+an opaque ``binary`` column next to typed metadata the engine can prune,
+filter, and partition on WITHOUT touching the bytes; per-payload compute
+(decode, feature-extract, frame-sample) runs Arrow-batched at the edges.
+
+Three layers, by cost:
+
+* **metadata** (``sniff_format``, ``media_meta``) — pure column expressions
+  over the first bytes (magic numbers) and byte length: whole-stage codegen,
+  no Python, safe to run over every row of a 100 TB table;
+* **frame chunking** (``chunk_frames``) — fixed-size byte windows exploded
+  with an index (video frame-sampling / audio windowing plumbing): built-in
+  higher-order functions, still no Python;
+* **decode** (``decode_media_features``) — Arrow-batched ``mapInPandas``.
+  Real codecs (PIL / soundfile / av) are NOT installed in this environment:
+  the codec call is gated behind an import-try and the fallback computes
+  deterministic byte-level statistics, so the distributed plumbing — UDF
+  signature, schema, batch shape, partition independence — is real and
+  tested while the decode itself is a clearly-marked stand-in.
+
+Reference analog: the blob payloads the reference passes to its OCR/decode
+services by URI (``BlobStorageService.cs``, ``PdfProcessorFunction.cs``
+page-stream handling) — here the bytes are a first-class engine column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MAGIC",
+    "sniff_format",
+    "media_meta",
+    "chunk_frames",
+    "decode_media_features",
+]
+
+#: magic-byte prefixes (hex) for the demo sniffer
+MAGIC = {
+    "png": "89504E470D0A1A0A",
+    "jpeg": "FFD8FF",
+    "riff": "52494646",  # + 'WAVE' at offset 8 → wav
+}
+
+
+def sniff_format(payload: Column) -> Column:
+    """'png' | 'jpeg' | 'wav' | 'bin' from the payload's magic bytes.
+
+    Reads at most 12 bytes per row (``substring`` on binary is a byte
+    slice) — metadata-tier cost, no decode.
+    """
+    head = F.hex(F.substring(payload, 1, 8))
+    riff_tag = F.hex(F.substring(payload, 9, 4))
+    return (
+        F.when(head.startswith(MAGIC["png"]), "png")
+        .when(head.startswith(MAGIC["jpeg"]), "jpeg")
+        .when(
+            head.startswith(MAGIC["riff"]) & (riff_tag == "57415645"), "wav"
+        )
+        .otherwise("bin")
+    )
+
+
+def media_meta(payload: Column) -> Column:
+    """Typed metadata struct: byte length, sniffed format, head bytes (hex),
+    content digest. All pruning/partitioning decisions downstream should
+    read THIS struct, never the payload."""
+    return F.struct(
+        F.length(payload).cast("long").alias("n_bytes"),
+        sniff_format(payload).alias("fmt"),
+        F.hex(F.substring(payload, 1, 8)).alias("head_hex"),
+        # digest over the hex encoding (uppercase in every engine) so the
+        # DuckDB oracle can reproduce it without blob md5 support; a
+        # production job hashes the raw bytes directly
+        F.md5(F.hex(payload)).alias("content_md5"),
+    )
+
+
+def chunk_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    frame_bytes: int = 4096,
+) -> DataFrame:
+    """Fixed-size byte frames with indexes — the frame-sampling / windowing
+    plumbing for video/audio payloads.
+
+    Returns ``(id, frame_no, frame, frame_bytes)``; the last frame may be
+    short; an empty payload yields one empty frame. Pure higher-order
+    functions: the explode multiplies rows but never shuffles.
+    """
+    fb = int(frame_bytes)
+    frames = F.expr(
+        f"transform(sequence(0, greatest(cast(ceil(octet_length("
+        f"{payload_col}) / {fb}.0) as int), 1) - 1), "
+        f"i -> substring({payload_col}, i * {fb} + 1, {fb}))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(frames).alias("frame_no", "frame"),
+    ).withColumn("frame_bytes", F.length("frame").cast("long"))
+
+
+def _decode_real(payload: bytes, codec) -> dict:
+    """Real decode path — requires an installed codec library.
+
+    Deliberately unimplemented in this environment (no image/audio libs in
+    the container); the byte-stats fallback below keeps the pipeline total.
+    """
+    raise NotImplementedError(
+        "real media decode requires PIL/soundfile/av; not available here"
+    )
+
+
+def decode_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched per-payload feature extraction (``mapInPandas``).
+
+    Selects only (id, payload) so column pruning keeps the Arrow transfer
+    minimal; payload-local, so it runs under the scan's partitioning with
+    no shuffle. With a codec installed the real decoder would emit e.g.
+    image dimensions / sample rates; here the deterministic byte-stats
+    fallback exercises the identical plumbing.
+    """
+    schema = (
+        f"{id_col} long, n_bytes long, byte_sum long, byte_mean double, "
+        "decoder string"
+    )
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        try:  # pragma: no cover - codec not installed in this environment
+            from PIL import Image as _codec  # noqa: F401
+
+            decoder = "pil"
+        except ImportError:
+            _codec = None
+            decoder = "bytestats"
+
+        for pdf in batches:
+            ids, n_bytes, byte_sum = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if _codec is not None:
+                    _decode_real(b, _codec)
+                arr = np.frombuffer(b or b"", dtype=np.uint8)
+                ids.append(int(i))
+                n_bytes.append(int(arr.size))
+                byte_sum.append(int(arr.sum()))
+            n = np.array(n_bytes, dtype="int64")
+            s = np.array(byte_sum, dtype="int64")
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": n,
+                    "byte_sum": s,
+                    "byte_mean": s / np.maximum(n, 1),
+                    "decoder": decoder,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(gen, schema)
