@@ -98,7 +98,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_of(sf_dir)
-    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        "bench",
+        cpus=cpus,
+        shuffle_partitions=cpus,
+        # the corpus cache is ~1-2 GB of snappy parquet: 16 MB splits give
+        # the scan enough tasks to feed every core WITHOUT a pre-UDF
+        # shuffle (production tables use the 128 MB default with
+        # accordingly larger files — the knob scales with file size)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)
+        },
+    )
 
     turns = synth_transcripts(spark, sf)
     n_turns = turns.count()
@@ -108,10 +119,9 @@ def main() -> None:
     # session costs; at 100 TB they are invisible, at bench scale they are
     # not — timed runs below measure steady-state execution)
     warm = turns.filter(F.crc32(F.col("conv_id")) % 337 == 0)
+    extract_turns(warm).agg(F.count(F.lit(1))).collect()
     extract_turns(salted_repartition(warm)).agg(F.count(F.lit(1))).collect()
-    consolidate_stage(extract_turns(salted_repartition(warm))).agg(
-        F.count(F.lit(1))
-    ).collect()
+    consolidate_stage(extract_turns(warm)).agg(F.count(F.lit(1))).collect()
     docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     lsh_candidate_pairs(minhash_signatures(word_shingles(docs_warm))).count()
     emb_warm = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
@@ -134,21 +144,30 @@ def main() -> None:
             runs.append(time.monotonic() - t0)
         timings[name] = round(sorted(runs)[1], 3)
 
-    # headline: per-turn extraction over the full corpus (salted repartition
-    # per the north rule's skew/partitioning discipline)
+    # headline: per-turn extraction over the full corpus, shuffle-free —
+    # parallelism comes from input splits, the UDF runs under the scan's
+    # partitioning (the 100 TB default path)
     timed(
         "extract",
-        lambda: extract_turns(salted_repartition(turns))
+        lambda: extract_turns(turns)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("extracted_text")).alias("chars"),
         )
         .collect(),
     )
+    # the opt-in skew path (pre-UDF salted shuffle) timed for the record:
+    # its cost is the shuffle of the whole corpus
+    timed(
+        "extract_salted",
+        lambda: extract_turns(salted_repartition(turns))
+        .agg(F.sum(F.length("extracted_text")))
+        .collect(),
+    )
     # full fold pipeline (includes the embedded extraction stage)
     timed(
         "consolidate",
-        lambda: consolidate_stage(extract_turns(salted_repartition(turns)))
+        lambda: consolidate_stage(extract_turns(turns))
         .agg(F.count(F.lit(1)))
         .collect(),
     )
@@ -157,9 +176,7 @@ def main() -> None:
     # fold pipeline from the pandas-UDF extraction cost
     ex_path = os.path.join(_REPO, ".bench_cache", f"extracted_{sf}.parquet")
     if not os.path.exists(os.path.join(ex_path, "_SUCCESS")):
-        extract_turns(salted_repartition(turns)).write.mode("overwrite").parquet(
-            ex_path
-        )
+        extract_turns(turns).write.mode("overwrite").parquet(ex_path)
     extracted = spark.read.parquet(ex_path)
     timed(
         "consolidate_folds",

@@ -467,6 +467,8 @@ def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("identifier.reviewed_by").alias("identifier_reviewed_by"),
         F.col("identifier.reviewed_at").alias("identifier_reviewed_at"),
         F.col("courtDate.reviewed_value").alias("courtdate_reviewed_value"),
+        # FR-006 warn-path counter (0 across this corpus — asserted)
+        F.col("sig_warnings"),
     )
 
 
@@ -532,7 +534,8 @@ SELECT h.conv_id, h.run_id,
   CAST(NULL AS STRING) AS identifier_reviewed_value,
   CAST(NULL AS STRING) AS identifier_reviewed_by,
   CAST(NULL AS TIMESTAMP) AS identifier_reviewed_at,
-  CAST(NULL AS STRING) AS courtdate_reviewed_value
+  CAST(NULL AS STRING) AS courtdate_reviewed_value,
+  CAST(0 AS INT) AS sig_warnings
 FROM hdr h LEFT JOIN wide w
   ON h.conv_id = w.conv_id AND h.run_id = w.run_id
 """.replace("\n, ", ",\n", 1)
@@ -974,6 +977,65 @@ JOIN sz zb ON zb.doc_id = i.id_b
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup ladder: 64-bit fingerprints, 8-bit block equi-join
+    for candidates (complete for Hamming ≤ 7), exact Hamming filter."""
+    from .operators.dedup import simhash64, simhash_near_pairs
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    return simhash_near_pairs(simhash64(corpus), max_hamming=7)
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash64 + simhash_near_pairs, generated from the
+    same bit layout."""
+    hexs = "0123456789abcdef"
+    sums = ",\n    ".join(
+        f"sum((((strpos('{hexs}', substr(md5(w), {j // 4 + 1}, 1)) - 1) "
+        f">> {3 - j % 4}) & 1) * 2 - 1) AS b{j}"
+        for j in range(64)
+    )
+    nibbles = " || ".join(
+        "substr('" + hexs + "', ("
+        + " + ".join(
+            f"(CASE WHEN b{4 * q + r} >= 0 THEN {8 >> r} ELSE 0 END)"
+            for r in range(4)
+        )
+        + ") + 1, 1)"
+        for q in range(16)
+    )
+    hamming = " + ".join(
+        f"bit_count(xor(strpos('{hexs}', substr(sh_a, {q + 1}, 1)) - 1, "
+        f"strpos('{hexs}', substr(sh_b, {q + 1}, 1)) - 1))"
+        for q in range(16)
+    )
+    return f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS w
+        FROM corpus) u
+      WHERE w <> ''),
+s AS (SELECT doc_id,
+    {sums}
+  FROM w GROUP BY doc_id),
+fp AS (SELECT doc_id, {nibbles} AS simhash FROM s),
+blk AS (SELECT doc_id, simhash, q AS blk, substr(simhash, 2 * q + 1, 2) AS val
+        FROM fp, UNNEST(range(0, 8)) AS t(q)),
+cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            a.simhash AS sh_a, b.simhash AS sh_b
+          FROM blk a JOIN blk b ON a.blk = b.blk AND a.val = b.val
+          WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST({hamming} AS INT) AS hamming
+FROM cands
+WHERE {hamming} <= 7
+"""
+
+
+_O_SIMHASH_NEARDUP = _simhash_oracle_sql()
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_docs(spark, sf_dir))
 
@@ -1142,7 +1204,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, _ANN_PLANES, k=5)
 
 
-_O_ANN_LSH = f"""
+_ANN_BUCKET_CTE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (SELECT vec_id, v,
         CAST(
@@ -1155,7 +1217,10 @@ b AS (SELECT vec_id, v,
         + 8 * (CASE WHEN list_dot_product(v, {_plane_sql(_ANN_PLANES[3])}) >= 0
                 THEN 1 ELSE 0 END)
         AS BIGINT) AS bucket
-      FROM e),
+      FROM e)"""
+
+_O_ANN_LSH = f"""
+{_ANN_BUCKET_CTE},
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM b WHERE vec_id < 5),
 qp AS (SELECT q_id, qv, p.pb AS bucket
        FROM q, UNNEST([bucket, xor(bucket, 1), xor(bucket, 2),
@@ -1170,6 +1235,42 @@ r AS (SELECT q_id, n_id, bucket,
           AS INT) AS rank
       FROM s)
 SELECT q_id, n_id, bucket, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidates
+    (never all-pairs), exact cosine threshold within buckets. At corpus
+    scale the bucket count (bits) grows so within-bucket pair counts stay
+    bounded; AQE splits any hot bucket."""
+    from .operators.similarity import dot, norm, signlsh_buckets
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    b = signlsh_buckets(emb, _ANN_PLANES)
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        "bucket",
+    )
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        norm(F.col("va")) * norm(F.col("vb"))
+    )
+    return pairs.filter(cos >= 0.2).select("id_a", "id_b", "bucket")
+
+
+_O_COS_NEARDUP = f"""
+{_ANN_BUCKET_CTE},
+p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket,
+        list_dot_product(a.v, c.v) /
+        (sqrt(list_dot_product(a.v, a.v)) *
+         sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+SELECT id_a, id_b, bucket FROM p WHERE cos >= 0.2
 """
 
 
@@ -1220,11 +1321,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
+    "simhash_neardup": q_simhash_neardup,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "cos_neardup": q_cos_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
 }
@@ -1248,11 +1351,13 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
     "ngram_jaccard": _O_NGRAM_JACCARD,
+    "simhash_neardup": _O_SIMHASH_NEARDUP,
     "token_stats": _O_TOKEN_STATS,
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
+    "cos_neardup": _O_COS_NEARDUP,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_decode": _O_MULTIMODAL_DECODE,
 }

@@ -342,6 +342,17 @@ def _consolidate_grouped(
         )
     )
     cs = F.col("_cs")
+    # FR-006 warn path made observable (the reference only logs,
+    # DocumentSchemaMapperService.cs:258-267): count signature contributions
+    # whose value is neither signed/present nor 'unsigned'
+    sig_warnings = F.size(
+        F.filter(
+            cs,
+            lambda c: c["field"].isin(*SIGNATURE_FIELDS)
+            & c["raw"].isNotNull()
+            & ~F.lower(c["raw"]).isin("signed", "present", "unsigned"),
+        )
+    ).cast("int")
     return grouped.select(
         "conv_id",
         "run_id",
@@ -350,6 +361,7 @@ def _consolidate_grouped(
         "turn_idxs",
         "first_turn",
         "provenance",
+        sig_warnings.alias("sig_warnings"),
         *[_field_struct(cs, name).alias(name) for name in FIELD_NAMES],
     )
 

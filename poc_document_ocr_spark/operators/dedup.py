@@ -29,8 +29,12 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard",
+    "simhash64",
+    "simhash_hamming",
+    "simhash_near_pairs",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
+    "SIMHASH_BLOCKS",
 ]
 
 #: Oracle-checked demo configuration (small enough for the DuckDB twin).
@@ -147,6 +151,108 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+_HEX = "0123456789abcdef"
+
+#: 64-bit SimHash split into 8 blocks of 8 bits: by pigeonhole, any pair
+#: within Hamming distance 7 shares at least one exact block — the block
+#: equi-join below is the scalable candidate generator (never all-pairs).
+SIMHASH_BLOCKS = 8
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document, as a 16-char hex string.
+
+    Classic Charikar scheme over distinct words (weight 1): each word's
+    md5 contributes ±1 to 64 bit-counters; fingerprint bit j is the sign of
+    counter j. One explode + ONE groupBy with 64 conditional sums (the
+    MinHash pattern: K columns in one shuffle, not K shuffles); everything
+    is built-in functions, reproduced bit-for-bit by the DuckDB oracle.
+    """
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    h = F.md5(F.col("w"))
+    aggs = []
+    for j in range(64):
+        nib = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, 3 - j % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"_b{j}"))
+    sums = words.groupBy(id_col).agg(*aggs)
+    nibbles = []
+    for q in range(16):
+        v = sum(
+            (F.col(f"_b{4 * q + r}") >= 0).cast("int") * (8 >> r)
+            for r in range(4)
+        )
+        nibbles.append(F.lit(_HEX).substr(v + 1, F.lit(1)))
+    return sums.select(F.col(id_col), F.concat(*nibbles).alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-char hex SimHash fingerprints —
+    per-nibble popcount of XOR, pure column expressions."""
+    total = F.lit(0)
+    for q in range(16):
+        na = F.conv(F.substring(a, q + 1, 1), 16, 10).cast("int")
+        nb = F.conv(F.substring(b, q + 1, 1), 16, 10).cast("int")
+        total = total + F.bit_count(na.bitwiseXOR(nb))
+    return total.cast("int")
+
+
+def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate pairs by SimHash block join.
+
+    ``fps``: (id, simhash). Candidates share at least one of the 8 8-bit
+    blocks (complete for Hamming ≤ 7); exact Hamming distance then filters.
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    blocks = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("blk"),
+                        F.substring("simhash", 2 * q + 1, 2).alias("val"),
+                    )
+                    for q in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"),
+             F.col("b.val").alias("val"))
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"),
+        "blk", "val",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"),
+        "blk", "val",
+    )
+    cands = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", simhash_hamming(F.col("sh_a"), F.col("sh_b"))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -51,6 +51,10 @@ class PipelineConfig:
     turn_range: str | None = None
     n_buckets: int = 8
     write_extracted: bool = True
+    #: opt-in pre-UDF salted shuffle — only for skewed/badly-packed inputs
+    #: (see operators.extraction.salted_repartition); the default path takes
+    #: its parallelism from input splits, shuffle-free
+    salt_extraction: bool = False
     #: injectable clock (driver-side only; executors never see wall time)
     clock: object = field(default=lambda: datetime.now(timezone.utc))
 
@@ -59,20 +63,27 @@ def _bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64(F.col("conv_id")), F.lit(n_buckets)).cast("int")
 
 
-def extract_stage(turns: DataFrame, turn_range: str | None = None) -> DataFrame:
+def extract_stage(
+    turns: DataFrame, turn_range: str | None = None, salt: bool = False
+) -> DataFrame:
     """Selection filter (pushed before the UDF barrier) + extraction.
 
     The turn-range filter sits BEFORE the pandas UDF in the plan — excluded
     turns never reach the expensive stage (reference FR-009 dispose-before-OCR,
     ``PdfProcessorFunction.cs:311-318``; SC-003 ≥80% cost cut).
+
+    Shuffle-free by default: extraction is turn-local and runs under the
+    scan's partitioning (size input splits via
+    ``spark.sql.files.maxPartitionBytes``). ``salt=True`` inserts the
+    salted repartition for skewed or badly-packed inputs — a measured 2×
+    cost on multi-process topologies, so it is opt-in.
     """
     sel = TurnSelection.parse(turn_range)
     if not sel.is_all:
         turns = turns.filter(F.col("turn_idx").isin(*sel.turns))
-    # salted-hash repartition (north-rule skew discipline): turn-local salt
-    # spreads long conversations across tasks and defends against
-    # file-packed scans starving the parallel UDF stage
-    return extract_turns(salted_repartition(turns))
+    if salt:
+        turns = salted_repartition(turns)
+    return extract_turns(turns)
 
 
 def consolidate_stage(extracted: DataFrame) -> DataFrame:
@@ -152,7 +163,9 @@ def run_pipeline(
             continue
         t0 = time.monotonic()
         bucket_turns = turns.filter(F.col(_BUCKET) == k).drop(_BUCKET)
-        extracted = extract_stage(bucket_turns, cfg.turn_range)
+        extracted = extract_stage(
+            bucket_turns, cfg.turn_range, salt=cfg.salt_extraction
+        )
         extracted = extracted.persist()
         try:
             rows_in = extracted.count()

@@ -256,6 +256,20 @@ def test_consolidate_all_keys_present(spark):
     assert rec.turn_idxs == [1]
 
 
+def test_signature_unrecognized_value_counted(spark):
+    # FR-006 warn path: 'maybe' is neither signed/present nor unsigned →
+    # mapped to false AND counted in sig_warnings
+    rows = [
+        ("c", 1, "defendantSignature", 1, "maybe", 0.8),
+        ("c", 1, "officerSignature", 2, "unsigned", 0.7),
+    ]
+    turns = with_runs(turns_df(spark, [("c", 1, None), ("c", 2, None)]))
+    rec = consolidate(turns, contribs_df(spark, rows)).collect()[0]
+    assert rec.sig_warnings == 1
+    assert rec["defendantSignature"].value == "false"
+    assert rec["officerSignature"].value == "false"
+
+
 def test_consolidate_provenance_and_counts(spark):
     turns = with_runs(
         turns_df(

@@ -215,6 +215,56 @@ def test_lsh_topk_recall_and_pruning(spark):
     assert candidates < 0.5 * 8 * (n - 1), (candidates, n)
 
 
+def test_simhash_identical_docs_zero_hamming(spark):
+    from poc_document_ocr_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "utterly different words compose this other document body"),
+        ],
+    )
+    fps = simhash64(df)
+    vals = {r.doc_id: r.simhash for r in fps.collect()}
+    assert vals[1] == vals[2] and len(vals[1]) == 16
+    assert vals[1] != vals[3]
+    pairs = simhash_near_pairs(fps, max_hamming=7).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 0)]
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    from poc_document_ocr_spark.operators.dedup import (
+        simhash64,
+        simhash_hamming,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base + " extra"
+    df = _docs(spark, [(1, base), (2, near)])
+    fps = simhash64(df)
+    a = fps.filter(F.col("doc_id") == 1).select(
+        F.col("simhash").alias("sh_a")
+    )
+    b = fps.filter(F.col("doc_id") == 2).select(
+        F.col("simhash").alias("sh_b")
+    )
+    d = (
+        a.crossJoin(b)
+        .select(
+            simhash_hamming(F.col("sh_a"), F.col("sh_b")).alias("d")
+        )
+        .collect()[0]
+        .d
+    )
+    # one word added to 40 → only a handful of bit flips
+    assert 0 < d <= 12, d
+
+
 def test_minhash_scale_profile_band_separation(spark):
     """At SCALE_PROFILE (128 hashes, 16 bands × 8 rows) a true near-dup
     pair must share a band; a low-Jaccard pair must not."""
