@@ -37,6 +37,7 @@ from poc_document_ocr_spark.operators.dedup import (
 )
 from poc_document_ocr_spark.operators.extraction import (
     extract_turns,
+    extract_turns_compact,
     salted_repartition,
 )
 from poc_document_ocr_spark.operators.similarity import cosine_topk
@@ -119,9 +120,13 @@ def main() -> None:
     # session costs; at 100 TB they are invisible, at bench scale they are
     # not — timed runs below measure steady-state execution)
     warm = turns.filter(F.crc32(F.col("conv_id")) % 337 == 0)
-    extract_turns(warm).agg(F.count(F.lit(1))).collect()
-    extract_turns(salted_repartition(warm)).agg(F.count(F.lit(1))).collect()
-    consolidate_stage(extract_turns(warm)).agg(F.count(F.lit(1))).collect()
+    extract_turns_compact(warm).agg(F.count(F.lit(1))).collect()
+    if os.environ.get("SPARK_GRAFT_BENCH_VARIANTS"):
+        extract_turns(warm).agg(F.count(F.lit(1))).collect()
+        extract_turns(salted_repartition(warm)).agg(F.count(F.lit(1))).collect()
+    consolidate_stage(extract_turns_compact(warm)).agg(
+        F.count(F.lit(1))
+    ).collect()
     docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
     lsh_candidate_pairs(minhash_signatures(word_shingles(docs_warm))).count()
     emb_warm = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
@@ -146,28 +151,37 @@ def main() -> None:
 
     # headline: per-turn extraction over the full corpus, shuffle-free —
     # parallelism comes from input splits, the UDF runs under the scan's
-    # partitioning (the 100 TB default path)
+    # partitioning; compact mapInPandas (keys+text in, flat batch out) is
+    # the measured-fastest Python boundary (the 100 TB default path)
     timed(
         "extract",
-        lambda: extract_turns(turns)
+        lambda: extract_turns_compact(turns)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("extracted_text")).alias("chars"),
         )
         .collect(),
     )
-    # the opt-in skew path (pre-UDF salted shuffle) timed for the record:
-    # its cost is the shuffle of the whole corpus
-    timed(
-        "extract_salted",
-        lambda: extract_turns(salted_repartition(turns))
-        .agg(F.sum(F.length("extracted_text")))
-        .collect(),
-    )
+    # (the struct-udf and salted-shuffle variants are NOT in the per-round
+    # suite — their A/B numbers are recorded in BENCH.md; re-time them with
+    # SPARK_GRAFT_BENCH_VARIANTS=1 when revisiting the comparison)
+    if os.environ.get("SPARK_GRAFT_BENCH_VARIANTS"):
+        timed(
+            "extract_struct",
+            lambda: extract_turns(turns)
+            .agg(F.sum(F.length("extracted_text")))
+            .collect(),
+        )
+        timed(
+            "extract_salted",
+            lambda: extract_turns(salted_repartition(turns))
+            .agg(F.sum(F.length("extracted_text")))
+            .collect(),
+        )
     # full fold pipeline (includes the embedded extraction stage)
     timed(
         "consolidate",
-        lambda: consolidate_stage(extract_turns(turns))
+        lambda: consolidate_stage(extract_turns_compact(turns))
         .agg(F.count(F.lit(1)))
         .collect(),
     )

@@ -27,9 +27,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import dispatch
-from ..schema import EXTRACTION_TYPE
+from ..schema import EXTRACTION_DDL, EXTRACTION_TYPE
 
-__all__ = ["extraction_col", "extract_turns", "salted_repartition"]
+__all__ = [
+    "extraction_col",
+    "extract_turns",
+    "extract_turns_compact",
+    "salted_repartition",
+]
 
 
 def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
@@ -74,6 +79,45 @@ def _extract_udf(text: pd.Series) -> pd.DataFrame:
 def extraction_col(text_col: str = "text") -> Column:
     """The extraction struct column expression."""
     return _extract_udf(F.col(text_col))
+
+
+def extract_turns_compact(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+) -> DataFrame:
+    """mapInPandas extraction returning ONLY keys + extraction columns.
+
+    The fast path when downstream does not need the original payload
+    columns (the consolidation fold reads just ``extracted_text``): one
+    Arrow batch in (keys + text), one flat batch out — no struct column
+    assembly/disassembly. Measured at local[32], sf0.1: ~1.6× the
+    pandas-udf struct path (15.7s vs 24.8s median). Use
+    :func:`extract_turns` when the full input row must pass through.
+    """
+    import pandas as pd  # local import: executors resolve lazily
+
+    from ..functions import dispatch as _dispatch
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    ) + ", " + EXTRACTION_DDL
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [_dispatch.extract(t) for t in pdf[text_col]]
+            out = {k: pdf[k].values for k in keys}
+            out["extracted_text"] = [r[0] for r in rows]
+            out["spans"] = [
+                [{"start": s, "end": e} for (s, e) in r[1]] for r in rows
+            ]
+            out["rule"] = [r[2] for r in rows]
+            out["fmt"] = [r[3] for r in rows]
+            yield pd.DataFrame(out)
+
+    return df.select(*keys, text_col).mapInPandas(gen, schema)
 
 
 def extract_turns(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -238,3 +238,38 @@ def test_selection_out_of_bounds_names_both():
 def test_selection_invalid(expr):
     with pytest.raises(TurnSelectionError):
         TurnSelection.parse(expr)
+
+
+def test_compact_extraction_equals_struct_path(spark):
+    """extract_turns_compact (mapInPandas fast path) must produce exactly
+    the struct-udf path's extraction output."""
+    from poc_document_ocr_spark.operators.extraction import (
+        extract_turns,
+        extract_turns_compact,
+    )
+    from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+    from poc_document_ocr_spark.sources.datagen import generate
+
+    data = generate(n_convs=8, median_turns=5, seed=17, skew=False)
+    df = spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+
+    def rows(out):
+        return sorted(
+            (
+                r.conv_id,
+                r.turn_idx,
+                r.extracted_text,
+                tuple((s.start, s.end) for s in r.spans),
+                r.rule,
+                r.fmt,
+            )
+            for r in out.collect()
+        )
+
+    full = rows(
+        extract_turns(df).select(
+            "conv_id", "turn_idx", "extracted_text", "spans", "rule", "fmt"
+        )
+    )
+    compact = rows(extract_turns_compact(df))
+    assert compact == full and len(full) == len(data.golden)
