@@ -903,6 +903,60 @@ GROUP BY tb.bucket
 # ---------------------------------------------------------------------------
 
 
+def q_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows over the events log: counts, distinct
+    users, value min/max, JSON-property sums (batch twin of the streaming
+    watermark aggregation in streaming/windows.py)."""
+    from .operators.events import windowed_event_stats
+
+    load_views(spark, sf_dir, "events")
+    return windowed_event_stats(spark.table("events"))
+
+
+_O_EVENT_WINDOWS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  min(value) AS min_value,
+  max(value) AS max_value,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+    AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-gap sessionization (30 min) per user — the gaps-and-islands run
+    pattern keyed on time deltas."""
+    from .operators.events import sessionize_events
+
+    load_views(spark, sf_dir, "events")
+    return sessionize_events(spark.table("events"), gap_minutes=30)
+
+
+_O_EVENT_SESSIONS = """
+WITH o AS (SELECT *, lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+b AS (SELECT *, CASE WHEN prev_us IS NULL
+                      OR epoch_us(ts) - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, CAST(sum(brk) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM b)
+SELECT user_id, session_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(value) AS min_value,
+  max(value) AS max_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _sql_over(
         spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT}) corpus", "documents"
@@ -1318,6 +1372,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reassembly": q_reassembly,
     "date_parse": q_date_parse,
     "lineage_counts": q_lineage_counts,
+    "event_windows": q_event_windows,
+    "event_sessions": q_event_sessions,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1348,6 +1404,8 @@ ORACLES: dict[str, str] = {
     "reassembly": _O_REASSEMBLY,
     "date_parse": _O_DATE_PARSE,
     "lineage_counts": _O_LINEAGE,
+    "event_windows": _O_EVENT_WINDOWS,
+    "event_sessions": _O_EVENT_SESSIONS,
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
     "ngram_jaccard": _O_NGRAM_JACCARD,

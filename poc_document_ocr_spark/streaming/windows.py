@@ -1,0 +1,118 @@
+"""Streaming event-time operators: watermarked windows and stateful
+sessions.
+
+* :func:`streaming_windowed_counts` — the streaming twin of
+  ``operators.events.windowed_event_stats``: tumbling windows over event
+  time with a watermark bounding state and handling late data; append mode
+  emits a window only once the watermark passes its end (no retractions
+  downstream).
+* :func:`streaming_sessionize` — custom stateful operator via
+  ``applyInPandasWithState``: per-user idle-gap sessions carried across
+  micro-batches in explicit state; closed sessions are emitted, the open
+  tail stays in state. Within a batch events are sorted by event time;
+  across batches correctness assumes per-user non-decreasing event-time
+  arrival (the ``availableNow`` backlog-drain mode used in tests satisfies
+  this with a single batch; a continuously running job pairs this with a
+  watermark to bound reordering, as the tests document).
+
+Both keep all per-key work in Arrow-batched pandas; state is a compact
+(start, last, n) triple per user — millions of users fit in the state
+store, and the store shards by the groupBy key across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+__all__ = ["streaming_windowed_counts", "streaming_sessionize"]
+
+
+def streaming_windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type (append-mode
+    safe: only finalized windows are emitted)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user idle-gap sessionization with explicit cross-batch state.
+
+    Emits one row per CLOSED session (a later event arrived beyond the
+    gap); the most recent open session stays in the state store until a
+    subsequent batch closes it. The streaming counterpart of
+    ``operators.events.sessionize_events``.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events int"
+    )
+    state_schema = "start long, last long, n int"
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+
+        stamps: list[int] = []
+        for pdf in pdfs:
+            stamps.extend(int(v.value) // 1000 for v in pd.to_datetime(pdf["ts"]))
+        stamps.sort()
+
+        closed = []
+        for t in stamps:
+            if last is not None and t - last > gap_us:
+                closed.append((start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            n += 1
+            last = t
+        if last is not None:
+            state.update((int(start), int(last), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
