@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
                    help='print-dialog selection, e.g. "3-12, 15"')
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--no-write-extracted", action="store_true")
+    p.add_argument(
+        "--salt", action="store_true",
+        help="pre-UDF salted repartition (skewed/badly-packed inputs only; "
+        "costs a full shuffle — default path parallelizes via input splits)",
+    )
     args = p.parse_args(argv)
 
     # import after arg parsing so --help works without a JVM; when launched
@@ -65,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
         turn_range=args.turn_range,
         n_buckets=args.buckets,
         write_extracted=not args.no_write_extracted,
+        salt_extraction=args.salt,
     )
     summary = run_pipeline(spark, catalog, cfg)
     print(json.dumps(summary))
