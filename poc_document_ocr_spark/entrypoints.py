@@ -1134,6 +1134,59 @@ FROM h
 """
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-cleaning quality signals + keep/drop verdict (Gopher-style
+    character-class ratios and token-shape bounds)."""
+    from .operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+_O_QUALITY_SCORE = """
+WITH s AS (SELECT doc_id,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS n_punct,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS n_digit,
+    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+      AS n_upper,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+  FROM documents)
+SELECT doc_id, n_punct,
+  n_punct / n_chars AS punct_ratio,
+  n_digit / n_chars AS digit_ratio,
+  n_upper / n_chars AS upper_ratio,
+  n_nonspace / n_tokens AS avg_token_len,
+  (n_tokens >= 5 AND n_tokens <= 100000
+   AND n_nonspace / n_tokens >= 2.0 AND n_nonspace / n_tokens <= 12.0
+   AND n_punct / n_chars <= 0.30 AND n_digit / n_chars <= 0.50) AS keep
+FROM s
+"""
+
+
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) rolling-hash fingerprints: distinct per-window
+    minimum k-gram hashes per document."""
+    from .operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+
+
+_O_WINNOW_FP = """
+WITH g AS (SELECT doc_id,
+    list_transform(range(1, length(text) - 8 + 2),
+                   i -> md5(substr(text, i, 8))) AS gh
+  FROM documents WHERE length(text) >= 11),
+w AS (SELECT doc_id,
+    list_distinct(list_transform(range(0, len(gh) - 4 + 1),
+                  j -> list_min(list_slice(gh, j + 1, j + 4)))) AS fps
+  FROM g)
+SELECT doc_id, UNNEST(fps) AS fp FROM w
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
@@ -1381,6 +1434,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "quality_score": q_quality_score,
+    "winnow_fp": q_winnow_fp,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "cos_neardup": q_cos_neardup,
@@ -1413,6 +1468,8 @@ ORACLES: dict[str, str] = {
     "token_stats": _O_TOKEN_STATS,
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,
+    "quality_score": _O_QUALITY_SCORE,
+    "winnow_fp": _O_WINNOW_FP,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "cos_neardup": _O_COS_NEARDUP,

@@ -21,6 +21,8 @@ __all__ = [
     "token_stats",
     "lang_id",
     "fingerprint",
+    "quality_score",
+    "winnow_fingerprints",
 ]
 
 #: small closed stopword list for quality scoring (shared with the oracle)
@@ -97,6 +99,96 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         *[hit_cols[lang].alias(f"hits_{lang}") for lang, _ in LANG_MARKERS],
         best.alias("pred_lang"),
+    )
+
+
+#: Gopher-style quality-filter bounds (deterministic, shared with the
+#: DuckDB oracle and the tests)
+QUALITY_RULES = {
+    "min_tokens": 5,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "max_punct_ratio": 0.30,
+    "max_digit_ratio": 0.50,
+}
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Training-data quality filter signals + the keep/drop verdict.
+
+    Character-class ratios (punctuation, digits, uppercase) over total
+    characters plus the token-shape bounds of ``QUALITY_RULES`` — the
+    standard cheap heuristics a corpus-cleaning pass applies before
+    expensive model-based filtering. Map-only; ``keep`` is a plain boolean
+    column so the filter pushes into any downstream scan.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    toks = _tokens(text)
+    n_tokens = F.size(toks).cast("long")
+    n_nonspace = F.length(F.regexp_replace(text, " ", "")).cast("long")
+    n_punct = F.length(
+        F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    ).cast("long")
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long")
+    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("long")
+    avg_tok = n_nonspace / n_tokens
+    punct_ratio = n_punct / n_chars
+    digit_ratio = n_digit / n_chars
+    r = QUALITY_RULES
+    keep = (
+        (n_tokens >= r["min_tokens"])
+        & (n_tokens <= r["max_tokens"])
+        & (avg_tok >= r["min_avg_token_len"])
+        & (avg_tok <= r["max_avg_token_len"])
+        & (punct_ratio <= r["max_punct_ratio"])
+        & (digit_ratio <= r["max_digit_ratio"])
+    )
+    return df.select(
+        F.col(id_col),
+        n_punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        (n_upper / n_chars).alias("upper_ratio"),
+        avg_tok.alias("avg_token_len"),
+        keep.alias("keep"),
+    )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme).
+
+    Hash every character ``k``-gram, slide a window of ``w`` hashes, keep
+    each window's minimum, emit the distinct selected hashes — guarantees
+    any shared substring of length ≥ ``k + w - 1`` contributes at least one
+    matching fingerprint between two documents, at ~1/w storage of full
+    shingling. Hashes are md5 hex compared lexicographically (identical
+    across engines); documents shorter than ``k + w - 1`` yield no rows.
+    Map-side higher-order functions; the output (id, fp) table joins on fp
+    for plagiarism/overlap detection at corpus scale.
+    """
+    grams = (
+        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+        f"i -> md5(substring({text_col}, i, {k})))"
+    )
+    # gram hashes materialize as a column FIRST so the window pass refers
+    # to them by name — inlining the transform would re-hash every gram
+    # once per window (O(n·w) becomes O(n²))
+    wins = (
+        f"transform(sequence(0, size(_gh) - {w}), "
+        f"j -> array_min(slice(_gh, j + 1, {w})))"
+    )
+    return (
+        df.filter(F.length(F.col(text_col)) >= k + w - 1)
+        .select(F.col(id_col), F.expr(grams).alias("_gh"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
+        )
     )
 
 

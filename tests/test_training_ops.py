@@ -282,3 +282,48 @@ def test_minhash_scale_profile_band_separation(spark):
     )
     got = sorted((r.id_a, r.id_b) for r in pairs.collect())
     assert got == [(1, 2)]
+
+
+def test_quality_score_rules(spark):
+    from poc_document_ocr_spark.operators.textstats import quality_score
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog today"),  # keep
+        (2, "too short"),                                # < 5 tokens
+        (3, "!!! ??? ;;; ,,, ... ### $$$ %%% ^^^ &&&"),  # punct-heavy
+        (4, "11 22 33 44 55 66 77 88 99 00"),            # digit-heavy
+        (5, "a b c d e f g h i j"),                      # avg token len 1
+    ]
+    got = {
+        r.doc_id: r.keep for r in quality_score(_docs(spark, rows)).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_winnow_fingerprints_properties(spark):
+    from poc_document_ocr_spark.operators.textstats import (
+        winnow_fingerprints,
+    )
+
+    shared = "a common stretch of text both documents contain verbatim"
+    rows = [
+        (1, "prefix one here " + shared + " and a unique tail alpha"),
+        (2, "other beginning " + shared + " different ending beta"),
+        (3, "entirely unrelated content without the overlap at all"),
+        (4, "tiny"),  # shorter than k + w - 1 → no fingerprints
+    ]
+    fps = {}
+    for r in winnow_fingerprints(_docs(spark, rows), k=8, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    # winnowing guarantee: a shared substring of length >= k+w-1 yields at
+    # least one common selected fingerprint
+    assert fps[1] & fps[2]
+    # storage is sublinear in gram count: far fewer than one fp per char
+    assert len(fps[1]) < len(rows[0][1])
+    assert 4 not in fps
+    # identical docs → identical fingerprint sets
+    twin = _docs(spark, [(7, rows[0][1]), (8, rows[0][1])])
+    t = {}
+    for r in winnow_fingerprints(twin, k=8, w=4).collect():
+        t.setdefault(r.doc_id, set()).add(r.fp)
+    assert t[7] == t[8]
