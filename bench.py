@@ -59,6 +59,23 @@ def _sf_of(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def _steal_sample() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor steal
+    accounting. This host has measured noisy-neighbor windows (steal
+    spiking to >20% of all CPUs for minutes; see BENCH.md): a timed run
+    inside such a window measures the neighbor, not the engine."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 1
+
+
+#: steal share of a window above which the run is discarded as contended
+_STEAL_MAX = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "0.02"))
+
+
 def synth_transcripts(spark, sf: str):
     """Deterministic synthetic transcript corpus, cached as parquet.
 
@@ -98,7 +115,10 @@ def synth_transcripts(spark, sf: str):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = _sf_of(sf_dir)
+    # SPARK_GRAFT_SYNTH_SF sizes the synthetic transcript corpus
+    # independently of the sf-dir tables (no sf1 testdata dir exists, so the
+    # 10×-scale evidence run uses SPARK_GRAFT_SYNTH_SF=1 over the sf0.1 dir)
+    sf = os.environ.get("SPARK_GRAFT_SYNTH_SF", _sf_of(sf_dir))
     spark = get_spark(
         "bench",
         cpus=cpus,
@@ -134,20 +154,39 @@ def main() -> None:
     token_stats(docs_warm).agg(F.count(F.lit(1))).collect()
 
     timings: dict[str, float] = {}
+    contended: dict[str, int] = {}
 
-    def timed(name: str, fn) -> None:
-        # METHODOLOGY: median of 3 timed runs after the warm-up pass above.
-        # The first full-size execution of a plan can pay a one-time JIT
-        # profile-recompile (and, after an idle gap, Python-worker respawn) —
-        # local-mode session artifacts, not workload cost; the median keeps
-        # one outlier from defining the number while not taking the best.
-        runs = []
-        for _ in range(3):
+    def timed(name: str, fn, max_tries: int = 5) -> None:
+        # METHODOLOGY: median of 3 CLEAN timed runs after the warm-up pass
+        # above. The first full-size execution of a plan can pay a one-time
+        # JIT profile-recompile (and, after an idle gap, Python-worker
+        # respawn) — local-mode session artifacts, not workload cost; the
+        # median keeps one outlier from defining the number. Additionally,
+        # hypervisor steal is sampled around every run: a window whose steal
+        # share exceeds _STEAL_MAX is a noisy-neighbor window (this host
+        # measures >20% steal spikes — BENCH.md) and the run is discarded
+        # and re-tried, up to max_tries; if no clean window is found the
+        # median of ALL runs is reported and the query is flagged in
+        # `contended` so cross-round comparisons know the number is soft.
+        clean: list[float] = []
+        all_runs: list[float] = []
+        for _ in range(max_tries):
             spark.catalog.clearCache()
+            s0, j0 = _steal_sample()
             t0 = time.monotonic()
             fn()
-            runs.append(time.monotonic() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+            dt = time.monotonic() - t0
+            s1, j1 = _steal_sample()
+            steal_share = (s1 - s0) / max(j1 - j0, 1)
+            all_runs.append(dt)
+            if steal_share <= _STEAL_MAX:
+                clean.append(dt)
+            else:
+                contended[name] = contended.get(name, 0) + 1
+            if len(clean) >= 3:
+                break
+        sel = sorted(clean if clean else all_runs)
+        timings[name] = round(sel[len(sel) // 2], 3)
 
     # headline: per-turn extraction over the full corpus, shuffle-free —
     # parallelism comes from input splits, the UDF runs under the scan's
@@ -224,6 +263,10 @@ def main() -> None:
         "turns_per_sec": round(n_turns / timings["extract"], 1),
         "cpus": cpus,
     }
+    if contended:
+        # queries whose number includes noisy-neighbor windows (count of
+        # discarded contended runs) — soft numbers, see BENCH.md
+        out["contended_runs"] = contended
     print(json.dumps(out))
 
 

@@ -733,10 +733,16 @@ def q_status_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .drop("rnk")
     )
-    listing = W.orderBy(F.desc("turn_count"), F.asc("doc_key"))
+    # Total order: doc_key can repeat across conversations, so conv_id is the
+    # final tie-break (engine AND oracle) — positions near the LIMIT boundary
+    # are deterministic. orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition top-20 + merge), so the full corpus never funnels through
+    # one task; only the 20 survivors enter the position window.
+    order = [F.desc("turn_count"), F.asc("doc_key"), F.asc("conv_id")]
+    top20 = top.orderBy(*order).limit(20)
+    listing = W.orderBy(*order)
     return (
-        top.withColumn("pos", F.row_number().over(listing).cast("int"))
-        .filter(F.col("pos") <= 20)
+        top20.withColumn("pos", F.row_number().over(listing).cast("int"))
         .select("pos", "conv_id", "run_id", "doc_key", "turn_count",
                 "first_turn")
     )
@@ -750,7 +756,7 @@ rk1 AS (SELECT *, row_number() OVER
           (PARTITION BY conv_id ORDER BY turn_count DESC, run_id) AS rnk
         FROM hdr2),
 lst AS (SELECT CAST(row_number() OVER
-                 (ORDER BY turn_count DESC, doc_key) AS INT) AS pos,
+                 (ORDER BY turn_count DESC, doc_key, conv_id) AS INT) AS pos,
                conv_id, run_id, doc_key, turn_count, first_turn
         FROM rk1 WHERE rnk = 1)
 SELECT pos, conv_id, run_id, doc_key, turn_count, first_turn
@@ -957,6 +963,114 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+_EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _drain_stream(out, tag: str) -> str:
+    """availableNow drain of a streaming DataFrame to a parquet sink;
+    returns the output path. The oracle bridge for streaming operators:
+    process-the-backlog-then-stop makes the emitted set deterministic."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"sg_stream_{tag}_")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", os.path.join(d, "out"))
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return os.path.join(d, "out")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    import os
+
+    # the file stream source requires a directory (or glob) as its basePath;
+    # the testdata table is a single file, so glob-ify the final character —
+    # matches exactly the same file, but makes sf_dir the basePath
+    path = os.path.join(sf_dir, "events.parquet")
+    return spark.readStream.schema(_EVENTS_DDL).parquet(
+        f"{path[:-1]}[{path[-1]}]"
+    )
+
+
+def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_windows, oracle-checked: watermarked tumbling
+    windows drained with availableNow. Append mode emits exactly the
+    FINALIZED windows — those whose end ≤ the final watermark
+    (max event time − 2 h); the oracle applies the same cutoff."""
+    from .streaming.windows import streaming_windowed_counts
+
+    path = _drain_stream(
+        streaming_windowed_counts(_events_stream(spark, sf_dir)), "win"
+    )
+    return spark.read.parquet(path)
+
+
+_O_STREAMING_WINDOWS = """
+SELECT window_start, event_type, n_events FROM (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS wend
+  FROM events GROUP BY 1, 2)
+WHERE wend <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+"""
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of event_sessions, oracle-checked: stateful
+    applyInPandasWithState sessionization drained with availableNow. The
+    emitted set is every CLOSED session (a later same-user event arrived
+    beyond the 30-min gap); each user's open tail stays in the state store,
+    so the oracle excludes each user's final session."""
+    from .streaming.windows import streaming_sessionize
+
+    path = _drain_stream(
+        streaming_sessionize(_events_stream(spark, sf_dir), gap_minutes=30),
+        "sess",
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    out = spark.read.parquet(path)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+    )
+
+
+_O_STREAMING_SESSIONS = """
+WITH o AS (SELECT *, lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+b AS (SELECT *, CASE WHEN prev_us IS NULL
+                      OR epoch_us(ts) - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, CAST(sum(brk) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM b),
+agg AS (SELECT user_id, session_id,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+          CAST(count(*) AS INT) AS n_events
+        FROM s GROUP BY user_id, session_id)
+SELECT user_id, session_start, session_end, n_events
+FROM agg a
+WHERE session_id < (SELECT max(session_id) FROM agg m
+                    WHERE m.user_id = a.user_id)
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _sql_over(
         spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT}) corpus", "documents"
@@ -990,6 +1104,38 @@ sh AS (SELECT DISTINCT doc_id,
 mh AS (SELECT doc_id, k,
          min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
        FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_minhash_lsh_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-profile MinHash/LSH (16 hashes, 4 bands × 4 rows): verifies the
+    banding math at a second shape between the 8-hash demo and the
+    128-hash SCALE_PROFILE (whose collision probabilities are pinned in
+    tests/test_training_ops.py but are too wide for a DuckDB twin)."""
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    sigs = minhash_signatures(word_shingles(corpus), num_hashes=16)
+    return lsh_candidate_pairs(sigs, rows_per_band=4)
+
+
+_O_MINHASH_LSH_MID = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST(range(0, 16)) AS ks(k)
        GROUP BY doc_id, k),
 bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
             md5(string_agg(h, '' ORDER BY k)) AS sig
@@ -1282,6 +1428,8 @@ SELECT doc_id,
     AS BIGINT) AS byte_sum,
   list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
     / length(text) AS byte_mean,
+  CAST(NULL AS BIGINT) AS width,
+  CAST(NULL AS BIGINT) AS height,
   'bytestats' AS decoder
 FROM documents
 """
@@ -1427,8 +1575,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_counts": q_lineage_counts,
     "event_windows": q_event_windows,
     "event_sessions": q_event_sessions,
+    "streaming_windows": q_streaming_windows,
+    "streaming_sessions": q_streaming_sessions,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_mid": q_minhash_lsh_mid,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
     "token_stats": q_token_stats,
@@ -1461,8 +1612,11 @@ ORACLES: dict[str, str] = {
     "lineage_counts": _O_LINEAGE,
     "event_windows": _O_EVENT_WINDOWS,
     "event_sessions": _O_EVENT_SESSIONS,
+    "streaming_windows": _O_STREAMING_WINDOWS,
+    "streaming_sessions": _O_STREAMING_SESSIONS,
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
+    "minhash_lsh_mid": _O_MINHASH_LSH_MID,
     "ngram_jaccard": _O_NGRAM_JACCARD,
     "simhash_neardup": _O_SIMHASH_NEARDUP,
     "token_stats": _O_TOKEN_STATS,

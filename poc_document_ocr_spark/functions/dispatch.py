@@ -23,7 +23,7 @@ import re
 from .html_extract import extract_html
 from .pdf_layout import extract_layout
 
-__all__ = ["sniff_format", "extract"]
+__all__ = ["sniff_format", "extract", "extract_safe"]
 
 #: Real HTML markers: a closing tag, a doctype, or a known opening tag.
 _HTML_TAG_RE = re.compile(
@@ -75,3 +75,18 @@ def extract(text: str | None) -> tuple[str | None, list[tuple[int, int]], str, s
         return (r.extracted_text, r.spans, r.rule, "layout")
     # plain/markdown: identity extraction, one full-range span
     return (text, [(0, len(text))], "plain", "plain")
+
+
+def extract_safe(
+    text: str | None, fn=extract
+) -> tuple[str | None, list[tuple[int, int]], str, str]:
+    """Error-isolated :func:`extract`: one poisoned payload must not abort
+    the batch (reference constitution ``.specify/memory/constitution.md:126-127``
+    — a single page/document failure is recorded, not fatal). A row whose
+    extraction raises becomes an empty record with ``rule='error'`` /
+    ``fmt='error'``, so failures are countable in the lineage rule-hit map
+    and filterable downstream, exactly like the reference's Failed pages."""
+    try:
+        return fn(text)
+    except Exception:
+        return ("", [], "error", "error")

@@ -374,6 +374,20 @@ def consolidate_compact(extracted: DataFrame) -> DataFrame:
     groupBy+join back), runs are one window pass, and the fold is ONE
     aggregation — two shuffles end-to-end (window sort + group), zero
     persists, zero Python.
+
+    **Per-document memory bound (the assumption this shape buys its speed
+    with):** the fold collects every contribution of one ``(conv_id,
+    run_id)`` document into a single ``_cs`` array (plus provenance /
+    turn_idxs) inside one aggregation buffer — ``collect_list`` cannot
+    spill incrementally, so the largest document must fit one task's heap.
+    At ~100 bytes/contribution that is comfortable to ~10⁶ contributions
+    (~100 MB buffer) and a straggler/OOM hazard beyond. Transcript documents
+    are run-scoped (an identifier change CLOSES the run), so real documents
+    sit orders of magnitude below the bound; for inputs that violate it
+    (million-field documents), use the long-format escape hatch —
+    :func:`consolidate` over ``extract_field_contributions`` pre-aggregates
+    per (turn) and can be extended per (field) — analogous to the opt-in
+    ``salt_extraction`` flag for skewed extraction inputs.
     """
     from .fields import best_extracted_id, contributions_array
 

@@ -261,8 +261,12 @@ def ngram_jaccard(shingled: DataFrame, pairs: DataFrame,
     """Exact Jaccard similarity for candidate pairs over distinct shingles.
 
     ``pairs``: (id_a, id_b). Returns (id_a, id_b, inter, union_n, jaccard).
-    Shingle-set sizes are computed once per doc and broadcast into the pair
-    table; the intersection is a single equi-join on shingle.
+    The intersection is a single equi-join on shingle, touching only
+    candidate pairs. Per-doc shingle-set sizes join in WITHOUT an explicit
+    broadcast: ``sizes`` has one row per *corpus document* (unbounded — 10⁹
+    rows at 100 TB), so forcing a broadcast of it would OOM; the candidate
+    side (``inter``) is the small one, and AQE picks broadcast/shuffle from
+    the observed sizes at runtime.
     """
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
@@ -276,8 +280,8 @@ def ngram_jaccard(shingled: DataFrame, pairs: DataFrame,
     za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     out = (
-        inter.join(F.broadcast(za), "id_a")
-        .join(F.broadcast(zb), "id_b")
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
         .withColumn("union_n", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .withColumn(
             "jaccard", F.col("inter") / F.col("union_n")

@@ -61,9 +61,16 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
     )
 
 
+def _rows_safe(texts, fn):
+    """Per-row error isolation: a payload whose extraction raises becomes a
+    ``rule='error'`` row instead of killing the whole task/batch (reference
+    constitution: one bad page must not abort the batch)."""
+    return [dispatch.extract_safe(t, fn) for t in texts]
+
+
 @F.pandas_udf(EXTRACTION_TYPE)
 def _extract_udf(text: pd.Series) -> pd.DataFrame:
-    rows = [dispatch.extract(t) for t in text]
+    rows = _rows_safe(text, dispatch.extract)
     return pd.DataFrame(
         {
             "extracted_text": [r[0] for r in rows],
@@ -76,15 +83,38 @@ def _extract_udf(text: pd.Series) -> pd.DataFrame:
     )
 
 
-def extraction_col(text_col: str = "text") -> Column:
-    """The extraction struct column expression."""
-    return _extract_udf(F.col(text_col))
+def extraction_col(text_col: str = "text", extract_fn=None) -> Column:
+    """The extraction struct column expression.
+
+    ``extract_fn`` injects an alternative per-payload extractor (captured by
+    value in the UDF closure — also the fault-injection seam for testing the
+    error-isolation path, analogous to the injected clock in PipelineConfig).
+    """
+    if extract_fn is None:
+        return _extract_udf(F.col(text_col))
+
+    @F.pandas_udf(EXTRACTION_TYPE)
+    def _udf(text: pd.Series) -> pd.DataFrame:
+        rows = _rows_safe(text, extract_fn)
+        return pd.DataFrame(
+            {
+                "extracted_text": [r[0] for r in rows],
+                "spans": [
+                    [{"start": s, "end": e} for (s, e) in r[1]] for r in rows
+                ],
+                "rule": [r[2] for r in rows],
+                "fmt": [r[3] for r in rows],
+            }
+        )
+
+    return _udf(F.col(text_col))
 
 
 def extract_turns_compact(
     df: DataFrame,
     keys: tuple[str, ...] = ("conv_id", "turn_idx"),
     text_col: str = "text",
+    extract_fn=None,
 ) -> DataFrame:
     """mapInPandas extraction returning ONLY keys + extraction columns.
 
@@ -99,15 +129,24 @@ def extract_turns_compact(
 
     from ..functions import dispatch as _dispatch
 
+    # mapInPandas assigns columns POSITIONALLY — the declared schema must be
+    # in `keys` order (the yield order below), not input-schema order, or a
+    # caller passing keys in a different order gets silently mis-assigned
+    # columns. Look each key up by name; a missing key fails here, not at
+    # runtime inside an executor.
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [k for k in keys if k not in by_name]
+    if missing:
+        raise ValueError(f"extract_turns_compact: keys not in input: {missing}")
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in df.schema.fields
-        if f.name in keys
+        f"{k} {by_name[k].dataType.simpleString()}" for k in keys
     ) + ", " + EXTRACTION_DDL
+
+    fn = extract_fn if extract_fn is not None else _dispatch.extract
 
     def gen(batches):
         for pdf in batches:
-            rows = [_dispatch.extract(t) for t in pdf[text_col]]
+            rows = [_dispatch.extract_safe(t, fn) for t in pdf[text_col]]
             out = {k: pdf[k].values for k in keys}
             out["extracted_text"] = [r[0] for r in rows]
             out["spans"] = [
@@ -120,12 +159,14 @@ def extract_turns_compact(
     return df.select(*keys, text_col).mapInPandas(gen, schema)
 
 
-def extract_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
+def extract_turns(df: DataFrame, text_col: str = "text", extract_fn=None) -> DataFrame:
     """Append extraction output columns to a transcripts DataFrame.
 
     Output adds: ``extracted_text``, ``spans``, ``rule``, ``fmt``.
+    Rows whose extraction raises come back as ``rule='error'`` (per-row
+    isolation — see :func:`..functions.dispatch.extract_safe`).
     """
-    with_struct = df.withColumn("_ex", extraction_col(text_col))
+    with_struct = df.withColumn("_ex", extraction_col(text_col, extract_fn))
     return (
         with_struct.withColumn("extracted_text", F.col("_ex.extracted_text"))
         .withColumn("spans", F.col("_ex.spans"))

@@ -37,6 +37,13 @@ __all__ = [
 _FIELD_LINE_PAT = r"^([A-Za-z][A-Za-z0-9_]*)\s*:\s*(.*?)\s*(?:\[(0(?:\.\d+)?|1(?:\.0+)?)\])?\s*$"
 
 
+def _pre_colon_key(line: Column) -> Column:
+    """Text before the first ':' with ALL trailing whitespace stripped —
+    consistent with the full pattern's ``\\s*`` before the colon. The
+    anchored ``\\s+$`` replace is linear, so long payload lines stay cheap."""
+    return F.regexp_replace(F.substring_index(line, ":", 1), r"\s+$", "")
+
+
 def contributions_array(text_col: str = "extracted_text") -> Column:
     """Per-turn field contributions as an ``array<struct>`` column expression.
 
@@ -51,10 +58,12 @@ def contributions_array(text_col: str = "extracted_text") -> Column:
     # first ':' (modulo the pattern's \s* before the colon) must be exactly a
     # catalog field name. Payload lines — the vast majority, and the long
     # ones where the lazy-group regex backtracks quadratically — never reach
-    # the regex. Exactly the lines the full pattern would keep survive.
+    # the regex. Exactly the lines the full pattern would keep survive: the
+    # pattern allows ANY trailing whitespace before ':' (\s*), so the strip
+    # must too — rtrim alone drops 'firstName\t: x' that the regex keeps.
     cands = F.filter(
         lines,
-        lambda l: F.rtrim(F.substring_index(l, ":", 1)).isin(*FIELD_NAMES),
+        lambda l: _pre_colon_key(l).isin(*FIELD_NAMES),
     )
     parsed = F.transform(
         cands,
@@ -122,7 +131,7 @@ def extract_field_contributions(
     ).filter(
         # same cheap pre-regex gate as contributions_array: keeps the
         # backtracking regex off long payload lines
-        F.rtrim(F.substring_index(F.col("_line"), ":", 1)).isin(*FIELD_NAMES)
+        _pre_colon_key(F.col("_line")).isin(*FIELD_NAMES)
     )
     key = F.regexp_extract("_line", _FIELD_LINE_PAT, 1)
     val = F.regexp_extract("_line", _FIELD_LINE_PAT, 2)
@@ -153,7 +162,8 @@ def with_extracted_identifier(
 
     Adds ``extracted_id`` (null when the turn extracted no identifier).
     If a turn somehow carries several identifier lines, the highest
-    confidence (tie → first occurrence keeps min value) wins deterministically.
+    confidence wins; tie → max value (same ordering struct as
+    :func:`best_extracted_id`) — deterministic either way.
     """
     ids = (
         contribs.filter(F.col("field") == id_field)

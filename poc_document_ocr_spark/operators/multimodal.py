@@ -106,52 +106,71 @@ def chunk_frames(
     ).withColumn("frame_bytes", F.length("frame").cast("long"))
 
 
-def _decode_real(payload: bytes, codec) -> dict:
-    """Real decode path — requires an installed codec library.
+def _decode_real(payload: bytes, codec) -> tuple[int, int] | None:
+    """Decode an image payload via a PIL-compatible codec.
 
-    Deliberately unimplemented in this environment (no image/audio libs in
-    the container); the byte-stats fallback below keeps the pipeline total.
+    ``codec`` is anything exposing ``open(file_like) -> obj`` with a
+    ``.size == (width, height)`` attribute (``PIL.Image`` satisfies this).
+    Returns ``(width, height)``, or ``None`` when the payload isn't
+    decodable — callers fall back to byte-stats per ROW, so one corrupt
+    payload never poisons its Arrow batch.
     """
-    raise NotImplementedError(
-        "real media decode requires PIL/soundfile/av; not available here"
-    )
+    import io
+
+    try:
+        img = codec.open(io.BytesIO(payload or b""))
+        w, h = img.size
+        return int(w), int(h)
+    except Exception:
+        return None
 
 
 def decode_media_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    codec=None,
 ) -> DataFrame:
     """Arrow-batched per-payload feature extraction (``mapInPandas``).
 
     Selects only (id, payload) so column pruning keeps the Arrow transfer
     minimal; payload-local, so it runs under the scan's partitioning with
-    no shuffle. With a codec installed the real decoder would emit e.g.
-    image dimensions / sample rates; here the deterministic byte-stats
-    fallback exercises the identical plumbing.
+    no shuffle. When a PIL-compatible codec is importable (or injected via
+    ``codec`` — the test seam), decodable payloads additionally get real
+    ``width``/``height`` and ``decoder='pil'``; everything else gets the
+    deterministic byte-stats fallback (``decoder='bytestats'``, null
+    dimensions) through the identical plumbing. Byte stats are computed for
+    every row either way, so the output is a superset, never a fork.
     """
     schema = (
         f"{id_col} long, n_bytes long, byte_sum long, byte_mean double, "
-        "decoder string"
+        "width long, height long, decoder string"
     )
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
-        try:  # pragma: no cover - codec not installed in this environment
-            from PIL import Image as _codec  # noqa: F401
-
-            decoder = "pil"
-        except ImportError:
-            _codec = None
-            decoder = "bytestats"
+        _codec = codec
+        if _codec is None:
+            try:  # pragma: no cover - codec not installed in this environment
+                from PIL import Image as _codec  # noqa: F401
+            except ImportError:
+                _codec = None
 
         for pdf in batches:
             ids, n_bytes, byte_sum = [], [], []
+            widths, heights, decoders = [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
-                if _codec is not None:
-                    _decode_real(b, _codec)
+                dims = _decode_real(b, _codec) if _codec is not None else None
+                if dims is not None:
+                    widths.append(dims[0])
+                    heights.append(dims[1])
+                    decoders.append("pil")
+                else:
+                    widths.append(None)
+                    heights.append(None)
+                    decoders.append("bytestats")
                 arr = np.frombuffer(b or b"", dtype=np.uint8)
                 ids.append(int(i))
                 n_bytes.append(int(arr.size))
@@ -164,7 +183,9 @@ def decode_media_features(
                     "n_bytes": n,
                     "byte_sum": s,
                     "byte_mean": s / np.maximum(n, 1),
-                    "decoder": decoder,
+                    "width": pd.array(widths, dtype="Int64"),
+                    "height": pd.array(heights, dtype="Int64"),
+                    "decoder": decoders,
                 }
             )
 

@@ -57,6 +57,16 @@ class PipelineConfig:
     salt_extraction: bool = False
     #: injectable clock (driver-side only; executors never see wall time)
     clock: object = field(default=lambda: datetime.now(timezone.utc))
+    #: cancel sentinel, polled between bucket waves (reference: the
+    #: CancelRequested poll between units of work,
+    #: ``PdfProcessorFunction.cs:84-92,323-338``; ``OperationService.cs:128-152``).
+    #: Returns True → the run stops before the next wave, writes a
+    #: status='Cancelled' lineage row for that bucket, and leaves the rest
+    #: untouched; a later run with the same run_id resumes them.
+    cancel_check: object = None
+    #: injectable per-payload extractor (None → functions.dispatch.extract);
+    #: also the fault-injection seam for testing error isolation
+    extract_fn: object = None
 
 
 def _bucket_col(n_buckets: int):
@@ -64,7 +74,10 @@ def _bucket_col(n_buckets: int):
 
 
 def extract_stage(
-    turns: DataFrame, turn_range: str | None = None, salt: bool = False
+    turns: DataFrame,
+    turn_range: str | None = None,
+    salt: bool = False,
+    extract_fn=None,
 ) -> DataFrame:
     """Selection filter (pushed before the UDF barrier) + extraction.
 
@@ -83,7 +96,7 @@ def extract_stage(
         turns = turns.filter(F.col("turn_idx").isin(*sel.turns))
     if salt:
         turns = salted_repartition(turns)
-    return extract_turns(turns)
+    return extract_turns(turns, extract_fn=extract_fn)
 
 
 def consolidate_stage(extracted: DataFrame) -> DataFrame:
@@ -161,10 +174,24 @@ def run_pipeline(
         if k in completed:
             summary["buckets"].append({"partition_id": k, "status": "Resumed"})
             continue
+        # cancel poll between waves (reference: CancelRequested between units
+        # of work, PdfProcessorFunction.cs:84-92). Buckets after this one are
+        # left untouched; a resume with the same run_id completes them (only
+        # status='Succeeded' counts as done).
+        if callable(cfg.cancel_check) and cfg.cancel_check():
+            _commit_lineage(
+                spark, catalog, cfg, k, 0, 0, {}, 0, "Cancelled"
+            )
+            summary["buckets"].append(
+                {"partition_id": k, "status": "Cancelled"}
+            )
+            summary["cancelled"] = True
+            break
         t0 = time.monotonic()
         bucket_turns = turns.filter(F.col(_BUCKET) == k).drop(_BUCKET)
         extracted = extract_stage(
-            bucket_turns, cfg.turn_range, salt=cfg.salt_extraction
+            bucket_turns, cfg.turn_range, salt=cfg.salt_extraction,
+            extract_fn=cfg.extract_fn,
         )
         extracted = extracted.persist()
         try:
@@ -187,13 +214,19 @@ def run_pipeline(
             )
             n_records = records.count()
             # duplicate-skip anti-join vs already-persisted identifiers
-            # (FR-019). The existing-keys side is tiny relative to the data
-            # (keys only, column-pruned) → broadcast.
+            # (FR-019). No explicit broadcast: the existing-keys side grows
+            # with every completed run (billions of doc_keys at 100 TB) — let
+            # AQE pick broadcast while it is small and fall back to a shuffle
+            # join once it isn't. The .select(*records.columns) re-projection
+            # is load-bearing: Spark moves the string join key to column 1,
+            # and appending with a different column order makes the output
+            # table's inferred schema nondeterministic (position-based
+            # appends on a real warehouse would corrupt or reject).
             if catalog.exists(cfg.output_table):
                 existing = catalog.read(cfg.output_table).select("doc_key")
                 new_records = records.join(
-                    F.broadcast(existing), "doc_key", "left_anti"
-                )
+                    existing, "doc_key", "left_anti"
+                ).select(*records.columns)
             else:
                 new_records = records
             rows_out = new_records.count()
@@ -214,16 +247,40 @@ def run_pipeline(
                     "wall_ms": wall_ms,
                 }
             )
+        except Exception as e:
+            # bucket-level isolation (reference: mark the Operation Failed
+            # with the error, then rethrow — PdfProcessorFunction.cs:237-251).
+            # The Failed row records the failure for operators; the re-raise
+            # preserves job semantics. A resume skips only Succeeded buckets,
+            # so this bucket reprocesses.
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            try:
+                _commit_lineage(
+                    spark, catalog, cfg, k, 0, 0, {}, wall_ms, "Failed",
+                    error=f"{type(e).__name__}: {e}"[:512],
+                )
+            except Exception:
+                # best-effort: the Failed marker must never mask the real
+                # error (the store that just failed may be the lineage store)
+                pass
+            summary["buckets"].append(
+                {"partition_id": k, "status": "Failed"}
+            )
+            raise
         finally:
             extracted.unpersist()
     return summary
 
 
 def _commit_lineage(
-    spark, catalog, cfg, k, rows_in, rows_out, rule_hits, wall_ms, status
+    spark, catalog, cfg, k, rows_in, rows_out, rule_hits, wall_ms, status,
+    error: str | None = None,
 ):
     now = cfg.clock() if callable(cfg.clock) else cfg.clock
     from ..schema import LINEAGE_SCHEMA
 
-    row = [(cfg.run_id, k, rows_in, rows_out, rule_hits, wall_ms, status, now)]
+    row = [
+        (cfg.run_id, k, rows_in, rows_out, rule_hits, wall_ms, status, now,
+         error)
+    ]
     catalog.append(spark.createDataFrame(row, LINEAGE_SCHEMA), cfg.lineage_table)

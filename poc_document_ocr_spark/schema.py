@@ -143,6 +143,9 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("wall_ms", T.LongType(), False),
         T.StructField("status", T.StringType(), False),
         T.StructField("completed_at", T.TimestampType(), True),
+        # failure message when status='Failed' (reference: the Operation's
+        # error string set in PdfProcessorFunction.cs:237-251 before rethrow)
+        T.StructField("error", T.StringType(), True),
     ]
 )
 

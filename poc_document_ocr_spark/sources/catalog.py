@@ -54,6 +54,21 @@ class Catalog:
     def append(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self.path(name))
 
+    def overwrite_partitions(
+        self, df: DataFrame, name: str, part_col: str
+    ) -> None:
+        """Idempotent per-partition write: replaces only the ``part_col``
+        values present in ``df`` (dynamic partition overwrite — Iceberg
+        ``overwritePartitions()`` analog). The write that makes an
+        at-least-once replay safe: re-writing the same partition value
+        overwrites the earlier partial attempt instead of appending."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(part_col)
+            .parquet(self.path(name))
+        )
+
     def bucket_values(self, name: str) -> list[int]:
         """Physical ``bucket=k`` partition values of a bucketed table
         (empty when the table is not bucket-partitioned). Filesystem

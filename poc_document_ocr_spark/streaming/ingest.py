@@ -79,17 +79,26 @@ def stream_extract_to_catalog(
     available_now: bool = True,
     max_files: int | None = None,
 ) -> StreamingQuery:
-    """foreachBatch variant: per-batch append through the Catalog with the
+    """foreachBatch variant: per-batch write through the Catalog with the
     run-correlation stamp (reference: ``cosmosEntity.OperationId``), for
-    sinks the file sink can't express (Iceberg MERGE, lineage rows)."""
+    sinks the file sink can't express (Iceberg MERGE, lineage rows).
+
+    foreachBatch delivery is at-least-once: a micro-batch that fails after a
+    partial write but before the checkpoint commit is REPLAYED with the same
+    ``batch_id``. The sink is made idempotent by giving each batch its own
+    ``batch_id=<k>`` partition written with dynamic partition overwrite — a
+    replay replaces the partial partition instead of appending duplicates
+    (Iceberg analog: ``overwritePartitions()``; same shape as the
+    reference's overwrite-true blob writes, SURVEY §2.9)."""
     extracted = extract_turns(_source(spark, input_path, max_files))
 
     def sink(batch_df, batch_id: int) -> None:
-        catalog.append(
+        catalog.overwrite_partitions(
             batch_df.withColumn("run_id", F.lit(run_id)).withColumn(
                 "batch_id", F.lit(batch_id).cast("long")
             ),
             extracted_table,
+            part_col="batch_id",
         )
 
     writer = (

@@ -34,6 +34,40 @@ def contribs_df(spark, rows):
     )
 
 
+def test_field_line_prefilter_matches_regex(spark):
+    """The cheap pre-regex gate must keep EXACTLY the lines the full pattern
+    keeps: the pattern allows any whitespace before ':' (\\s*), so a tab
+    before the colon must survive the prefilter (round-3 advisor finding)."""
+    from poc_document_ocr_spark.operators.fields import (
+        contributions_array,
+        extract_field_contributions,
+    )
+
+    text = (
+        "firstName\t: Ada [0.80]\n"       # tab before colon — regex keeps it
+        "lastName : Lovelace [0.70]\n"     # space before colon
+        "identifier: TK-1 [0.90]\n"        # plain
+        "not_a_field: x [0.50]\n"          # unknown key → dropped
+        "payload line without colon\n"
+        "timestamps: 12:30:45 are payload"  # unknown key, colons in value
+    )
+    df = spark.createDataFrame(
+        [("c", 1, text)], "conv_id string, turn_idx int, extracted_text string"
+    )
+    expect = {
+        ("firstName", "Ada", 0.80),
+        ("lastName", "Lovelace", 0.70),
+        ("identifier", "TK-1", 0.90),
+    }
+    long_rows = {
+        (r.field, r.raw_value, r.confidence)
+        for r in extract_field_contributions(df).collect()
+    }
+    assert long_rows == expect
+    arr = df.select(contributions_array().alias("cs")).collect()[0].cs
+    assert {(c.field, c.raw_value, c.confidence) for c in arr} == expect
+
+
 def runs_map(spark, rows):
     df = with_runs(turns_df(spark, rows))
     out = {}

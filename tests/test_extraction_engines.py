@@ -7,7 +7,11 @@ Invariants checked here (FIXTURES.md §2):
 * deterministic output.
 """
 
-from poc_document_ocr_spark.functions.dispatch import extract, sniff_format
+from poc_document_ocr_spark.functions.dispatch import (
+    extract,
+    extract_safe,
+    sniff_format,
+)
 from poc_document_ocr_spark.functions.html_extract import extract_html
 from poc_document_ocr_spark.functions.pdf_layout import extract_layout
 from poc_document_ocr_spark.functions.selection import (
@@ -208,6 +212,46 @@ def test_extract_empty():
 def test_extract_deterministic():
     payload = "<main><p>Stable output &amp; spans.</p></main>"
     assert extract(payload) == extract(payload)
+
+
+def test_extract_safe_isolates_exceptions():
+    """One poisoned payload → an empty rule='error' record, not a raise
+    (constitution: a single page failure must not abort the batch)."""
+
+    def bomb(text):
+        raise RuntimeError("boom")
+
+    assert extract_safe("anything", fn=bomb) == ("", [], "error", "error")
+    # non-throwing payloads pass straight through
+    assert extract_safe("plain text") == extract("plain text")
+    assert extract_safe(None) == ("", [], "empty", "empty")
+
+
+def test_compact_extraction_rejects_unknown_key(spark):
+    from poc_document_ocr_spark.operators.extraction import (
+        extract_turns_compact,
+    )
+
+    df = spark.createDataFrame(
+        [("c", 0, "x")], "conv_id string, turn_idx int, text string"
+    )
+    with pytest.raises(ValueError, match="nope"):
+        extract_turns_compact(df, keys=("conv_id", "nope"))
+
+
+def test_compact_extraction_key_order_independent(spark):
+    """mapInPandas assigns columns positionally — passing keys in a
+    different order than the input schema must still label them right."""
+    from poc_document_ocr_spark.operators.extraction import (
+        extract_turns_compact,
+    )
+
+    df = spark.createDataFrame(
+        [("c1", 7, "hello world")],
+        "conv_id string, turn_idx int, text string",
+    )
+    r = extract_turns_compact(df, keys=("turn_idx", "conv_id")).collect()[0]
+    assert (r.turn_idx, r.conv_id, r.extracted_text) == (7, "c1", "hello world")
 
 
 # ---------------------------------------------------------------------------

@@ -90,3 +90,45 @@ def test_decode_media_features_batchwise(spark):
         for r in decode_media_features(df.repartition(4)).collect()
     }
     assert out4 == {k: v[:2] for k, v in out.items()}
+    # no codec in this environment → dimensions are null for every row
+    assert all(
+        r.width is None and r.height is None
+        for r in decode_media_features(df).collect()
+    )
+
+
+def test_decode_media_features_with_injected_codec(spark):
+    """The real-decode path through a PIL-compatible codec: decodable
+    payloads get width/height + decoder='pil'; a payload the codec rejects
+    falls back to byte stats PER ROW (one corrupt payload never poisons its
+    Arrow batch)."""
+
+    class _FakeImg:
+        def __init__(self, size):
+            self.size = size
+
+    class _FakeCodec:
+        # PIL.Image-compatible surface: open(file_like) -> obj with .size
+        @staticmethod
+        def open(f):
+            data = f.read()
+            if not data.startswith(b"\x89PNG"):
+                raise ValueError("cannot identify image file")
+            return _FakeImg((len(data), len(data) * 2))
+
+    rows = [
+        (0, (b"\x89PNG\r\n\x1a\n" + b"\x01" * 8).hex()),  # decodable, 16 B
+        (1, b"garbage-bytes".hex()),                        # codec rejects
+    ]
+    got = {
+        r.doc_id: r
+        for r in decode_media_features(
+            _payloads(spark, rows), codec=_FakeCodec
+        ).collect()
+    }
+    assert (got[0].width, got[0].height, got[0].decoder) == (16, 32, "pil")
+    assert (got[1].width, got[1].height, got[1].decoder) == (
+        None, None, "bytestats",
+    )
+    # byte stats are computed for every row either way
+    assert got[0].n_bytes == 16 and got[1].n_bytes == len(b"garbage-bytes")

@@ -135,11 +135,28 @@ def test_pipeline_run_resume_and_idempotency(spark, turns_df, data, tmp_path):
     again = _collect_sorted(cat.read("out_kill").drop("op_run_id"))
     assert again == full
 
-    # lineage rows recorded per bucket with counters
+    # lineage rows recorded per bucket with counters; the killed wave also
+    # left a best-effort Failed row with the error recorded (the bomb fired
+    # inside bucket 1's lineage commit, after its Succeeded row landed)
     lin = cat.read("lin_kill").filter(F.col("run_id") == "run-B").collect()
-    assert {r.partition_id for r in lin} == {0, 1, 2, 3}
-    assert all(r.status == "Succeeded" for r in lin)
-    assert sum(r.rows_in for r in lin) == len(data.golden)
+    succ = [r for r in lin if r.status == "Succeeded"]
+    assert {r.partition_id for r in succ} == {0, 1, 2, 3}
+    assert sum(r.rows_in for r in succ) == len(data.golden)
+    failed = [r for r in lin if r.status == "Failed"]
+    assert len(failed) == 1 and "Boom" in failed[0].error
+
+    # column-order regression (round-2 bug): every appended batch must have
+    # the identical column order — the duplicate-skip anti-join moves the
+    # string join key first unless re-projected, making the table's inferred
+    # schema depend on which file's footer Spark samples
+    import glob
+    import os
+
+    orders = {
+        tuple(spark.read.parquet(f).columns)
+        for f in glob.glob(os.path.join(str(tmp_path), "out_kill", "*.parquet"))
+    }
+    assert len(orders) == 1, f"mixed column orders in output table: {orders}"
 
 
 def test_bucketed_input_partition_pruning(spark, turns_df, tmp_path):
@@ -199,6 +216,95 @@ def test_bucketed_input_partition_pruning(spark, turns_df, tmp_path):
         F.pmod(F.xxhash64(F.col("conv_id")), F.lit(4)) == 2
     ).count()
     assert s_one["buckets"][0]["rows_in"] == n_b2
+
+
+def test_error_isolation_poisoned_payload(spark, turns_df, tmp_path):
+    """Constitution parity: one payload whose extraction raises must not
+    abort the batch — it becomes a rule='error' row, countable in the
+    lineage rule-hit map, and the run completes."""
+    first = turns_df.select("conv_id", "turn_idx").limit(1).collect()[0]
+    poison_conv, poison_turn = first.conv_id, first.turn_idx
+
+    def poison_extract(text):
+        # injected extractor (serialized by value into the UDF closure):
+        # blows up on one conversation's payloads, defers otherwise
+        from poc_document_ocr_spark.functions import dispatch
+
+        if text is not None and text.startswith("POISON"):
+            raise ValueError("poisoned payload")
+        return dispatch.extract(text)
+
+    poisoned = turns_df.withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == poison_conv)
+            & (F.col("turn_idx") == poison_turn),
+            F.lit("POISON"),
+        ).otherwise(F.col("text")),
+    )
+    out = extract_stage(poisoned, extract_fn=poison_extract)
+    err = out.filter(F.col("rule") == "error").collect()
+    assert len(err) == 1
+    assert err[0].conv_id == poison_conv and err[0].extracted_text == ""
+    # everything else extracted normally
+    assert out.filter(F.col("rule") != "error").count() == turns_df.count() - 1
+
+    # end-to-end: the pipeline completes and counts the error in rule_hits
+    cat = Catalog(spark, str(tmp_path))
+    cat.write_overwrite(poisoned, "transcripts")
+    cfg = PipelineConfig(
+        run_id="run-E", n_buckets=2, output_table="out_e",
+        extracted_table="ext_e", lineage_table="lin_e",
+        extract_fn=poison_extract,
+    )
+    summary = run_pipeline(spark, cat, cfg)
+    assert all(b["status"] == "Succeeded" for b in summary["buckets"])
+    lin = cat.read("lin_e").collect()
+    assert sum((r.rule_hits or {}).get("error", 0) for r in lin) == 1
+
+
+def test_cancellation_between_waves(spark, turns_df, tmp_path):
+    """CancelRequested parity: cancel observed between waves stops the run
+    with a Cancelled lineage row; buckets after it are untouched; a resume
+    with the same run_id completes them to the uninterrupted result."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.write_overwrite(turns_df, "transcripts")
+
+    ref = PipelineConfig(
+        run_id="run-R", n_buckets=4, output_table="out_ref",
+        extracted_table="ext_ref", lineage_table="lin_ref",
+    )
+    run_pipeline(spark, cat, ref)
+    full = _collect_sorted(cat.read("out_ref").drop("op_run_id"))
+
+    polls = {"n": 0}
+
+    def cancel_after_two():
+        polls["n"] += 1
+        return polls["n"] > 2
+
+    cfg = PipelineConfig(
+        run_id="run-C2", n_buckets=4, output_table="out_c",
+        extracted_table="ext_c", lineage_table="lin_c",
+        cancel_check=cancel_after_two,
+    )
+    summary = run_pipeline(spark, cat, cfg)
+    statuses = [b["status"] for b in summary["buckets"]]
+    assert statuses == ["Succeeded", "Succeeded", "Cancelled"]
+    assert summary.get("cancelled") is True
+    lin = {(r.partition_id, r.status) for r in cat.read("lin_c").collect()}
+    assert lin == {(0, "Succeeded"), (1, "Succeeded"), (2, "Cancelled")}
+
+    # resume with the cancel cleared: 0/1 skipped, 2 (Cancelled ≠ done)
+    # and 3 processed; final output identical to the uninterrupted run
+    cfg2 = PipelineConfig(
+        run_id="run-C2", n_buckets=4, output_table="out_c",
+        extracted_table="ext_c", lineage_table="lin_c",
+    )
+    resumed = run_pipeline(spark, cat, cfg2)
+    st = {b["partition_id"]: b["status"] for b in resumed["buckets"]}
+    assert st == {0: "Resumed", 1: "Resumed", 2: "Succeeded", 3: "Succeeded"}
+    assert _collect_sorted(cat.read("out_c").drop("op_run_id")) == full
 
 
 def test_turn_range_filter_before_udf(spark, turns_df):
