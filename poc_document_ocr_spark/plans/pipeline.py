@@ -36,7 +36,13 @@ from ..operators.extraction import extract_turns, salted_repartition
 from ..functions.selection import TurnSelection
 from ..sources.catalog import Catalog
 
-__all__ = ["PipelineConfig", "run_pipeline", "extract_stage", "consolidate_stage"]
+__all__ = [
+    "PipelineConfig",
+    "run_pipeline",
+    "extract_stage",
+    "consolidate_stage",
+    "dedup_against_existing",
+]
 
 _BUCKET = "part_bucket"
 
@@ -129,6 +135,26 @@ def _dedup_within_batch(records: DataFrame) -> DataFrame:
     )
 
 
+def dedup_against_existing(
+    records: DataFrame, existing: DataFrame, key: str = "doc_key"
+) -> DataFrame:
+    """FR-019 duplicate-skip anti-join vs already-persisted identifiers
+    (``PdfProcessorFunction.cs:261-277``), with the two properties that
+    matter at 100 TB (both plan-audited in scripts/audit_plans.py):
+
+    * **no forced broadcast**: the existing-keys side grows with every
+      completed run (billions of keys at scale) — AQE picks broadcast while
+      it is small and falls back to a shuffle join once it isn't;
+    * **stable column order**: Spark moves the string join key to column 1;
+      the re-projection restores ``records``' order so every append batch
+      has an identical schema (a position-based append on a real warehouse
+      would otherwise corrupt or reject).
+    """
+    return records.join(
+        existing.select(key), key, "left_anti"
+    ).select(*records.columns)
+
+
 def run_pipeline(
     spark: SparkSession, catalog: Catalog, cfg: PipelineConfig
 ) -> dict:
@@ -213,20 +239,10 @@ def run_pipeline(
                 "op_run_id", F.lit(cfg.run_id)
             )
             n_records = records.count()
-            # duplicate-skip anti-join vs already-persisted identifiers
-            # (FR-019). No explicit broadcast: the existing-keys side grows
-            # with every completed run (billions of doc_keys at 100 TB) — let
-            # AQE pick broadcast while it is small and fall back to a shuffle
-            # join once it isn't. The .select(*records.columns) re-projection
-            # is load-bearing: Spark moves the string join key to column 1,
-            # and appending with a different column order makes the output
-            # table's inferred schema nondeterministic (position-based
-            # appends on a real warehouse would corrupt or reject).
             if catalog.exists(cfg.output_table):
-                existing = catalog.read(cfg.output_table).select("doc_key")
-                new_records = records.join(
-                    existing, "doc_key", "left_anti"
-                ).select(*records.columns)
+                new_records = dedup_against_existing(
+                    records, catalog.read(cfg.output_table)
+                )
             else:
                 new_records = records
             rows_out = new_records.count()

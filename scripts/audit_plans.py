@@ -101,6 +101,38 @@ def audit(spark, sf_dir: str):
         + next((l.strip() for l in p.splitlines() if "Join" in l), "?"),
     )
 
+    # --- no FORCED broadcast of unbounded-cardinality sides ---------------
+    # (round-2 finding: explicit F.broadcast of the existing-output-keys set
+    # and of ngram_jaccard's per-doc sizes table OOMs at 10^9 docs; both now
+    # rely on AQE's runtime choice. A ResolvedHint in the analyzed plan =
+    # someone forced it again.)
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    nj = ep.QUERIES["ngram_jaccard"](spark, sf_dir)
+    check(
+        "ngram_jaccard: no forced broadcast (per-doc sizes side is unbounded)",
+        "ResolvedHint" not in analyzed(nj),
+        "no ResolvedHint in analyzed plan",
+    )
+    from poc_document_ocr_spark.plans.pipeline import dedup_against_existing
+
+    recs = spark.createDataFrame(
+        [("c1", 0, "k1")], "conv_id string, run_id int, doc_key string"
+    )
+    ex_keys = spark.createDataFrame([("k2",)], "doc_key string")
+    dd = dedup_against_existing(recs, ex_keys)
+    check(
+        "pipeline dup-skip: no forced broadcast of existing output keys",
+        "ResolvedHint" not in analyzed(dd),
+        "no ResolvedHint in analyzed plan",
+    )
+    check(
+        "pipeline dup-skip: column order preserved across the anti-join",
+        dd.columns == recs.columns,
+        f"columns = {dd.columns}",
+    )
+
     # --- ann_lsh: equi bucket join, no cartesian/BNLJ anywhere ------------
     ann = ep.QUERIES["ann_lsh"](spark, sf_dir)
     p = plan_of(ann)

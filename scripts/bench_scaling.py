@@ -118,15 +118,26 @@ Efficiency = (T_{factor:.0f}N / T_N) / {factor:.0f}.
 * throughput scaling efficiency {label_lo} → {label_hi} ({factor:.0f}×): **{eff:.2f}** (criterion ≥ 0.8{' — MET' if eff >= 0.8 else ' — NOT MET'})
 * consolidated output byte-identical across parallelism: **{identical}** (md5 {h_lo[:12]}… vs {h_hi[:12]}…)
 * methodology: each per-query number is the median of 3 timed runs after a
-  plan-shape warm-up pass (see bench.py `timed`)
+  plan-shape warm-up pass, discarding runs whose /proc/stat hypervisor-steal
+  share exceeds 2% (see bench.py `timed` — this host has measured
+  noisy-neighbor windows)
 
 ```json
 {json.dumps(r_lo)}
 {json.dumps(r_hi)}
 ```
+
+<!-- /generated — sections below this marker are preserved across runs -->
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    marker = "<!-- /generated"
+    path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        if marker in existing:
+            tail = existing.split(marker, 1)[1].split("-->", 1)[1]
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(md)
 
 
