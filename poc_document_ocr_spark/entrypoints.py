@@ -1553,6 +1553,189 @@ SELECT q_id, n_id, rank FROM r WHERE rank <= 10
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash/LSH candidate pairs →
+    connected components → one keeper per cluster. The step that turns
+    pairwise dedup output into the drop-list a corpus-cleaning pass
+    actually applies. Singleton documents are their own component."""
+    from .operators.dedup import connected_components
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    return (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+    )
+
+
+_O_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+SELECT c.doc_id,
+       coalesce(m.component, c.doc_id) AS component,
+       (c.doc_id = coalesce(m.component, c.doc_id)) AS is_keeper
+FROM corpus c LEFT JOIN comp m ON m.node = c.doc_id
+"""
+
+
+#: Fixed IVF centroids (4 cells over 64-dim embeddings): deterministic small
+#: integers shared verbatim with the DuckDB oracle. A production job ships
+#: the output of an offline k-means pass as job args — never RNG in
+#: executors.
+_IVF_CENTROIDS = [
+    [((3 * (i + 1) * j + 5 * i) % 13) - 6 for j in range(64)]
+    for i in range(4)
+]
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell approximate nearest neighbors: map-side centroid-cell
+    assignment, queries probe their 2 best cells, exact cosine within
+    probed cells — the centroid-partitioned ANN path next to the sign-LSH
+    one (``ann_lsh``) and the brute-force baseline (``ann_topk``)."""
+    from .operators.similarity import ivf_topk
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, _IVF_CENTROIDS, k=5, nprobe=2)
+
+
+def _ivf_score_sql(i: int) -> str:
+    c = _plane_sql(_IVF_CENTROIDS[i])
+    return (
+        f"list_dot_product(v, {c}) / sqrt(list_dot_product({c}, {c}))"
+        f" AS s{i}"
+    )
+
+
+_O_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        {_ivf_score_sql(0)},
+        {_ivf_score_sql(1)},
+        {_ivf_score_sql(2)},
+        {_ivf_score_sql(3)}
+      FROM e),
+a AS (SELECT vec_id, v,
+        CASE greatest(s0, s1, s2, s3)
+          WHEN s3 THEN 3 WHEN s2 THEN 2 WHEN s1 THEN 1 ELSE 0 END AS cell
+      FROM s),
+qs AS (SELECT vec_id, v, p.ci,
+         CASE p.ci WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2
+              ELSE s3 END AS sc
+       FROM s, (VALUES (0), (1), (2), (3)) AS p(ci)
+       WHERE vec_id < 5),
+qp AS (SELECT vec_id AS q_id, v AS qv, ci AS cell
+       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY sc DESC, ci DESC) AS pr FROM qs) z
+       WHERE pr <= 2),
+cand AS (SELECT qp.q_id, a.vec_id AS n_id, a.cell,
+           list_dot_product(qp.qv, a.v) /
+           (sqrt(list_dot_product(qp.qv, qp.qv)) *
+            sqrt(list_dot_product(a.v, a.v))) AS cos
+         FROM qp JOIN a ON a.cell = qp.cell AND a.vec_id <> qp.q_id),
+r AS (SELECT q_id, n_id, cell, CAST(row_number() OVER
+        (PARTITION BY q_id ORDER BY cos DESC, n_id) AS INT) AS rank
+      FROM cand)
+SELECT q_id, n_id, cell, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (duplicate-word/bigram counts,
+    top-gram counts) as exact integers over the documents table."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+_O_REP_STATS = """
+WITH wr AS (SELECT doc_id, u.g AS g
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(g)
+            WHERE u.g <> ''),
+wc AS (SELECT doc_id, g, count(*) AS c FROM wr GROUP BY 1, 2),
+wd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         CAST(max(c) AS BIGINT) AS top_word_count
+       FROM wc GROUP BY 1),
+bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       WHERE len(string_split(text, ' ')) >= 2),
+br AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS g
+       FROM bw, UNNEST(range(1, len(w))) AS u(i)),
+bc AS (SELECT doc_id, g, count(*) AS c FROM br GROUP BY 1, 2),
+bd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_count
+       FROM bc GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(wd.n_words, 0) AS BIGINT) AS n_words,
+  CAST(coalesce(wd.n_distinct_words, 0) AS BIGINT) AS n_distinct_words,
+  CAST(coalesce(wd.top_word_count, 0) AS BIGINT) AS top_word_count,
+  CAST(coalesce(bd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(coalesce(bd.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+  CAST(coalesce(bd.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM documents d
+LEFT JOIN wd ON wd.doc_id = d.doc_id
+LEFT JOIN bd ON bd.doc_id = d.doc_id
+"""
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document, ranked by the
+    integer-exact TF-IDF-style key (tf·10⁶ DIV df) — cross-engine
+    float-safe ranking."""
+    from .operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+_O_TFIDF_TOPTERMS = """
+WITH wr AS (SELECT doc_id, u.term AS term
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+            WHERE u.term <> ''),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM wr GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        (tf.tf * 1000000) // dfq.df AS score_key
+      FROM tf JOIN dfq USING (term)),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         ORDER BY score_key DESC, term) AS INT) AS rank FROM s)
+SELECT doc_id, term, tf, df, score_key, rank FROM r WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + driver entry
 # ---------------------------------------------------------------------------
@@ -1582,13 +1765,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_mid": q_minhash_lsh_mid,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
+    "dedup_components": q_dedup_components,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "quality_score": q_quality_score,
     "winnow_fp": q_winnow_fp,
+    "rep_stats": q_rep_stats,
+    "tfidf_topterms": q_tfidf_topterms,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "cos_neardup": q_cos_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -1619,13 +1806,17 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_mid": _O_MINHASH_LSH_MID,
     "ngram_jaccard": _O_NGRAM_JACCARD,
     "simhash_neardup": _O_SIMHASH_NEARDUP,
+    "dedup_components": _O_DEDUP_COMPONENTS,
     "token_stats": _O_TOKEN_STATS,
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,
     "quality_score": _O_QUALITY_SCORE,
     "winnow_fp": _O_WINNOW_FP,
+    "rep_stats": _O_REP_STATS,
+    "tfidf_topterms": _O_TFIDF_TOPTERMS,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
+    "ann_ivf": _O_ANN_IVF,
     "cos_neardup": _O_COS_NEARDUP,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_decode": _O_MULTIMODAL_DECODE,

@@ -32,6 +32,7 @@ __all__ = [
     "simhash64",
     "simhash_hamming",
     "simhash_near_pairs",
+    "connected_components",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
     "SIMHASH_BLOCKS",
@@ -254,6 +255,102 @@ def simhash_near_pairs(fps: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph — the
+    clustering step that turns near-duplicate PAIRS (LSH / SimHash / cosine
+    candidates) into dedup GROUPS, so a cleaning pass can keep exactly one
+    representative per cluster (the min id, by convention).
+
+    Algorithm: iterative min-label propagation with a pointer-doubling hop —
+    each round every vertex takes the min label among itself and its
+    neighbors (one equi-join + one groupBy = one shuffle), then labels are
+    compressed one hop through the label graph (``label := label(label)``),
+    which collapses chains in O(log diameter) rounds instead of
+    O(diameter). Convergence is detected by COUNTING changed labels (an
+    aggregate — never a collect of data rows), and per-round lineage is
+    truncated with ``localCheckpoint`` so the plan stays O(1) deep across
+    iterations (the classic iterative-algorithm trap on Spark).
+
+    Scale notes (10⁹ vertices): every round is two shuffles on the vertex
+    id; near-dup graphs are shallow (duplicate clusters are dense, low
+    diameter), so rounds stay in the low single digits. The driver holds
+    only one changed-count long per round.
+
+    Returns ``(node, component)`` for every vertex appearing in ``pairs``;
+    ``component`` = min vertex id reachable. Deterministic (min is
+    order-insensitive).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("component").alias("nbr_component"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_component").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr_min.select(F.col("src").alias("node"), "nbr_min"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.least(
+                F.col("component"),
+                F.coalesce("nbr_min", F.col("component")),
+            ).alias("component"),
+            F.col("component").alias("prev"),
+        )
+        # pointer-doubling hop: component := component's current component
+        # (labels are always vertex ids, so the self-join hits every row)
+        compressed = (
+            stepped.join(
+                labels.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("grand"),
+                ),
+                "component",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("grand", F.col("component"))
+                ).alias("component"),
+                "prev",
+            )
+            .localCheckpoint()
+        )
+        changed = compressed.filter(F.col("component") < F.col("prev")).count()
+        labels = compressed.select("node", "component")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
 
 
 def ngram_jaccard(shingled: DataFrame, pairs: DataFrame,

@@ -20,7 +20,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["dot", "norm", "cosine_topk", "signlsh_buckets", "lsh_topk"]
+__all__ = [
+    "dot",
+    "norm",
+    "cosine_topk",
+    "signlsh_buckets",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -87,6 +95,90 @@ def signlsh_buckets(
         bit = (dot(F.col(vec_col), arr) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> list:
+    """Per-centroid score structs ``(s, i)`` where ``s`` = dot(v, c)/‖c‖
+    (the row norm ‖v‖ is constant per row, so argmax over these equals
+    argmax cosine). Struct comparison is lexicographic: max s first, ties →
+    max centroid index — the convention the DuckDB oracle reproduces."""
+    out = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        out.append(
+            F.struct(
+                (dot(F.col(vec_col), arr) / norm(arr)).alias("s"),
+                F.lit(i).alias("i"),
+            )
+        )
+    return out
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector lands in the cell of its most-cosine-
+    similar centroid (ties → higher centroid index).
+
+    ``centroids`` are fixed job args (at production scale: the output of an
+    offline k-means pass over a sample), so assignment is a pure map-side
+    column expression — one scan, no shuffle, no RNG in executors.
+    """
+    best = F.array_max(F.array(*_centroid_scores(vec_col, centroids)))
+    return df.select(
+        F.col(id_col), F.col(vec_col), best["i"].alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via IVF (inverted-file) cells —
+    the centroid-partitioned ANN path next to ``lsh_topk``.
+
+    Corpus vectors are assigned to exactly one centroid cell (map-only);
+    each query probes its ``nprobe`` most-similar cells. The probe list is
+    exploded on the (small) query side so the join stays EQUI on ``cell`` —
+    each query touches ~nprobe/len(centroids) of the corpus and no
+    cross-join shape appears at any scale. Exact cosine ranks candidates
+    within the probed cells. Returns ``(q_id, n_id, cell, rank)``; ties
+    break by neighbor id.
+    """
+    scores = F.array(*_centroid_scores(vec_col, centroids))
+    # top-nprobe cells, best first: array_sort ascending by (s, i) → reverse
+    probes = F.slice(F.reverse(F.array_sort(scores)), 1, nprobe)
+    qs = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probes).alias("p"),
+    ).select("q_id", "q_vec", F.col("p.i").alias("cell"))
+    cs = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cell"
+    )
+    sims = (
+        cs.join(F.broadcast(qs), "cell")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("n_vec"))
+            / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cell", "rank")
+    )
 
 
 def lsh_topk(

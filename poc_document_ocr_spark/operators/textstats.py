@@ -23,6 +23,8 @@ __all__ = [
     "fingerprint",
     "quality_score",
     "winnow_fingerprints",
+    "repetition_stats",
+    "tfidf_top_terms",
 ]
 
 #: small closed stopword list for quality scoring (shared with the oracle)
@@ -189,6 +191,113 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             F.col(id_col),
             F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
         )
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document, as exact integer
+    counts (duplicate-word fraction, most-frequent-word share, duplicate
+    bigram fraction are downstream divisions of these — integers hash
+    identically cross-engine, doubles do not).
+
+    Columns: ``n_words, n_distinct_words, top_word_count, n_bigrams,
+    n_distinct_bigrams, top_bigram_count``. High top-shares / low distinct
+    fractions flag boilerplate and degenerate repetition — the standard
+    pre-training corpus filter alongside ``quality_score``.
+
+    Shape: explode → per-(doc, gram) count → per-doc aggregate. Two
+    shuffles each for words and bigrams, both with map-side partial
+    aggregation; no collect, no Python. Documents with fewer than 2 words
+    report zero bigram counts.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("g"),
+    ).filter(F.col("g") != "")
+    # filter BEFORE sequence(1, n-1): Spark's sequence(1, 0) is the
+    # descending [1, 0], not empty — single-word docs must not reach it
+    bigrams = df.filter(
+        F.size(F.split(F.col(text_col), " ")) >= 2
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))"
+            )
+        ).alias("g"),
+    )
+
+    def _gram_stats(grams: DataFrame, prefix: str) -> DataFrame:
+        per_gram = grams.groupBy(id_col, "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_gram.groupBy(id_col).agg(
+            F.sum("c").alias(f"n_{prefix}s"),
+            F.count(F.lit(1)).alias(f"n_distinct_{prefix}s"),
+            F.max("c").alias(f"top_{prefix}_count"),
+        )
+
+    w = _gram_stats(words, "word")
+    b = _gram_stats(bigrams, "bigram")
+    return (
+        df.select(F.col(id_col))
+        .join(w, id_col, "left")
+        .join(b, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in (
+                    "n_words", "n_distinct_words", "top_word_count",
+                    "n_bigrams", "n_distinct_bigrams", "top_bigram_count",
+                )
+            ],
+        )
+    )
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 3,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Top-``k`` most distinctive terms per document, TF-IDF style.
+
+    Rank key is the integer ``(tf * scale) DIV df`` (term frequency in the
+    document, scaled, integer-divided by the term's corpus document
+    frequency) — monotone in tf and anti-monotone in df like tf·idf, but
+    exact integer arithmetic so the ranking (and the emitted key) is
+    bit-identical across engines; ties break on the term string.
+
+    Shape: explode → tf groupBy (doc, term) → df groupBy (term) → tf⋈df on
+    term → per-doc top-k window. The term-dimension join side is unbounded
+    (vocabulary grows with the corpus), so no forced broadcast — AQE picks
+    the strategy. The final window is per-document (WindowGroupLimit prunes
+    to k per partition map-side). Columns: ``doc_id, term, tf, df,
+    score_key, rank``.
+    """
+    from pyspark.sql.window import Window as W
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_key", F.expr(f"(tf * {scale}) DIV df")
+    )
+    w = W.partitionBy(id_col).orderBy(
+        F.desc("score_key"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score_key", "rank")
     )
 
 
