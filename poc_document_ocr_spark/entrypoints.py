@@ -1736,6 +1736,204 @@ SELECT doc_id, term, tf, df, score_key, rank FROM r WHERE rank <= 3
 """
 
 
+def q_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus carving: train/val/test split labels plus an
+    independent 25% sample flag, both pure functions of (doc_id, seed) —
+    reproducible at any parallelism, unlike ``randomSplit``/``sample``."""
+    from .operators.sampling import _hex_threshold, hash_split, split_key
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    split = hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+    return split.withColumn(
+        "in_sample",
+        split_key(F.col("doc_id"), seed=7) < F.lit(_hex_threshold(0.25)),
+    )
+
+
+def _o_split_sample() -> str:
+    from .operators.sampling import _hex_threshold
+
+    t80, t90, t25 = (
+        _hex_threshold(0.8), _hex_threshold(0.9), _hex_threshold(0.25),
+    )
+    return f"""
+WITH k AS (SELECT doc_id,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8) AS k0,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS k7
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN k0 < '{t80}' THEN 'train'
+       WHEN k0 < '{t90}' THEN 'val'
+       ELSE 'test' END AS split,
+  (k7 < '{t25}') AS in_sample
+FROM k
+"""
+
+
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard assignment + contiguous sequence packing: documents land in 8
+    deterministic shards, then each shard's token stream is cut into
+    1000-token packs — the corpus → fixed-context-window grouping a
+    training loader consumes."""
+    from .operators.sampling import pack_contiguous, shard_assign
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_contiguous(
+        shard_assign(with_tokens, n_shards=8, seed=0), budget=1000
+    )
+
+
+_O_SHARD_PACK = """
+WITH s AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 2) AS h2
+  FROM documents),
+sh AS (SELECT doc_id, n_tokens,
+    CAST((ascii(substr(h2, 1, 1)) * 256 + ascii(substr(h2, 2, 1))) % 8
+      AS INT) AS shard
+  FROM s),
+p AS (SELECT shard, doc_id, n_tokens,
+    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) / 1000.0) AS BIGINT) AS pack_id
+  FROM sh)
+SELECT shard, doc_id, n_tokens, pack_id,
+  CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) - 1
+    AS INT) AS pack_pos
+FROM p
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into 32-word chunks with
+    8 words of overlap — the document → training-sample explode."""
+    from .operators.textstats import chunk_text
+
+    return chunk_text(_docs(spark, sf_dir), chunk=32, overlap=8)
+
+
+_O_DOC_CHUNKS = """
+WITH w AS (SELECT doc_id,
+    list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents),
+nz AS (SELECT doc_id, w, len(w) AS n FROM w WHERE len(w) > 0),
+st AS (SELECT doc_id, w, u.s AS s
+       FROM nz, UNNEST(range(1, greatest(n - 8, 1) + 1, 24)) AS u(s))
+SELECT doc_id,
+  CAST((s - 1) // 24 AS INT) AS chunk_idx,
+  array_to_string(list_slice(w, s, s + 31), ' ') AS chunk_text,
+  CAST(len(list_slice(w, s, s + 31)) AS INT) AS n_chunk_words
+FROM st
+"""
+
+# Shared PII-bearing corpus (dialect-neutral): deterministic synthetic
+# URLs/emails/phones woven around real document rows, so the redaction
+# query exercises every pattern while both engines derive identical input.
+_CORPUS_PII = """
+  SELECT doc_id,
+    'ref https://ex.org/d/' || CAST(doc_id AS STRING)
+      || '?u=a@b.co mail bob.smith+' || CAST(doc_id AS STRING)
+      || '@mail.example.org call +1 (555) 010-'
+      || CAST(doc_id % 100 AS STRING) || '22 end' AS text
+  FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 100
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus seeded with synthetic URLs, emails, and
+    phone numbers: typed placeholder replacement + per-pattern counts."""
+    from .operators.textstats import redact_pii
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_PII}) pii", "documents"
+    )
+    return redact_pii(corpus)
+
+
+_O_PII_REDACT = f"""
+WITH corpus AS ({_CORPUS_PII.replace("AS STRING", "AS VARCHAR")})
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      'https?://[^\\s]+', '<URL>', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+      '\\+?[0-9][0-9 ()-]{{6,}}[0-9]', '<PHONE>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INT) AS n_url,
+  CAST(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)
+    AS n_email,
+  CAST(len(regexp_extract_all(text,
+      '\\+?[0-9][0-9 ()-]{{6,}}[0-9]')) AS INT) AS n_phone
+FROM corpus
+"""
+
+
+def q_corpus_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup: doc/token totals per (language, length
+    band), per language, and grand total in one grouping-sets pass."""
+    from .operators.textstats import corpus_composition, lang_id
+
+    docs = _docs(spark, sf_dir)
+    strata = (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .select(
+            F.col("pred_lang").alias("lang"),
+            F.when(F.col("n_tokens") < 50, "short")
+            .when(F.col("n_tokens") < 200, "medium")
+            .otherwise("long")
+            .alias("band"),
+            "n_tokens",
+        )
+    )
+    return corpus_composition(strata)
+
+
+_O_CORPUS_COMP = """
+WITH h AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('the','and','of','is'))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('el','la','los','que'))) AS BIGINT) AS hits_es,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('le','la','les','est'))) AS BIGINT) AS hits_fr,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('der','die','und','ist'))) AS BIGINT) AS hits_de
+  FROM documents),
+strata AS (
+  SELECT CASE WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
+              WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
+              WHEN hits_es > hits_en THEN 'es'
+              ELSE 'en' END AS lang,
+         CASE WHEN n_tokens < 50 THEN 'short'
+              WHEN n_tokens < 200 THEN 'medium'
+              ELSE 'long' END AS band,
+         n_tokens
+  FROM h)
+SELECT lang, band,
+  CAST(CASE WHEN lang IS NULL AND band IS NULL THEN 3
+            WHEN band IS NULL THEN 1 ELSE 0 END AS INT) AS lvl,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM strata
+GROUP BY ROLLUP (lang, band)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + driver entry
 # ---------------------------------------------------------------------------
@@ -1773,6 +1971,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fp": q_winnow_fp,
     "rep_stats": q_rep_stats,
     "tfidf_topterms": q_tfidf_topterms,
+    "split_sample": q_split_sample,
+    "shard_pack": q_shard_pack,
+    "doc_chunks": q_doc_chunks,
+    "pii_redact": q_pii_redact,
+    "corpus_comp": q_corpus_comp,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -1814,6 +2017,11 @@ ORACLES: dict[str, str] = {
     "winnow_fp": _O_WINNOW_FP,
     "rep_stats": _O_REP_STATS,
     "tfidf_topterms": _O_TFIDF_TOPTERMS,
+    "split_sample": _o_split_sample(),
+    "shard_pack": _O_SHARD_PACK,
+    "doc_chunks": _O_DOC_CHUNKS,
+    "pii_redact": _O_PII_REDACT,
+    "corpus_comp": _O_CORPUS_COMP,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "ann_ivf": _O_ANN_IVF,

@@ -1,0 +1,170 @@
+"""Deterministic sampling / splitting / sharding / packing operators.
+
+A training-data pipeline needs reproducible corpus carving: train/val/test
+splits, down-samples, shard assignment, and sequence packing must give the
+SAME answer on every run at every parallelism — so none of these use RNG.
+Everything keys off ``md5(id ':' seed)``: a pure column expression, uniform
+over the hex space, identical across engines (the DuckDB oracle reproduces
+the exact same hex math), and stable under repartitioning.
+
+Scale notes: split/sample/shard are map-only (one scan, no shuffle — the
+filter/label pushes to the parquet scan); packing is one window sort per
+shard partition, never a global single-task window.
+
+Reference parity: the reference processes each document independently and
+idempotently keyed on its blob name (``PdfProcessorFunction.cs`` overwrite
+semantics); these operators extend that same name-keyed determinism to
+corpus-level carving, which the reference's single-document flow never
+needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = [
+    "split_key",
+    "hash_split",
+    "hash_sample",
+    "shard_assign",
+    "pack_contiguous",
+]
+
+#: width of the hex prefix compared against split thresholds (8 hex chars
+#: = 32 bits of the md5 — granularity 1/2^32, plenty for corpus fractions)
+_HEX_W = 8
+
+
+def split_key(id_col: Column, seed: int = 0) -> Column:
+    """The deterministic unit-interval key as a zero-padded hex string:
+    first 8 hex chars of ``md5(id ':' seed)``. Lexicographic comparison on
+    it IS numeric comparison (fixed width, lowercase hex in both Spark and
+    DuckDB) — fractions become hex thresholds, no float anywhere."""
+    return F.substring(
+        F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, _HEX_W
+    )
+
+
+def _hex_threshold(fraction: float) -> str:
+    """``fraction`` of the 32-bit hex space as a zero-padded hex literal."""
+    n = min(max(int(round(fraction * (16 ** _HEX_W))), 0), 16 ** _HEX_W)
+    return format(n, f"0{_HEX_W}x")
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign every row a split label (``train``/``val``/``test``/…) by
+    deterministic hash — the reproducible analog of ``randomSplit`` (whose
+    assignment depends on partitioning and is NOT stable across runs).
+
+    ``weights`` maps label → fraction (need not sum to 1; the remainder,
+    if any, falls into the LAST label). Label boundaries are cumulative
+    hex thresholds over :func:`split_key`; a document's label depends only
+    on (id, seed), so re-runs, re-partitions, and incremental loads agree.
+
+    Map-only: adds one ``split`` column, no shuffle.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    labels = list(weights)
+    key = split_key(F.col(id_col), seed)
+    expr = F.lit(labels[-1])  # remainder (and anything ≥ last threshold)
+    cum = 0.0
+    bounds: list[tuple[str, str]] = []
+    for lab in labels[:-1]:
+        cum += weights[lab]
+        bounds.append((lab, _hex_threshold(cum)))
+    for lab, thr in reversed(bounds):
+        expr = F.when(key < F.lit(thr), F.lit(lab)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id hash — the
+    reproducible analog of ``df.sample`` (sampling that survives re-runs
+    and joins: the SAME ids are kept everywhere the same (fraction, seed)
+    is used, so sampled tables stay mutually consistent).
+
+    Map-only filter; at 100 TB this is one scan emitting ~fraction of it.
+    """
+    thr = _hex_threshold(fraction)
+    return df.filter(split_key(F.col(id_col), seed) < F.lit(thr))
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic shard id in ``[0, n_shards)`` per row — the stable
+    bucketing used to write a corpus as N reproducible output shards (and
+    the partition key :func:`pack_contiguous` packs within).
+
+    The shard is ``(ascii(h1)*256 + ascii(h2)) % n_shards`` over the first
+    two hex chars of :func:`split_key` — byte-exact in both engines
+    (``conv(hex, 16, 10)`` has no DuckDB twin, ``ascii`` does). Two hex
+    chars give 256 distinct underlying values: uniform for shard counts
+    that divide smoothly; for n_shards ≫ 256 widen the prefix.
+    """
+    if not 0 < n_shards:
+        raise ValueError("n_shards must be positive")
+    key = split_key(F.col(id_col), seed)
+    code = (
+        F.ascii(F.substring(key, 1, 1)) * 256 + F.ascii(F.substring(key, 2, 1))
+    )
+    return df.withColumn("shard", F.pmod(code, F.lit(n_shards)).cast("int"))
+
+
+def pack_contiguous(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Contiguous sequence packing: within each ``part_col`` partition,
+    order documents deterministically (by id) and cut the running token
+    total into packs of ``budget`` tokens — the grouping a training loader
+    uses to fill fixed-size context windows without a driver-side loop.
+
+    ``pack_id = floor(exclusive_prefix_sum(tokens) / budget)``: each pack
+    holds ~``budget`` tokens, a document that straddles a boundary belongs
+    to the pack it STARTS in (greedy contiguous fill; deterministic, no
+    first-fit backtracking — the distributed-friendly packing used when
+    exact bin packing isn't worth a global shuffle). ``pack_pos`` is the
+    document's offset within its pack's fill order.
+
+    Scale: ONE window sort per partition value — pack within shards
+    (:func:`shard_assign`) so no single task ever sorts the whole corpus.
+    Emits ``(part_col, id, n_tokens, pack_id, pack_pos)``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = W.partitionBy(part_col).orderBy(id_col)
+    before = F.coalesce(
+        F.sum(tokens_col).over(w.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    pack = F.floor(before / F.lit(budget)).cast("long").alias("pack_id")
+    return df.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(tokens_col).cast("long").alias(tokens_col),
+        pack,
+    ).withColumn(
+        "pack_pos",
+        (F.row_number().over(W.partitionBy(part_col, "pack_id").orderBy(id_col)) - 1)
+        .cast("int"),
+    )

@@ -25,6 +25,10 @@ __all__ = [
     "winnow_fingerprints",
     "repetition_stats",
     "tfidf_top_terms",
+    "chunk_text",
+    "redact_pii",
+    "corpus_composition",
+    "PII_PATTERNS",
 ]
 
 #: small closed stopword list for quality scoring (shared with the oracle)
@@ -298,6 +302,119 @@ def tfidf_top_terms(df: DataFrame, id_col: str = "doc_id",
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score_key", "rank")
+    )
+
+
+def chunk_text(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", chunk: int = 128,
+               overlap: int = 16) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    word-window chunks of ``chunk`` words with ``overlap`` words of
+    context carried between consecutive chunks — the standard corpus →
+    training-sample transform when documents exceed the model context.
+
+    Start offsets are ``1, 1+step, …`` with ``step = chunk - overlap``,
+    capped so the last chunk reaches the document end without emitting a
+    tail fully contained in its predecessor. Empty documents produce no
+    chunks; ``chunk_idx`` is 0-based; ``n_chunk_words ≤ chunk`` (the tail
+    is shorter).
+
+    Map-only: words/starts/slices are higher-order array functions and the
+    explode is per-row — no shuffle, one scan at any corpus size (output
+    is ~(1 + overlap/step)× the input text, the expected duplication cost
+    of overlap).
+    """
+    if chunk <= 0 or not 0 <= overlap < chunk:
+        raise ValueError("need chunk > 0 and 0 <= overlap < chunk")
+    step = chunk - overlap
+    words = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.when(n > 0, starts).otherwise(F.array()).alias("_starts"),
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode("_starts").alias("chunk_idx", "_s"),
+            F.col("_w"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("_w"), F.col("_s"), chunk)
+            ).alias("chunk_text"),
+            F.size(F.slice(F.col("_w"), F.col("_s"), chunk))
+            .cast("int")
+            .alias("n_chunk_words"),
+        )
+    )
+
+
+#: PII patterns, applied in order (URL first so an address inside a URL is
+#: redacted as part of the URL). Subset of regex syntax valid in BOTH Java
+#: (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace URLs, email addresses,
+    and phone-shaped digit runs with typed placeholder tokens, and count
+    each pattern's matches (counts are taken on the ORIGINAL text, so the
+    email inside a redacted URL still counts as an email — the audit number
+    a privacy review wants).
+
+    Map-only ``regexp_replace``/``regexp_count`` column expressions — one
+    scan, no Python, safe over every row of 100 TB. Patterns are
+    intentionally high-precision/modest-recall (a real deployment tunes
+    recall with NER models in the Arrow-batched decode tier); the operator
+    pins the Spark-side plumbing: ordering, counting, placeholder scheme.
+    """
+    red = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("int")
+            .alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, token)
+    return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+def corpus_composition(df: DataFrame, lang_col: str = "lang",
+                       band_col: str = "band",
+                       tokens_col: str = "n_tokens") -> DataFrame:
+    """Corpus composition rollup: document and token totals per
+    (language, quality band), per language, and grand total — the
+    one-glance mixture report a data curator reads before fixing sampling
+    weights per stratum.
+
+    ``ROLLUP(lang, band)`` computes all three grains in ONE pass with
+    map-side partial aggregation (Spark expands grouping sets before the
+    exchange — still a single shuffle); ``lvl`` is the grouping-id bitmask
+    (0 = leaf, 1 = per-language subtotal, 3 = grand total) so subtotal rows
+    are distinguishable from genuine null strata.
+    """
+    return (
+        df.rollup(lang_col, band_col)
+        .agg(
+            # grouping_id() is only legal INSIDE the grouping-sets agg
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(tokens_col).cast("long")).alias("total_tokens"),
+        )
+        .select(lang_col, band_col, "lvl", "n_docs", "total_tokens")
     )
 
 

@@ -452,3 +452,144 @@ def test_tfidf_topterms_ranking(spark):
     assert r1["common"].score_key == 2_000_000 // 3
     # df counts documents, not occurrences
     assert r1["common"].df == 3
+
+
+# ---------------------------------------------------------------------------
+# sampling / packing / chunking / redaction / composition (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_hash_split_deterministic_and_partitioning_invariant(spark):
+    from poc_document_ocr_spark.operators.sampling import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(df, w).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(13), w).collect()
+    }
+    assert a == b                      # partitioning does not move labels
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in w}
+    # uniform hash: within a few points of the requested weights
+    assert abs(frac["train"] - 0.8) < 0.05
+    assert abs(frac["val"] - 0.1) < 0.03
+    assert abs(frac["test"] - 0.1) < 0.03
+
+
+def test_hash_sample_is_nested_and_seed_sensitive(spark):
+    from poc_document_ocr_spark.operators.sampling import hash_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    keep10 = {r.doc_id for r in hash_sample(df, 0.1, seed=3).collect()}
+    keep25 = {r.doc_id for r in hash_sample(df, 0.25, seed=3).collect()}
+    assert keep10 <= keep25            # thresholds nest for a fixed seed
+    assert abs(len(keep25) / 2000 - 0.25) < 0.04
+    other = {r.doc_id for r in hash_sample(df, 0.25, seed=4).collect()}
+    assert other != keep25             # seed actually changes the sample
+
+
+def test_shard_assign_range_and_stability(spark):
+    from poc_document_ocr_spark.operators.sampling import shard_assign
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    rows = shard_assign(df, n_shards=8).collect()
+    assert {r.shard for r in rows} == set(range(8))
+    # every shard gets a non-trivial share (uniformity sanity)
+    counts = [sum(1 for r in rows if r.shard == s) for s in range(8)]
+    assert min(counts) > 1000 / 8 / 3
+
+
+def test_pack_contiguous_budget_and_positions(spark):
+    from poc_document_ocr_spark.operators.sampling import pack_contiguous
+
+    rows = [(s, i, 40) for s in (0, 1) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "shard int, doc_id long, n_tokens long"
+    )
+    got = pack_contiguous(df, budget=100).collect()
+    by_pack = {}
+    for r in got:
+        by_pack.setdefault((r.shard, r.pack_id), []).append(r)
+    # 10 docs x 40 tokens at budget 100: packs of sizes 3,2,3,2 (a doc that
+    # STARTS before the boundary stays in the earlier pack)
+    sizes = sorted(
+        len(v) for (s, p), v in by_pack.items() if s == 0
+    )
+    assert sizes == [2, 2, 3, 3]
+    for members in by_pack.values():
+        assert sorted(r.pack_pos for r in members) == list(
+            range(len(members))
+        )
+    # deterministic: same input, same packs at different parallelism
+    again = pack_contiguous(df.repartition(7), budget=100).collect()
+    assert {(r.shard, r.doc_id, r.pack_id) for r in again} == {
+        (r.shard, r.doc_id, r.pack_id) for r in got
+    }
+
+
+def test_chunk_text_windows_and_tail(spark):
+    from poc_document_ocr_spark.operators.textstats import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = _docs(spark, [(1, words), (2, "a b"), (3, "")])
+    got = chunk_text(df, chunk=4, overlap=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    # doc 1: step=2, starts capped at n-overlap=8 -> starts 1,3,5,7
+    assert sorted(by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0].chunk_text == "w0 w1 w2 w3"
+    assert by_doc[1][1].chunk_text == "w2 w3 w4 w5"
+    assert by_doc[1][3].chunk_text == "w6 w7 w8 w9"
+    # consecutive chunks share exactly `overlap` words
+    assert by_doc[1][0].chunk_text.split()[-2:] == by_doc[1][1].chunk_text.split()[:2]
+    # short doc: one chunk, shorter than `chunk`
+    assert by_doc[2][0].chunk_text == "a b"
+    assert by_doc[2][0].n_chunk_words == 2
+    # empty doc: no chunks at all
+    assert 3 not in by_doc
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from poc_document_ocr_spark.operators.textstats import redact_pii
+
+    df = _docs(spark, [
+        (1, "mail me at a.b+c@example.org today"),
+        (2, "see https://ex.org/x?u=a@b.co now"),
+        (3, "call +1 (555) 010-4222 please"),
+        (4, "clean text only"),
+    ])
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].redacted == "mail me at <EMAIL> today"
+    assert (got[1].n_url, got[1].n_email, got[1].n_phone) == (0, 1, 0)
+    # URL consumes the embedded email in the REDACTION (applied first),
+    # but the email still shows up in the count (taken on original text)
+    assert got[2].redacted == "see <URL> now"
+    assert (got[2].n_url, got[2].n_email) == (1, 1)
+    assert got[3].redacted == "call <PHONE> please"
+    assert got[3].n_phone == 1
+    assert got[4].redacted == "clean text only"
+    assert (got[4].n_url, got[4].n_email, got[4].n_phone) == (0, 0, 0)
+
+
+def test_corpus_composition_rollup_levels(spark):
+    from poc_document_ocr_spark.operators.textstats import (
+        corpus_composition,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "short", 10), ("en", "short", 20), ("en", "long", 300),
+         ("fr", "short", 5)],
+        "lang string, band string, n_tokens long",
+    )
+    rows = corpus_composition(df).collect()
+    got = {(r.lang, r.band, r.lvl): (r.n_docs, r.total_tokens) for r in rows}
+    assert got[("en", "short", 0)] == (2, 30)
+    assert got[("en", "long", 0)] == (1, 300)
+    assert got[("fr", "short", 0)] == (1, 5)
+    assert got[("en", None, 1)] == (3, 330)      # per-language subtotal
+    assert got[("fr", None, 1)] == (1, 5)
+    assert got[(None, None, 3)] == (4, 335)      # grand total
+    assert len(rows) == 6
