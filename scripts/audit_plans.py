@@ -169,6 +169,58 @@ def audit(spark, sf_dir: str):
             if "PartitionFilters: [" in p else "absent",
         )
 
+    # --- ann_ivf: equi join on centroid cell, never all-pairs -------------
+    ivf = ep.QUERIES["ann_ivf"](spark, sf_dir)
+    p = plan_of(ivf)
+    check(
+        "ann_ivf: no CartesianProduct (cell-equi join only)",
+        "CartesianProduct" not in p,
+        "join lines: "
+        + "; ".join(
+            l.strip()[:70] for l in p.splitlines() if "Join" in l
+        )[:200],
+    )
+
+    # --- tfidf: unbounded term-dim join left to AQE; top-k pruned map-side
+    tfidf = ep.QUERIES["tfidf_topterms"](spark, sf_dir)
+    check(
+        "tfidf_topterms: no forced broadcast (vocabulary side is unbounded)",
+        "ResolvedHint" not in analyzed(tfidf),
+        "no ResolvedHint in analyzed plan",
+    )
+    p = plan_of(tfidf)
+    check(
+        "tfidf_topterms: WindowGroupLimit prunes per-doc top-k before shuffle",
+        "WindowGroupLimit" in p,
+        next(
+            (l.strip()[:90] for l in p.splitlines() if "WindowGroupLimit" in l),
+            "absent",
+        ),
+    )
+
+    # --- corpus carving: split/sample/chunk/redact are map-only ----------
+    for qname in ("split_sample", "doc_chunks", "pii_redact"):
+        q = ep.QUERIES[qname](spark, sf_dir)
+        p = plan_of(q)
+        check(
+            f"{qname}: map-only (zero shuffles)",
+            "Exchange" not in p,
+            "no Exchange in plan",
+        )
+
+    # --- shard_pack: both windows reuse ONE shuffle on the shard key ------
+    # (the pack_pos window clusters on (shard, pack_id); hash(shard) already
+    # satisfies that ClusteredDistribution, so no second Exchange)
+    sp_q = ep.QUERIES["shard_pack"](spark, sf_dir)
+    p = plan_of(sp_q)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "shard_pack: ONE shuffle (pack window partitioning reused by pos window)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+    sections.append(("shard_pack", excerpt(p)))
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
