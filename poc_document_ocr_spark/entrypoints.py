@@ -1608,6 +1608,83 @@ FROM corpus c LEFT JOIN comp m ON m.node = c.doc_id
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. style): maximal word
+    spans covered by 8-grams shared across ≥2 documents of the near-dup
+    corpus — the passage-level output a span-removal pass consumes."""
+    from .operators.dedup import duplicate_ngram_spans
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    return duplicate_ngram_spans(corpus, n=8)
+
+
+_O_DUP_SPANS = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 8),
+g AS (SELECT doc_id, i + 1 AS pos,
+        md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')) AS gh
+      FROM w, UNNEST(range(0, len(w) - 7)) AS u(i)),
+sh AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+d AS (SELECT g.doc_id, g.pos FROM g JOIN sh USING (gh)),
+l AS (SELECT doc_id, pos,
+        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM d),
+b AS (SELECT doc_id, pos,
+        CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END AS brk
+      FROM l),
+i2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         ROWS UNBOUNDED PRECEDING) AS island FROM b)
+SELECT doc_id,
+  CAST(min(pos) AS INT) AS span_start,
+  CAST(max(pos) + 7 AS INT) AS span_end,
+  CAST(max(pos) + 7 - min(pos) + 1 AS INT) AS span_words,
+  CAST(count(*) AS INT) AS n_grams
+FROM i2 GROUP BY doc_id, island
+"""
+
+# Shared benchmark-set derivation (dialect-neutral): every 17th document
+# stands in for the held-out eval set the corpus must be scrubbed against.
+_BENCH_SET = "SELECT doc_id, text FROM documents WHERE doc_id % 17 = 3"
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document 8-gram overlap counts
+    against the derived benchmark set + the contaminated verdict."""
+    from .operators.dedup import decontaminate
+
+    corpus = _docs(spark, sf_dir)
+    bench = _sql_over(spark, sf_dir, _BENCH_SET, "documents")
+    return decontaminate(corpus, bench, n=8)
+
+
+_O_DECONTAM = f"""
+WITH bench AS ({_BENCH_SET}),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       WHERE len(string_split(text, ' ')) >= 8),
+cg AS (SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')) AS gh
+       FROM cw, UNNEST(range(0, len(w) - 7)) AS u(i)),
+bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM bench
+       WHERE len(string_split(text, ' ')) >= 8),
+bg AS (SELECT DISTINCT
+         md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')) AS gh
+       FROM bw, UNNEST(range(0, len(w) - 7)) AS u(i)),
+ov AS (SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+       FROM cg JOIN bg USING (gh) GROUP BY 1),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM cg GROUP BY 1)
+SELECT d.doc_id,
+  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+  (coalesce(ov.n_overlap, 0) > 0) AS contaminated
+FROM documents d
+LEFT JOIN tot ON tot.doc_id = d.doc_id
+LEFT JOIN ov ON ov.doc_id = d.doc_id
+"""
+
+
 #: Fixed IVF centroids (4 cells over 64-dim embeddings): deterministic small
 #: integers shared verbatim with the DuckDB oracle. A production job ships
 #: the output of an offline k-means pass as job args — never RNG in
@@ -1964,6 +2041,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
     "dedup_components": q_dedup_components,
+    "dup_spans": q_dup_spans,
+    "decontam": q_decontam,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2010,6 +2089,8 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": _O_NGRAM_JACCARD,
     "simhash_neardup": _O_SIMHASH_NEARDUP,
     "dedup_components": _O_DEDUP_COMPONENTS,
+    "dup_spans": _O_DUP_SPANS,
+    "decontam": _O_DECONTAM,
     "token_stats": _O_TOKEN_STATS,
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,

@@ -33,6 +33,8 @@ __all__ = [
     "simhash_hamming",
     "simhash_near_pairs",
     "connected_components",
+    "duplicate_ngram_spans",
+    "decontaminate",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
     "SIMHASH_BLOCKS",
@@ -385,3 +387,127 @@ def ngram_jaccard(shingled: DataFrame, pairs: DataFrame,
         )
     )
     return out.select("id_a", "id_b", "inter", "union_n", "jaccard")
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication spans: the word positions covered by any
+    ``n``-gram occurring in ≥ ``min_docs`` DISTINCT documents, merged into
+    maximal spans per document — the span-level (not document-level) dedup
+    of Lee et al., *Deduplicating Training Data Makes Language Models
+    Better* (arXiv:2107.06499), which removes the duplicated passage while
+    keeping the unique remainder of each document. n=13 words
+    approximates the paper's 50-token threshold at ~4 tokens/word.
+
+    Shape: positional n-gram hashes are map-side (``md5`` over higher-order
+    slices), shared grams are one groupBy(gram) with an approx-then-exact
+    distinct-doc count, the join back touches only positions whose gram is
+    shared, and span merging is one gaps-and-islands window per document
+    (two shuffles + one window; never all-pairs, never Python). Grams
+    repeated only WITHIN one document are not flagged (cross-document
+    duplication is the training-data signal; intra-doc repetition is
+    :func:`~poc_document_ocr_spark.operators.textstats.repetition_stats`).
+
+    Returns ``(doc_id, span_start, span_end, span_words, n_grams)`` with
+    1-based inclusive word positions.
+    """
+    from pyspark.sql.window import Window as W
+
+    words = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}), "
+        f"i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+    )
+    pos_grams = (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.posexplode(grams).alias("p0", "gh"))
+        .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "gh")
+    )
+    shared = (
+        pos_grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gh")
+    )
+    dup = pos_grams.join(shared, "gh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(w)
+    # grams at prev and pos overlap-or-touch iff pos <= prev + n
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + n), 1).otherwise(0)
+    islands = dup.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+            "n_grams",
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with an evaluation/benchmark set — the standard
+    train/test-overlap scrub (GPT-3 appendix C / PaLM-style n-gram
+    collision check) run before a corpus is used for training.
+
+    Shape: both sides reduce to DISTINCT ``(id, gram-hash)`` map-side; the
+    overlap is one equi-join on the hash followed by a groupBy(doc). The
+    benchmark side is usually broadcastable but unbounded in general, so
+    no forced broadcast — AQE decides from observed sizes. Per document:
+    ``n_grams`` (its distinct grams), ``n_overlap`` (grams also in the
+    benchmark), ``contaminated`` (any overlap). Documents with fewer than
+    ``n`` words have no grams and are clean by definition.
+    """
+    def _grams(df: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        grams = F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+            f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+        )
+        return (
+            df.filter(F.size(words) >= n)
+            .select(F.col(id_col), F.explode(grams).alias("gh"))
+            .distinct()
+        )
+
+    cg = _grams(corpus)
+    bg = _grams(benchmark).select("gh").distinct()
+    per_doc = (
+        cg.join(bg, "gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = cg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        corpus.select(id_col)
+        .join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

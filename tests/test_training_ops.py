@@ -593,3 +593,50 @@ def test_corpus_composition_rollup_levels(spark):
     assert got[("fr", None, 1)] == (1, 5)
     assert got[(None, None, 3)] == (4, 335)      # grand total
     assert len(rows) == 6
+
+
+def test_duplicate_ngram_spans_merging(spark):
+    from poc_document_ocr_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = " ".join(f"s{i}" for i in range(6))       # 6 shared words
+    df = _docs(spark, [
+        (1, f"u1 u2 {shared} u3 u4"),                  # shared at pos 3..8
+        (2, f"{shared} v1 v2 v3"),                     # shared at pos 1..6
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8"),                # unique: no spans
+    ])
+    got = duplicate_ngram_spans(df, n=4).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.n_grams) for r in got}
+    # doc 1: grams at positions 3,4,5 (each 4 words) merge into 3..8
+    assert spans[1] == (3, 8, 3)
+    assert spans[2] == (1, 6, 3)
+    assert 3 not in spans
+    for r in got:
+        assert r.span_words == r.span_end - r.span_start + 1
+
+
+def test_duplicate_ngram_spans_ignores_intra_doc_repeats(spark):
+    from poc_document_ocr_spark.operators.dedup import duplicate_ngram_spans
+
+    # the repeated phrase lives in ONE document only -> not cross-doc dup
+    df = _docs(spark, [
+        (1, "a b c d x a b c d"),
+        (2, "e f g h i j k l"),
+    ])
+    assert duplicate_ngram_spans(df, n=4).count() == 0
+
+
+def test_decontaminate_flags_overlap(spark):
+    from poc_document_ocr_spark.operators.dedup import decontaminate
+
+    leak = "q1 q2 q3 q4 q5 q6 q7 q8"                   # exactly one 8-gram
+    corpus = _docs(spark, [
+        (1, f"pre {leak} post"),                       # contains the 8-gram
+        (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),             # clean
+        (3, "tiny doc"),                               # < n words: clean
+    ])
+    bench = _docs(spark, [(100, leak)])
+    got = {r.doc_id: r for r in decontaminate(corpus, bench, n=8).collect()}
+    assert got[1].contaminated and got[1].n_overlap == 1
+    assert got[1].n_grams == 3                          # 10 words -> 3 grams
+    assert not got[2].contaminated and got[2].n_overlap == 0
+    assert not got[3].contaminated and got[3].n_grams == 0
