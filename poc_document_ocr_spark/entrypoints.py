@@ -1071,6 +1071,43 @@ WHERE session_id < (SELECT max(session_id) FROM agg m
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type), oracle-checked:
+    watermarked ``dropDuplicates`` drained with availableNow emits exactly
+    the distinct key set (first arrival wins, later duplicates dropped) —
+    the incremental-ingest twin of the batch duplicate-skip anti-join."""
+    from .streaming.windows import streaming_dedup_keys
+
+    path = _drain_stream(
+        streaming_dedup_keys(_events_stream(spark, sf_dir)), "dedup"
+    )
+    return spark.read.parquet(path)
+
+
+_O_STREAMING_DEDUP = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def q_streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode streaming running totals per event type, republished
+    to a parquet dir by idempotent overwrite each micro-batch; after the
+    availableNow drain the dir equals the batch groupBy of the backlog."""
+    import os
+    import tempfile
+
+    from .streaming.windows import streaming_totals_to_dir
+
+    d = tempfile.mkdtemp(prefix="sg_stream_totals_")
+    out = os.path.join(d, "out")
+    streaming_totals_to_dir(_events_stream(spark, sf_dir), out)
+    return spark.read.parquet(out)
+
+
+_O_STREAMING_TOTALS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _sql_over(
         spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT}) corpus", "documents"
@@ -2035,6 +2072,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessions": q_event_sessions,
     "streaming_windows": q_streaming_windows,
     "streaming_sessions": q_streaming_sessions,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_totals": q_streaming_totals,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_mid": q_minhash_lsh_mid,
@@ -2083,6 +2122,8 @@ ORACLES: dict[str, str] = {
     "event_sessions": _O_EVENT_SESSIONS,
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
+    "streaming_dedup": _O_STREAMING_DEDUP,
+    "streaming_totals": _O_STREAMING_TOTALS,
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
     "minhash_lsh_mid": _O_MINHASH_LSH_MID,

@@ -351,6 +351,14 @@ def connected_components(
         labels = compressed.select("node", "component")
         if changed == 0:
             break
+    else:
+        # unconverged labels silently mis-cluster a 100 TB dedup pass —
+        # fail loudly; callers with genuinely deep graphs raise max_iters
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     edges.unpersist()
     return labels
 

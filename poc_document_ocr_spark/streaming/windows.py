@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
-__all__ = ["streaming_windowed_counts", "streaming_sessionize"]
+__all__ = [
+    "streaming_windowed_counts",
+    "streaming_sessionize",
+    "streaming_dedup_keys",
+    "streaming_totals_to_dir",
+]
 
 
 def streaming_windowed_counts(
@@ -47,6 +52,59 @@ def streaming_windowed_counts(
             "n_events",
         )
     )
+
+
+def streaming_dedup_keys(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on a key tuple: emit each key the FIRST time
+    it is seen, drop every later arrival — the incremental-ingest twin of
+    the batch duplicate-skip anti-join (an arriving record whose key is
+    already in the output is skipped).
+
+    ``dropDuplicates`` after a watermark bounds the key state: a key older
+    than the watermark can be evicted because any duplicate that late
+    would be dropped by the watermark anyway. Emitting ONLY the key
+    columns keeps the result deterministic (which physical row arrives
+    first for a key is a race; the key set is not).
+    """
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(*keys, "ts")
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )
+
+
+def streaming_totals_to_dir(
+    events: DataFrame, out_dir: str, key: str = "event_type"
+) -> None:
+    """Complete-mode running totals per key, maintained in a parquet dir.
+
+    The streaming agg keeps the full running count per key; every
+    micro-batch the sink OVERWRITES the output directory with the new
+    totals (complete mode re-emits every row, so overwrite — the
+    idempotent-republish pattern; parquet file sinks cannot take complete
+    mode directly, hence foreachBatch). After an ``availableNow`` drain
+    the directory holds exactly the batch ``groupBy(key).count()`` of the
+    backlog. Blocks until the drain finishes.
+    """
+    totals = events.groupBy(key).agg(F.count(F.lit(1)).alias("n_events"))
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        totals.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
 
 
 def streaming_sessionize(

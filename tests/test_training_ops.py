@@ -640,3 +640,13 @@ def test_decontaminate_flags_overlap(spark):
     assert got[1].n_grams == 3                          # 10 words -> 3 grams
     assert not got[2].contaminated and got[2].n_overlap == 0
     assert not got[3].contaminated and got[3].n_grams == 0
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from poc_document_ocr_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=1)
