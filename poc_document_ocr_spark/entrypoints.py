@@ -1071,6 +1071,93 @@ WHERE session_id < (SELECT max(session_id) FROM agg m
 """
 
 
+#: shared reference-point derivation (dialect-neutral): one row per
+#: (user, hour) — unique as-of keys by construction
+_REF_POINTS = """
+  SELECT user_id, date_trunc('hour', ts) AS ts, max(value) AS ref_value
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_asof_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the latest per-user hourly
+    reference point at-or-before it — one sort-shuffle union/forward-fill,
+    never a nested loop (the DuckDB oracle uses its native ASOF JOIN)."""
+    from .operators.events import asof_join
+
+    load_views(spark, sf_dir, "events")
+    left = spark.table("events").select("event_id", "user_id", "ts", "value")
+    right = _sql_over(spark, sf_dir, _REF_POINTS, "events")
+    out = asof_join(left, right, payload=("ref_value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "value",
+        F.date_format("asof_ts", _TS_FMT_SPARK).alias("asof_ts"),
+        "ref_value",
+    )
+
+
+_O_ASOF_REF = f"""
+WITH ref AS ({_REF_POINTS})
+SELECT e.event_id, e.user_id,
+  strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+  e.value,
+  strftime(r.ts, '{_TS_FMT_DUCK}') AS asof_ts,
+  r.ref_value
+FROM events e ASOF LEFT JOIN ref r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+"""
+
+#: shared interval derivation (dialect-neutral): a 10-minute attribution
+#: window opens at every click
+_CLICK_WINDOWS = """
+  SELECT event_id AS interval_id, user_id, ts AS start_ts,
+         ts + INTERVAL 10 MINUTE AS end_ts
+  FROM events WHERE event_type = 'click'
+"""
+
+
+def q_interval_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events landing inside any same-user 10-minute
+    click-attribution window — bucketed equi-join shape (explode intervals
+    over covered time buckets, join on (user, bucket), residual range
+    filter), never O(points × intervals)."""
+    from .operators.events import interval_join
+
+    load_views(spark, sf_dir, "events")
+    points = spark.table("events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    intervals = _sql_over(spark, sf_dir, _CLICK_WINDOWS, "events")
+    out = interval_join(points, intervals, bucket_minutes=10)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "event_type",
+        "interval_id",
+        F.date_format("start_ts", _TS_FMT_SPARK).alias("start_ts"),
+    )
+
+
+_O_INTERVAL_HITS = f"""
+WITH iv AS ({_CLICK_WINDOWS})
+SELECT e.event_id, e.user_id,
+  strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+  e.event_type,
+  iv.interval_id,
+  strftime(iv.start_ts, '{_TS_FMT_DUCK}') AS start_ts
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup on (user_id, event_type), oracle-checked:
     watermarked ``dropDuplicates`` drained with availableNow emits exactly
@@ -2072,6 +2159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessions": q_event_sessions,
     "streaming_windows": q_streaming_windows,
     "streaming_sessions": q_streaming_sessions,
+    "asof_ref": q_asof_ref,
+    "interval_hits": q_interval_hits,
     "streaming_dedup": q_streaming_dedup,
     "streaming_totals": q_streaming_totals,
     "dedup_exact": q_dedup_exact,
@@ -2122,6 +2211,8 @@ ORACLES: dict[str, str] = {
     "event_sessions": _O_EVENT_SESSIONS,
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
+    "asof_ref": _O_ASOF_REF,
+    "interval_hits": _O_INTERVAL_HITS,
     "streaming_dedup": _O_STREAMING_DEDUP,
     "streaming_totals": _O_STREAMING_TOTALS,
     "dedup_exact": _O_DEDUP_EXACT,

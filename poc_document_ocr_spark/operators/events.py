@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_stats", "sessionize_events"]
+__all__ = [
+    "windowed_event_stats",
+    "sessionize_events",
+    "asof_join",
+    "interval_join",
+]
 
 
 def windowed_event_stats(
@@ -55,6 +60,112 @@ def windowed_event_stats(
             "sum_k",
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    payload: tuple[str, ...] = ("ref_value",),
+) -> DataFrame:
+    """As-of join: attach to every ``left`` row the LATEST ``right`` row
+    with ``right.ts <= left.ts`` for the same key (the time-series lookup
+    Spark has no built-in for; DuckDB/kdb call it ASOF JOIN).
+
+    Implemented as the scale shape, not a nested-loop: union both sides
+    tagged, ONE sort-shuffle on (key, ts), and a forward-fill
+    (``last(ignorenulls)``) of the right payload struct down to each left
+    row. Cost is a single Exchange + window regardless of how many right
+    rows precede a left row — never a per-row range scan, never
+    BroadcastNestedLoop (the trap shape Spark picks for a raw
+    ``ts <= ts`` join condition).
+
+    A right row at exactly ``left.ts`` matches (``<=``: the side tag sorts
+    right-before-left at equal stamps). Right rows should be unique per
+    (key, ts) — with duplicates, which one wins is engine-dependent in any
+    asof implementation; pre-aggregate first. Left rows before any right
+    row get null payload. Output: all ``left`` columns + ``asof_ts`` +
+    payload columns.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    lcols = left.columns
+    ltype = StructType(left.schema.fields)
+    rtype = StructType(
+        [StructField("asof_ts", right.schema[ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in payload]
+    )
+    l_tag = left.select(
+        F.col(key),
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_is_l"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(rtype).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(key),
+        F.col(ts).alias("_t"),
+        F.lit(0).alias("_is_l"),
+        F.lit(None).cast(ltype).alias("_l"),
+        F.struct(
+            F.col(ts).alias("asof_ts"), *[F.col(c) for c in payload]
+        ).alias("_r"),
+    )
+    w = W.partitionBy(key).orderBy("_t", "_is_l").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    filled = (
+        l_tag.unionByName(r_tag)
+        .withColumn("_ref", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_is_l") == 1)
+    )
+    return filled.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        F.col("_ref.asof_ts").alias("asof_ts"),
+        *[F.col("_ref")[c].alias(c) for c in payload],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    start: str = "start_ts",
+    end: str = "end_ts",
+    bucket_minutes: int = 60,
+) -> DataFrame:
+    """Range (interval) join: every ``points`` row paired with every
+    ``intervals`` row of the same key whose ``[start, end]`` contains its
+    timestamp.
+
+    A raw ``BETWEEN`` join condition gives Spark only the key equi-part
+    and the range as a post-filter — fine — but with NO key (or a hot key)
+    it degenerates to a nested loop over everything. The scale shape used
+    here: explode each interval over the time buckets it covers, bucket
+    each point (map-side), and join EQUI on (key, bucket) with the exact
+    range check as a residual filter. Each (point, interval) pair meets in
+    exactly one bucket (the point's), so no dedup pass is needed; shuffle
+    volume is O(points + interval-bucket spans), never O(points ×
+    intervals). ``bucket_minutes`` trades explode factor against join
+    selectivity — set it near the typical interval length.
+
+    Output: all ``points`` columns + all non-key ``intervals`` columns.
+    """
+    bucket_us = bucket_minutes * 60 * 1_000_000
+
+    def b(col):
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / bucket_us)
+
+    pb = points.withColumn("_bucket", b(ts))
+    spans = F.sequence(b(start), b(end))
+    ib = intervals.withColumn("_bucket", F.explode(spans))
+    icols = [c for c in intervals.columns if c != key]
+    joined = pb.join(ib, [key, "_bucket"]).filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end))
+    )
+    return joined.select(*points.columns, *icols)
 
 
 def sessionize_events(

@@ -650,3 +650,59 @@ def test_connected_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=1)
+
+
+def test_asof_join_latest_at_or_before(spark):
+    from datetime import datetime
+
+    from poc_document_ocr_spark.operators.events import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, 1, t(5)), (2, 1, t(10)), (3, 1, t(2)), (4, 2, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 30.0), (1, t(10), 100.0), (2, t(40), 7.0)],
+        "user_id long, ts timestamp, ref_value double",
+    )
+    got = {
+        r.event_id: (r.asof_ts, r.ref_value)
+        for r in asof_join(left, right).collect()
+    }
+    assert got[1] == (t(3), 30.0)       # latest ref <= 00:05 is 00:03
+    assert got[2] == (t(10), 100.0)     # equal timestamps match (<=)
+    assert got[3] == (None, None)       # no ref yet -> nulls
+    assert got[4] == (None, None)       # user 2's only ref is later
+
+
+def test_interval_join_matches_plain_range_join(spark):
+    from datetime import datetime, timedelta
+
+    from poc_document_ocr_spark.operators.events import interval_join
+
+    base = datetime(2024, 1, 1)
+    pts = [(i, i % 3, base + timedelta(minutes=7 * i)) for i in range(60)]
+    ivs = [
+        (100 + j, j % 3, base + timedelta(minutes=50 * j),
+         base + timedelta(minutes=50 * j + 25))
+        for j in range(8)
+    ]
+    points = spark.createDataFrame(
+        pts, "event_id long, user_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        ivs, "interval_id long, user_id long, start_ts timestamp, "
+             "end_ts timestamp",
+    )
+    got = {
+        (r.event_id, r.interval_id)
+        for r in interval_join(points, intervals, bucket_minutes=10).collect()
+    }
+    # oracle: the naive cross check in Python
+    want = {
+        (p[0], v[0])
+        for p in pts for v in ivs
+        if p[1] == v[1] and v[2] <= p[2] <= v[3]
+    }
+    assert got == want and len(want) > 0
