@@ -2135,6 +2135,101 @@ GROUP BY ROLLUP (lang, band)
 """
 
 
+#: per-language keep rates for the stratified-sampling query (es falls to
+#: the default)
+_STRAT_RATES = {"en": 0.5, "fr": 1.0, "de": 0.25}
+_STRAT_DEFAULT = 0.1
+
+#: language-prediction CTE shared by the sampling/quantile oracles (the
+#: lang_id marker-word heuristic in SQL)
+_LANG_CTE = """
+h AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('the','and','of','is'))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('el','la','los','que'))) AS BIGINT) AS hits_es,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('le','la','les','est'))) AS BIGINT) AS hits_fr,
+    CAST(len(list_filter(string_split(text, ' '),
+         x -> lower(x) IN ('der','die','und','ist'))) AS BIGINT) AS hits_de
+  FROM documents),
+lp AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN hits_de > greatest(hits_en, hits_es, hits_fr) THEN 'de'
+         WHEN hits_fr > greatest(hits_en, hits_es) THEN 'fr'
+         WHEN hits_es > hits_en THEN 'es'
+         ELSE 'en' END AS lang
+  FROM h)
+"""
+
+
+def _docs_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " "))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+        .withColumnRenamed("pred_lang", "lang")
+    )
+
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture reweighting: per-language deterministic keep rates (50% en,
+    100% fr, 25% de, 10% default) over the language-identified corpus."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs_with_lang(spark, sf_dir),
+        _STRAT_RATES,
+        default_rate=_STRAT_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _o_strat_sample() -> str:
+    from .operators.sampling import _hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{v}' THEN '{_hex_threshold(r)}'"
+        for v, r in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+WITH {_LANG_CTE}
+SELECT doc_id, lang FROM lp
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8) <
+      CASE lang {cases} ELSE '{_hex_threshold(_STRAT_DEFAULT)}' END
+"""
+
+
+def q_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution: exact discrete quantiles
+    (p25/p50/p75/p95 as actual data values, integer-only output)."""
+    from .operators.sampling import group_quantiles
+
+    return group_quantiles(_docs_with_lang(spark, sf_dir))
+
+
+_O_LEN_QUANTILES = f"""
+WITH {_LANG_CTE},
+r AS (SELECT lang, n_tokens AS v,
+        row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS rn
+      FROM lp),
+c AS (SELECT lang, count(*) AS n FROM lp GROUP BY 1),
+t AS (SELECT lang, u.q AS q, CAST(floor(u.qf * (n - 1)) AS BIGINT) AS idx
+      FROM c, (VALUES (250, 0.25), (500, 0.5), (750, 0.75), (950, 0.95))
+        AS u(q, qf))
+SELECT r.lang, CAST(t.q AS INT) AS q, r.v AS value
+FROM r JOIN t ON r.lang = t.lang AND r.rn = t.idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + driver entry
 # ---------------------------------------------------------------------------
@@ -2179,6 +2274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rep_stats": q_rep_stats,
     "tfidf_topterms": q_tfidf_topterms,
     "split_sample": q_split_sample,
+    "strat_sample": q_strat_sample,
+    "len_quantiles": q_len_quantiles,
     "shard_pack": q_shard_pack,
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
@@ -2231,6 +2328,8 @@ ORACLES: dict[str, str] = {
     "rep_stats": _O_REP_STATS,
     "tfidf_topterms": _O_TFIDF_TOPTERMS,
     "split_sample": _o_split_sample(),
+    "strat_sample": _o_strat_sample(),
+    "len_quantiles": _O_LEN_QUANTILES,
     "shard_pack": _O_SHARD_PACK,
     "doc_chunks": _O_DOC_CHUNKS,
     "pii_redact": _O_PII_REDACT,

@@ -28,8 +28,10 @@ __all__ = [
     "split_key",
     "hash_split",
     "hash_sample",
+    "stratified_sample",
     "shard_assign",
     "pack_contiguous",
+    "group_quantiles",
 ]
 
 #: width of the hex prefix compared against split thresholds (8 hex chars
@@ -48,8 +50,16 @@ def split_key(id_col: Column, seed: int = 0) -> Column:
 
 
 def _hex_threshold(fraction: float) -> str:
-    """``fraction`` of the 32-bit hex space as a zero-padded hex literal."""
+    """``fraction`` of the 32-bit hex space as a zero-padded hex literal.
+
+    Fraction 1.0 must compare above EVERY 8-char hex key, but its exact
+    value (``16^8``) is nine chars — which lexicographically sorts BELOW
+    most 8-char keys ('10000000 0' < '2…'). Return ``"g"`` instead: one
+    char above the hex alphabet, greater than every key in both engines.
+    """
     n = min(max(int(round(fraction * (16 ** _HEX_W))), 0), 16 ** _HEX_W)
+    if n >= 16 ** _HEX_W:
+        return "g"
     return format(n, f"0{_HEX_W}x")
 
 
@@ -100,6 +110,33 @@ def hash_sample(
     """
     thr = _hex_threshold(fraction)
     return df.filter(split_key(F.col(id_col), seed) < F.lit(thr))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic down-sampling — the mixture-reweighting
+    primitive of corpus curation (e.g. keep 100% of code, 30% of web, 5%
+    of low-quality strata). ``rates`` maps stratum value → keep fraction;
+    strata not listed keep ``default_rate`` (0 = drop).
+
+    Each stratum's threshold is a fixed hex literal over the SAME
+    :func:`split_key` as :func:`hash_sample`, so per-stratum samples nest
+    and compose with global samples at the same seed. Map-only: one CASE
+    expression and a filter, pushed to the scan — no shuffle, no RNG.
+    """
+    key = split_key(F.col(id_col), seed)
+    thr = F.lit(_hex_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_hex_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(key < thr)
 
 
 def shard_assign(
@@ -167,4 +204,55 @@ def pack_contiguous(
         "pack_pos",
         (F.row_number().over(W.partitionBy(part_col, "pack_id").orderBy(id_col)) - 1)
         .cast("int"),
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_tokens",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact per-group quantiles of an integer measure, discrete
+    convention: quantile q = the element at 0-based sorted index
+    ``floor(q * (n - 1))`` — an ACTUAL value from the data (never an
+    interpolated float), so results are bit-identical across engines and
+    robust to float summation order. The corpus length-distribution
+    report behind chunking/packing budget choices.
+
+    Shape: one window sort per group assigns ranks, one group count joins
+    target indexes in, and the quantile rows are a filter — no collect,
+    no approx sketch (use ``approx_percentile`` instead when one pass
+    over 100 TB matters more than exactness; this operator is the exact
+    twin the sketch is validated against). Ties take the lowest-ranked
+    duplicate (deterministic: ordering is (value, id-stability via
+    row_number over value)).
+
+    Returns ``(group, q, value)`` with ``q`` scaled to an integer permille
+    (250, 500, …) to keep the output all-integer.
+    """
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col).cast("long").alias("v"),
+    ).withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy(group_col).orderBy("v")) - 1,
+    )
+    counts = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(int(round(q * 1000))).alias("q"),
+                F.floor(F.lit(q) * (F.col("n") - 1)).alias("idx"),
+            )
+            for q in qs
+        ]
+    )
+    wanted = counts.select(
+        group_col, F.explode(targets).alias("t")
+    ).select(group_col, F.col("t.q").cast("int").alias("q"), "t.idx")
+    return (
+        ranked.join(wanted, [group_col])
+        .filter(F.col("rn") == F.col("idx"))
+        .select(group_col, "q", F.col("v").alias("value"))
     )

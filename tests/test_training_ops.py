@@ -706,3 +706,44 @@ def test_interval_join_matches_plain_range_join(spark):
         if p[1] == v[1] and v[2] <= p[2] <= v[3]
     }
     assert got == want and len(want) > 0
+
+
+def test_stratified_sample_rates_and_nesting(spark):
+    from poc_document_ocr_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = stratified_sample(
+        df, {"en": 0.2, "fr": 1.0}, strata_col="lang"
+    ).collect()
+    en = [r for r in kept if r.lang == "en"]
+    fr = [r for r in kept if r.lang == "fr"]
+    assert len(fr) == 1000                       # rate 1.0 keeps everything
+    assert abs(len(en) / 1000 - 0.2) < 0.05
+    # nests with the global sampler at the same seed: the en-kept set IS
+    # hash_sample(0.2) restricted to en
+    glob = {r.doc_id for r in hash_sample(df, 0.2).collect()}
+    assert {r.doc_id for r in en} == {d for d in glob if d % 2 == 0}
+    # unlisted strata use default_rate (0 -> dropped entirely)
+    none = stratified_sample(df, {"zz": 1.0}, strata_col="lang").count()
+    assert none == 0
+
+
+def test_group_quantiles_discrete_exact(spark):
+    from poc_document_ocr_spark.operators.sampling import group_quantiles
+
+    rows = [("a", i, (i + 1) * 10) for i in range(9)] + [("b", 100, 7)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    got = {
+        (r.lang, r.q): r.value for r in group_quantiles(df).collect()
+    }
+    # group a: values 10..90, n=9 -> idx floor(q*8): p25->20? floor(2.0)=2 ->30
+    assert got[("a", 250)] == 30
+    assert got[("a", 500)] == 50
+    assert got[("a", 750)] == 70
+    assert got[("a", 950)] == 80        # floor(0.95*8)=7 -> value 80
+    # singleton group: every quantile is the one value
+    assert got[("b", 250)] == 7 and got[("b", 950)] == 7
