@@ -221,6 +221,27 @@ def audit(spark, sf_dir: str):
     )
     sections.append(("shard_pack", excerpt(p)))
 
+    # --- asof_ref: sort-merge forward-fill shape, never a nested loop -----
+    asof = ep.QUERIES["asof_ref"](spark, sf_dir)
+    p = plan_of(asof)
+    check(
+        "asof_ref: no CartesianProduct / BroadcastNestedLoop (union+window asof)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+        "no nested-loop join node in plan",
+    )
+
+    # --- interval_hits: bucketed equi join, range check residual ----------
+    ih = ep.QUERIES["interval_hits"](spark, sf_dir)
+    p = plan_of(ih)
+    check(
+        "interval_hits: equi join on (key, bucket), no nested loop",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+        "join lines: "
+        + "; ".join(
+            l.strip()[:70] for l in p.splitlines() if "Join" in l
+        )[:200],
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
