@@ -2076,6 +2076,37 @@ FROM corpus
 """
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-token budgeting: BPE-ish regex token counts next to the
+    whitespace count, over the punctuation/URL-rich synthetic corpus
+    (where the two measures actually diverge)."""
+    from .operators.textstats import bpe_token_count
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_PII}) pii", "documents"
+    )
+    return bpe_token_count(corpus)
+
+
+def _o_bpe_tokens() -> str:
+    from .operators.textstats import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH corpus AS ({_CORPUS_PII.replace("AS STRING", "AS VARCHAR")}),
+s AS (SELECT doc_id,
+        len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws,
+        len(regexp_extract_all(text, '{pat}')) AS bpe
+      FROM corpus)
+SELECT doc_id,
+  CAST(ws AS BIGINT) AS n_ws_tokens,
+  CAST(bpe AS BIGINT) AS n_bpe_tokens,
+  CAST(CASE WHEN ws > 0 THEN (bpe * 100) // ws END AS BIGINT)
+    AS tokens_per_100_words
+FROM s
+"""
+
+
 def q_corpus_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup: doc/token totals per (language, length
     band), per language, and grand total in one grouping-sets pass."""
@@ -2279,6 +2310,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_pack": q_shard_pack,
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
+    "bpe_tokens": q_bpe_tokens,
     "corpus_comp": q_corpus_comp,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -2333,6 +2365,7 @@ ORACLES: dict[str, str] = {
     "shard_pack": _O_SHARD_PACK,
     "doc_chunks": _O_DOC_CHUNKS,
     "pii_redact": _O_PII_REDACT,
+    "bpe_tokens": _o_bpe_tokens(),
     "corpus_comp": _O_CORPUS_COMP,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,

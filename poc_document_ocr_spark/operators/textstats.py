@@ -28,7 +28,9 @@ __all__ = [
     "chunk_text",
     "redact_pii",
     "corpus_composition",
+    "bpe_token_count",
     "PII_PATTERNS",
+    "BPE_TOKEN_PATTERN",
 ]
 
 #: small closed stopword list for quality scoring (shared with the oracle)
@@ -390,6 +392,46 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
         )
         red = F.regexp_replace(red, pat, token)
     return df.select(F.col(id_col), red.alias("redacted"), *counts)
+
+
+#: GPT-2-style pre-tokenizer approximation, restricted to syntax valid in
+#: BOTH Java regex (Spark) and RE2 (DuckDB): contraction suffixes, space-
+#: prefixed letter runs, digit runs, punctuation runs, whitespace runs. The
+#: real BPE pattern's unicode classes and lookahead are dropped — this is
+#: the budgeting heuristic (~chars/4 for English), not a tokenizer.
+BPE_TOKEN_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_count(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Model-token budgeting: per-document token counts under the BPE-ish
+    regex pre-tokenization next to the whitespace count — the number a
+    context-window planner actually needs (whitespace undercounts
+    punctuation-heavy and digit-heavy text badly).
+
+    ``tokens_per_100_words`` is the integer ratio ``(n_bpe_tokens * 100)
+    DIV n_ws_tokens`` — the density signal, exact cross-engine. Map-only
+    ``regexp_count`` expressions; one scan, no Python.
+    """
+    ws = F.size(
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    ).cast("long")
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast(
+        "long"
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    ).withColumn(
+        "tokens_per_100_words",
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.expr("(n_bpe_tokens * 100) DIV n_ws_tokens"),
+        ).cast("long"),
+    )
 
 
 def corpus_composition(df: DataFrame, lang_col: str = "lang",

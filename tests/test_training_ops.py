@@ -747,3 +747,21 @@ def test_group_quantiles_discrete_exact(spark):
     assert got[("a", 950)] == 80        # floor(0.95*8)=7 -> value 80
     # singleton group: every quantile is the one value
     assert got[("b", 250)] == 7 and got[("b", 950)] == 7
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from poc_document_ocr_spark.operators.textstats import bpe_token_count
+
+    df = _docs(spark, [
+        (1, "hello world"),                  # 2 ws, 2 bpe
+        (2, "it's x1,y2!"),                  # contraction + digits + punct
+        (3, ""),                             # empty: null ratio
+    ])
+    got = {r.doc_id: r for r in bpe_token_count(df).collect()}
+    assert (got[1].n_ws_tokens, got[1].n_bpe_tokens) == (2, 2)
+    assert got[1].tokens_per_100_words == 100
+    # "it's x1,y2!" -> it | 's | ' x' | '1' | ',' | 'y' | '2' | '!' = 8
+    assert got[2].n_ws_tokens == 2
+    assert got[2].n_bpe_tokens == 8
+    assert got[2].tokens_per_100_words == 400
+    assert got[3].n_bpe_tokens == 0 and got[3].tokens_per_100_words is None
