@@ -765,3 +765,88 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert got[2].n_bpe_tokens == 8
     assert got[2].tokens_per_100_words == 400
     assert got[3].n_bpe_tokens == 0 and got[3].tokens_per_100_words is None
+
+
+def test_corpus_curation_ladder_composes(spark):
+    """End-to-end composition of the curation ladder: quality gate ->
+    exact-dup keepers -> near-dup cluster keepers -> deterministic split
+    -> shard -> pack. Asserts the invariants a production pass relies on,
+    at two different parallelism levels."""
+    from poc_document_ocr_spark.operators.dedup import (
+        connected_components,
+        exact_dedup_groups,
+    )
+    from poc_document_ocr_spark.operators.sampling import (
+        hash_split,
+        pack_contiguous,
+        shard_assign,
+    )
+
+    base = [
+        (i, "the quick brown fox jumps over dog number " + " ".join(
+            f"w{(i * 7 + j) % 19}" for j in range(20)))
+        for i in range(40)
+    ]
+    # exact copies of 0-9 at +100, near-copies of 10-19 at +200
+    rows = (
+        base
+        + [(i + 100, t) for i, t in base[:10]]
+        + [(i + 200, t + " tail") for i, t in base[10:20]]
+        + [(300, "x"), (301, "")]          # low-quality junk
+    )
+    docs = _docs(spark, rows)
+
+    # 1. quality gate: junk drops, real docs survive
+    from poc_document_ocr_spark.operators.textstats import quality_score
+
+    kept = quality_score(docs).filter(F.col("keep")).select("doc_id")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert 300 not in kept_ids and 301 not in kept_ids
+    assert set(range(40)) <= kept_ids
+
+    # 2. exact dedup: each copied text keeps exactly its min doc_id
+    groups = exact_dedup_groups(docs.join(kept, "doc_id"))
+    for r in groups.filter(F.col("n_copies") > 1).collect():
+        assert r.keeper_id < 100
+    # 3. near-dup clustering over shingle-LSH pairs: near-copies cluster
+    #    with their source, keeper = min id
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(word_shingles(docs.join(kept, "doc_id")))
+    )
+    comp = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    for i in range(10, 20):
+        if (i + 200) in comp:               # near-copy clustered
+            assert comp[i + 200] == comp.get(i, comp[i + 200])
+
+    # 4. carve the deduped survivors; determinism across repartition
+    survivors = docs.join(kept, "doc_id").filter(F.col("doc_id") < 100)
+    split_a = {
+        r.doc_id: r.split
+        for r in hash_split(survivors, {"train": 0.8, "val": 0.2}).collect()
+    }
+    split_b = {
+        r.doc_id: r.split
+        for r in hash_split(
+            survivors.repartition(11), {"train": 0.8, "val": 0.2}
+        ).collect()
+    }
+    assert split_a == split_b
+
+    # 5. shard + pack: every pack (except possibly each shard's last) is
+    #    over budget only by at most one straddling doc
+    with_tokens = survivors.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_contiguous(
+        shard_assign(with_tokens, n_shards=4), budget=60
+    ).collect()
+    tot = {}
+    for r in packed:
+        tot.setdefault((r.shard, r.pack_id), 0)
+        tot[(r.shard, r.pack_id)] += r.n_tokens
+    max_doc = max(r.n_tokens for r in packed)
+    for (s, p), t in tot.items():
+        assert t < 60 + max_doc             # straddle bound, never runaway
