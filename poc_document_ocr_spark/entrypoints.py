@@ -2110,25 +2110,15 @@ FROM s
 def q_corpus_comp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup: doc/token totals per (language, length
     band), per language, and grand total in one grouping-sets pass."""
-    from .operators.textstats import corpus_composition, lang_id
+    from .operators.textstats import corpus_composition
 
-    docs = _docs(spark, sf_dir)
-    strata = (
-        docs.select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " "))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
-        .select(
-            F.col("pred_lang").alias("lang"),
-            F.when(F.col("n_tokens") < 50, "short")
-            .when(F.col("n_tokens") < 200, "medium")
-            .otherwise("long")
-            .alias("band"),
-            "n_tokens",
-        )
+    strata = _docs_with_lang(spark, sf_dir).select(
+        "lang",
+        F.when(F.col("n_tokens") < 50, "short")
+        .when(F.col("n_tokens") < 200, "medium")
+        .otherwise("long")
+        .alias("band"),
+        "n_tokens",
     )
     return corpus_composition(strata)
 
@@ -2197,18 +2187,16 @@ lp AS (
 
 
 def _docs_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, lang) in ONE map-side projection — language and
+    token count come from the same row, so no self-join of two scans
+    (which at 100 TB would be a full shuffle of the corpus for nothing)."""
     from .operators.textstats import lang_id
 
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.select(
-            "doc_id",
-            F.size(F.split(F.col("text"), " "))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
-        .withColumnRenamed("pred_lang", "lang")
+    docs = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return lang_id(docs, keep=("n_tokens",)).select(
+        "doc_id", "n_tokens", F.col("pred_lang").alias("lang")
     )
 
 

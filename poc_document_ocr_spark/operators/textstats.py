@@ -81,12 +81,15 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id",
-            text_col: str = "text") -> DataFrame:
+            text_col: str = "text",
+            keep: tuple[str, ...] = ()) -> DataFrame:
     """Marker-word language heuristic.
 
     Scores each language by marker-token hits; argmax with deterministic
     tie-break on ``LANG_MARKERS`` order. Columns: ``pred_lang`` plus one
-    ``hits_<lang>`` per language.
+    ``hits_<lang>`` per language. ``keep`` passes extra input columns
+    through, so callers composing language with other per-doc measures
+    stay in ONE projection instead of self-joining two scans.
     """
     toks = _tokens(F.col(text_col))
 
@@ -105,6 +108,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
         best_hits = F.when(cond, hit_cols[lang]).otherwise(best_hits)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         *[hit_cols[lang].alias(f"hits_{lang}") for lang, _ in LANG_MARKERS],
         best.alias("pred_lang"),
     )
