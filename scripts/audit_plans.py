@@ -201,7 +201,7 @@ def audit(spark, sf_dir: str):
     # --- corpus carving: split/sample/chunk/redact are map-only ----------
     for qname in (
         "split_sample", "strat_sample", "doc_chunks", "pii_redact",
-        "rep_stats",
+        "rep_stats", "bpe_tokens",
     ):
         q = ep.QUERIES[qname](spark, sf_dir)
         p = plan_of(q)
