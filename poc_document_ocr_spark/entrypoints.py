@@ -2249,6 +2249,101 @@ FROM r JOIN t ON r.lang = t.lang AND r.rn = t.idx
 """
 
 
+def q_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup (the removal pass): repeated
+    8-word segments keep only their globally-first occurrence; cleaned
+    text is reassembled per document."""
+    from .operators.dedup import segment_dedup
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    return segment_dedup(corpus, n=8)
+
+
+_O_C4_LINE_DEDUP = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+seg AS (SELECT doc_id, CAST(i AS INT) AS seg_idx,
+          array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS seg
+        FROM w, UNNEST(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS u(i)),
+r AS (SELECT doc_id, seg_idx, seg,
+        row_number() OVER (PARTITION BY md5(seg)
+                           ORDER BY doc_id, seg_idx) AS rn
+      FROM seg),
+pd AS (SELECT doc_id,
+         CAST(count(*) AS INT) AS n_segments,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+         coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                    FILTER (WHERE rn = 1), '') AS clean_text
+       FROM r GROUP BY doc_id)
+SELECT c.doc_id,
+  coalesce(pd.n_segments, 0) AS n_segments,
+  coalesce(pd.n_kept, 0) AS n_kept,
+  coalesce(pd.n_segments, 0) - coalesce(pd.n_kept, 0) AS n_dropped,
+  coalesce(pd.clean_text, '') AS clean_text
+FROM corpus c LEFT JOIN pd ON pd.doc_id = c.doc_id
+"""
+
+
+def q_ulm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language LM quality banding over the documents
+    corpus: integer-exact unigram inverse-frequency score + head/middle/
+    tail terciles per language."""
+    from .operators.textstats import lm_quality_bands
+
+    return lm_quality_bands(_docs(spark, sf_dir))
+
+
+_O_ULM_QUALITY = """
+WITH tk AS (SELECT doc_id, lang, u.term AS term
+            FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+            WHERE u.term <> ''),
+tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tk GROUP BY 1, 2, 3),
+m AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS cnt
+      FROM tf GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id, tf.lang,
+         CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(tf.tf * (1000000000 // m.cnt)) // sum(tf.tf) AS BIGINT)
+           AS score_key
+       FROM tf JOIN m ON tf.lang = m.lang AND tf.term = m.term
+       GROUP BY 1, 2)
+SELECT doc_id, lang, n_tokens, score_key,
+  CASE ntile(3) OVER (PARTITION BY lang ORDER BY score_key, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS band
+FROM sc
+"""
+
+
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (α = 0.5) multilingual sampling weights over the
+    documents corpus — natural vs temperature token shares in integer ppm
+    plus the per-language up-sampling factor."""
+    from .operators.sampling import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir))
+
+
+_O_MIX_WEIGHTS = """
+WITH pl AS (SELECT lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1),
+k AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS s FROM pl),
+t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+        CAST(sum(s) AS BIGINT) AS tot_s FROM k)
+SELECT lang, n_docs, n_tokens, p_ppm, w_ppm,
+  CASE WHEN p_ppm > 0 THEN CAST(w_ppm * 1000 // p_ppm AS BIGINT) END
+    AS up_x1000
+FROM (SELECT lang, n_docs, n_tokens,
+        CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS p_ppm,
+        CAST(s * 1000000 // tot_s AS BIGINT) AS w_ppm
+      FROM k, t) z
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + driver entry
 # ---------------------------------------------------------------------------
@@ -2285,6 +2380,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "dup_spans": q_dup_spans,
     "decontam": q_decontam,
+    "c4_line_dedup": q_c4_line_dedup,
+    "ulm_quality": q_ulm_quality,
+    "mix_weights": q_mix_weights,
     "token_stats": q_token_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -2340,6 +2438,9 @@ ORACLES: dict[str, str] = {
     "dedup_components": _O_DEDUP_COMPONENTS,
     "dup_spans": _O_DUP_SPANS,
     "decontam": _O_DECONTAM,
+    "c4_line_dedup": _O_C4_LINE_DEDUP,
+    "ulm_quality": _O_ULM_QUALITY,
+    "mix_weights": _O_MIX_WEIGHTS,
     "token_stats": _O_TOKEN_STATS,
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,

@@ -35,6 +35,7 @@ __all__ = [
     "connected_components",
     "duplicate_ngram_spans",
     "decontaminate",
+    "segment_dedup",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
     "SIMHASH_BLOCKS",
@@ -517,5 +518,91 @@ def decontaminate(
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus-level segment dedup in the style of C4 (Raffel et al.,
+    arXiv:1910.10683 §2.2): any fixed ``n``-word segment occurring more
+    than once in the WHOLE corpus keeps only its globally-first occurrence
+    (lowest ``(doc_id, seg_idx)``); every other occurrence is removed and
+    the surviving segments are re-joined into ``clean_text``. Unlike
+    :func:`duplicate_ngram_spans` (which only *reports* shared spans),
+    this is the removal pass a cleaning pipeline actually applies. C4 uses
+    three-sentence spans; the transcripts corpus has no sentence
+    punctuation, so the unit is a non-overlapping ``n``-word window (the
+    final short remainder is its own segment).
+
+    Shape: segmentation is map-side (higher-order slice + ``md5``); the
+    keeper election is ONE groupBy(segment-hash) whose ``min(struct)`` /
+    ``count`` partial-aggregate map-side — a segment repeated 10⁹ times
+    costs one combiner row per input partition, never a single-task
+    window (the skew-safe choice at 100 TB). The join back is an
+    equi-join on the hash (AQE skew-split applies), and reassembly is one
+    groupBy(doc) whose per-doc state is bounded by the document's own
+    segment count. Docs whose every segment got dropped (or empty docs)
+    still appear, with ``clean_text = ''``.
+
+    Returns ``(doc_id, n_segments, n_kept, n_dropped, clean_text)``.
+    """
+    words = F.split(F.col(text_col), " ")
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / "
+        f"{n})) - 1), i -> concat_ws(' ', "
+        f"slice(split({text_col}, ' '), i * {n} + 1, {n})))"
+    )
+    occ = (
+        df.filter(F.size(words) > 0)
+        .select(F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg"))
+        .select(
+            F.col(id_col),
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            F.col("seg"),
+            F.md5(F.col("seg")).alias("gh"),
+        )
+    )
+    keepers = occ.groupBy("gh").agg(
+        F.min(F.struct(F.col(id_col), F.col("seg_idx"))).alias("keeper"),
+    )
+    flagged = occ.join(keepers, "gh").select(
+        F.col(id_col),
+        "seg_idx",
+        "seg",
+        (
+            (F.col(f"keeper.{id_col}") == F.col(id_col))
+            & (F.col("keeper.seg_idx") == F.col("seg_idx"))
+        ).alias("keep"),
+    )
+    kept_struct = F.when(
+        F.col("keep"), F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_segments", F.lit(0)).cast("int").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            (
+                F.coalesce("n_segments", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).cast("int").alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )

@@ -32,6 +32,7 @@ __all__ = [
     "shard_assign",
     "pack_contiguous",
     "group_quantiles",
+    "mixture_weights",
 ]
 
 #: width of the hex prefix compared against split thresholds (8 hex chars
@@ -255,4 +256,62 @@ def group_quantiles(
         ranked.join(wanted, [group_col])
         .filter(F.col("rn") == F.col("idx"))
         .select(group_col, "q", F.col("v").alias("value"))
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based multilingual sampling weights (the XLM-R / mT5
+    mixing rule, Conneau et al. arXiv:1911.02116 §3.1): sample language
+    ``i`` with probability ``q_i ∝ p_i^α`` where ``p_i`` is its natural
+    token share — α < 1 up-samples low-resource languages. α is fixed at
+    0.5 because IEEE-754 requires ``sqrt`` to be correctly rounded, so
+    Spark and the DuckDB oracle produce the bit-identical double from the
+    same BIGINT token count (a general ``pow(p, α)`` is NOT bit-stable
+    across libm implementations); the one subsequent ``× 10⁶`` multiply
+    and ``floor`` are likewise exact, and everything after is BIGINT.
+
+    Per language: ``n_docs``, ``n_tokens``, natural share ``p_ppm``,
+    temperature share ``w_ppm`` (parts-per-million, integer), and the
+    up/down-sampling factor ``up_x1000 = 1000·w/p`` a sampler multiplies
+    each language's per-epoch draw count by.
+
+    Shape: ONE groupBy(lang) with map-side combine over the scan (the
+    token count is a column expression), then a broadcast of the 1-row
+    totals — output cardinality = number of languages, so every later
+    step is driver-trivial at any corpus size.
+    """
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per_lang = df.groupBy(lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_toks).alias("n_tokens"),
+    )
+    # floor(sqrt(n)·1e6): sqrt and the single multiply are IEEE-exact in
+    # both engines; from here on everything is integer arithmetic
+    skey = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    keyed = per_lang.withColumn("_s", skey)
+    totals = keyed.agg(
+        F.sum("n_tokens").alias("_tot_tokens"),
+        F.sum("_s").alias("_tot_s"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(lang_col),
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div _tot_tokens").alias("p_ppm"),
+            F.expr("_s * 1000000 div _tot_s").alias("w_ppm"),
+        )
+        .withColumn(
+            "up_x1000",
+            F.when(
+                F.col("p_ppm") > 0, F.expr("w_ppm * 1000 div p_ppm")
+            ),
+        )
     )

@@ -224,6 +224,52 @@ def audit(spark, sf_dir: str):
     )
     sections.append(("shard_pack", excerpt(p)))
 
+    # --- c4_line_dedup: skew-safe keeper election ------------------------
+    # the segment-hash groupBy must partial-aggregate map-side (a segment
+    # repeated 10^9 times = one combiner row per input partition, never a
+    # single-task window), and neither join side may be force-broadcast
+    # (both are corpus-cardinality)
+    c4 = ep.QUERIES["c4_line_dedup"](spark, sf_dir)
+    check(
+        "c4_line_dedup: no forced broadcast (keeper side is corpus-sized)",
+        "ResolvedHint" not in analyzed(c4),
+        "no ResolvedHint in analyzed plan",
+    )
+    p = plan_of(c4)
+    check(
+        "c4_line_dedup: keeper election partial-aggregates map-side",
+        "partial_min" in p,
+        next(
+            (l.strip()[:90] for l in p.splitlines() if "partial_min" in l),
+            "absent",
+        ),
+    )
+    check(
+        "c4_line_dedup: no CartesianProduct (hash equi-join back only)",
+        "CartesianProduct" not in p,
+        "no cartesian in plan",
+    )
+
+    # --- ulm_quality: per-language model join left to AQE ----------------
+    ulm = ep.QUERIES["ulm_quality"](spark, sf_dir)
+    check(
+        "ulm_quality: no forced broadcast (unigram model side is unbounded)",
+        "ResolvedHint" not in analyzed(ulm),
+        "no ResolvedHint in analyzed plan",
+    )
+
+    # --- mix_weights: one scan pruned to (lang, text) ---------------------
+    mw = ep.QUERIES["mix_weights"](spark, sf_dir)
+    p = plan_of(mw)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    check(
+        "mix_weights: scan reads only (lang, text)",
+        bool(m) and sorted(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == ["lang", "text"],
+        m.group(1) if m else "no ReadSchema",
+    )
+
     # --- asof_ref: sort-merge forward-fill shape, never a nested loop -----
     asof = ep.QUERIES["asof_ref"](spark, sf_dir)
     p = plan_of(asof)

@@ -850,3 +850,105 @@ def test_corpus_curation_ladder_composes(spark):
     max_doc = max(r.n_tokens for r in packed)
     for (s, p), t in tot.items():
         assert t < 60 + max_doc             # straddle bound, never runaway
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from poc_document_ocr_spark.operators.dedup import segment_dedup
+
+    # doc 1 and doc 2 share their first 4-word segment; doc 2's second
+    # segment is unique; doc 3 repeats doc 1's segment twice internally
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a b c d x y z w"),
+            (3, "a b c d a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(df, n=4).collect()
+    }
+    # doc 1 owns the global first occurrence of 'a b c d'
+    assert out[1]["clean_text"] == "a b c d"
+    assert (out[1]["n_segments"], out[1]["n_kept"], out[1]["n_dropped"]) == (
+        1, 1, 0,
+    )
+    # doc 2 loses the shared segment, keeps its unique one
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[2]["n_dropped"] == 1
+    # doc 3 loses BOTH copies (first occurrence lives in doc 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    from poc_document_ocr_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    row = segment_dedup(df, n=4).collect()[0]
+    # 5 words → one full segment + a 1-word remainder segment
+    assert row["n_segments"] == 2
+    assert row["clean_text"] == "a b c d e"
+
+
+def test_lm_quality_bands_orders_rare_tokens_to_tail(spark):
+    from poc_document_ocr_spark.operators.textstats import lm_quality_bands
+
+    # 'common' appears 12×; each doc_3 token is unique → doc 3 scores
+    # highest mean inverse frequency and must land in the last tercile
+    df = spark.createDataFrame(
+        [
+            (1, "en", "common common common common common common"),
+            (2, "en", "common common common common common rareish"),
+            (3, "en", "zeta yotta qux glorp"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_quality_bands(df).collect()}
+    assert rows[1]["band"] == "head"
+    assert rows[3]["band"] == "tail"
+    assert rows[1]["score_key"] < rows[2]["score_key"] < rows[3]["score_key"]
+    # integer-exact score: doc 3's tokens are singletons → mean inverse
+    # frequency is exactly 10⁹
+    assert rows[3]["score_key"] == 1_000_000_000
+    assert rows[3]["n_tokens"] == 4
+
+
+def test_lm_quality_model_is_per_language(spark):
+    from poc_document_ocr_spark.operators.textstats import lm_quality_bands
+
+    # the same token is common in en but a singleton in fr — the fr doc
+    # must be scored against the fr model only
+    df = spark.createDataFrame(
+        [
+            (1, "en", "w w w w"),
+            (2, "fr", "w"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_quality_bands(df).collect()}
+    assert rows[1]["score_key"] == 1_000_000_000 // 4
+    assert rows[2]["score_key"] == 1_000_000_000
+
+
+def test_mixture_weights_upsamples_low_resource(spark):
+    from poc_document_ocr_spark.operators.sampling import mixture_weights
+
+    # en: 4 docs × 4 tokens = 16; fr: 1 doc × 1 token
+    df = spark.createDataFrame(
+        [(i, "en", "a b c d") for i in range(4)] + [(9, "fr", "a")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in mixture_weights(df).collect()}
+    assert rows["en"]["n_tokens"] == 16 and rows["fr"]["n_tokens"] == 1
+    # natural shares in ppm (integer floor division)
+    assert rows["en"]["p_ppm"] == 16 * 1_000_000 // 17
+    assert rows["fr"]["p_ppm"] == 1 * 1_000_000 // 17
+    # sqrt temperature: weights ∝ 4e6 : 1e6 → 800000 : 200000 ppm
+    assert rows["en"]["w_ppm"] == 800_000
+    assert rows["fr"]["w_ppm"] == 200_000
+    # low-resource fr is up-sampled (>1×), high-resource en down-sampled
+    assert rows["fr"]["up_x1000"] > 1000 > rows["en"]["up_x1000"]
