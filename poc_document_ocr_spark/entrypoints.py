@@ -2344,6 +2344,96 @@ FROM (SELECT lang, n_docs, n_tokens,
 """
 
 
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-blocklist screen over the documents corpus: per-doc hit
+    counts, integer ppm hit ratio, and the keep verdict (C4-style lexical
+    filter softened to a ratio threshold)."""
+    from .operators.textstats import blocklist_hits
+
+    return blocklist_hits(_docs(spark, sf_dir))
+
+
+_O_BLOCKLIST = """
+WITH t AS (SELECT doc_id,
+        list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+      FROM documents),
+c AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks,
+          x -> list_contains(['slow','spam','junk','vector'], x)))
+          AS BIGINT) AS hits,
+        CAST(len(list_intersect(list_distinct(toks),
+          ['slow','spam','junk','vector'])) AS BIGINT) AS distinct_hits
+      FROM t)
+SELECT doc_id, n_tokens, hits, distinct_hits,
+  CAST(CASE WHEN n_tokens > 0 THEN hits * 1000000 // n_tokens
+       ELSE 0 END AS BIGINT) AS hit_ppm,
+  (CASE WHEN n_tokens > 0 THEN hits * 1000000 // n_tokens
+   ELSE 0 END) <= 60000 AS keep
+FROM c
+"""
+
+
+def q_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary/Zipf profile: token totals, vocab size,
+    hapax count, and the dominant term with its integer ppm share."""
+    from .operators.textstats import zipf_stats
+
+    return zipf_stats(_docs(spark, sf_dir))
+
+
+_O_ZIPF_STATS = """
+WITH tk AS (SELECT lang, u.term FROM documents,
+        UNNEST(string_split(text, ' ')) AS u(term) WHERE u.term <> ''),
+pt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt
+       FROM tk GROUP BY 1, 2),
+top AS (SELECT lang, term AS top_term, cnt AS top_cnt,
+          row_number() OVER (PARTITION BY lang
+                             ORDER BY cnt DESC, term) AS rn
+        FROM pt),
+agg AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          CAST(count(*) AS BIGINT) AS vocab,
+          CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        FROM pt GROUP BY 1)
+SELECT a.lang, a.n_tokens, a.vocab, a.hapax, t.top_term, t.top_cnt,
+  CAST(t.top_cnt * 1000000 // a.n_tokens AS BIGINT) AS top_share_ppm
+FROM agg a JOIN top t ON a.lang = t.lang AND t.rn = 1
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM familiarity over the documents corpus: integer-exact
+    tf-weighted mean conditional bigram probability (ppm) per document,
+    under a per-language model trained on the corpus itself."""
+    from .operators.textstats import bigram_familiarity
+
+    return bigram_familiarity(_docs(spark, sf_dir))
+
+
+_O_BIGRAM_LM = """
+WITH t AS (SELECT doc_id, lang,
+        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents),
+bi AS (SELECT doc_id, lang, toks[i + 1] AS w1, toks[i + 2] AS w2
+       FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
+       WHERE len(toks) >= 2),
+tf AS (SELECT doc_id, lang, w1, w2, CAST(count(*) AS BIGINT) AS tf
+       FROM bi GROUP BY 1, 2, 3, 4),
+m AS (SELECT lang, w1, w2, CAST(sum(tf) AS BIGINT) AS cnt
+      FROM tf GROUP BY 1, 2, 3),
+p AS (SELECT lang, w1, CAST(sum(cnt) AS BIGINT) AS pcnt
+      FROM m GROUP BY 1, 2)
+SELECT tf.doc_id, tf.lang,
+  CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+  CAST(sum(tf.tf * (m.cnt * 1000000 // p.pcnt)) // sum(tf.tf) AS BIGINT)
+    AS familiarity_ppm
+FROM tf
+JOIN m ON tf.lang = m.lang AND tf.w1 = m.w1 AND tf.w2 = m.w2
+JOIN p ON tf.lang = p.lang AND tf.w1 = p.w1
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry + driver entry
 # ---------------------------------------------------------------------------
@@ -2398,6 +2488,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "bpe_tokens": q_bpe_tokens,
     "corpus_comp": q_corpus_comp,
+    "blocklist": q_blocklist,
+    "zipf_stats": q_zipf_stats,
+    "bigram_lm": q_bigram_lm,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -2456,6 +2549,9 @@ ORACLES: dict[str, str] = {
     "pii_redact": _O_PII_REDACT,
     "bpe_tokens": _o_bpe_tokens(),
     "corpus_comp": _O_CORPUS_COMP,
+    "blocklist": _O_BLOCKLIST,
+    "zipf_stats": _O_ZIPF_STATS,
+    "bigram_lm": _O_BIGRAM_LM,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "ann_ivf": _O_ANN_IVF,

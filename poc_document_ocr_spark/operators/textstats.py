@@ -30,8 +30,12 @@ __all__ = [
     "corpus_composition",
     "bpe_token_count",
     "lm_quality_bands",
+    "blocklist_hits",
+    "zipf_stats",
+    "bigram_familiarity",
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
+    "BLOCKLIST",
 ]
 
 #: small closed stopword list for quality scoring (shared with the oracle)
@@ -552,4 +556,180 @@ def lm_quality_bands(
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tercile
         ).alias("band"),
+    )
+
+
+#: closed demo blocklist for the keyword-filter operator (shared with the
+#: oracle); a production list (e.g. the LDNOOBW sets) plugs in unchanged
+BLOCKLIST: tuple[str, ...] = ("slow", "spam", "junk", "vector")
+
+
+def blocklist_hits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: tuple[str, ...] = BLOCKLIST,
+    max_hit_ppm: int = 60_000,
+) -> DataFrame:
+    """Keyword-blocklist filter — the cheap lexical screen (C4 drops any
+    page with a "bad words" hit, Raffel et al. 1910.10683 §2.2; most
+    production pipelines soften that to a hit-ratio threshold, which is
+    what the ``keep`` verdict applies here).
+
+    Map-only higher-order functions over the token array: total
+    occurrences, distinct blocklisted terms, and an integer parts-per-
+    million hit ratio (exact BIGINT arithmetic — no float in the verdict,
+    so the filter is bit-stable across engines and partitionings).
+    ``keep`` is a plain boolean so downstream scans can push it down.
+
+    At 100 TB: one scan, zero shuffles; the blocklist is a literal in the
+    plan (for 10⁵-term production lists swap the ``isin`` for a broadcast
+    join against a terms table — same verdict columns).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    with_t = df.select(
+        F.col(id_col), toks.alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter("_toks", lambda t: t.isin(*blocklist))
+        ).cast("long").alias("hits"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("_toks"),
+                F.array(*[F.lit(b) for b in blocklist]),
+            )
+        ).cast("long").alias("distinct_hits"),
+    )
+    return with_t.select(
+        id_col,
+        "n_tokens",
+        "hits",
+        "distinct_hits",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("hits * 1000000 div n_tokens"),
+        ).otherwise(F.lit(0).cast("long")).alias("hit_ppm"),
+    ).withColumn("keep", F.col("hit_ppm") <= F.lit(max_hit_ppm))
+
+
+def zipf_stats(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language vocabulary / Zipf profile: token total, vocabulary
+    size, hapax-legomena count, and the most frequent term with its corpus
+    share — the one-page lexical health report a curator checks for
+    tokenizer sizing and for spotting boilerplate floods (a top term with
+    an outsized share is usually template text).
+
+    Two shuffles total: groupBy((lang, term)) with map-side combine, then
+    groupBy(lang) over the per-term counts (vocabulary-sized, tiny). The
+    top term is ``min(struct(-cnt, term))`` — an order-insensitive
+    aggregate, so no window and a deterministic tie-break (highest count,
+    then lexicographically smallest term) without a sort.
+    """
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("term")
+    per_term = (
+        df.select(F.col(lang_col), toks)
+        .filter(F.col("term") != "")
+        .groupBy(lang_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        per_term.groupBy(lang_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(
+                F.when(F.col("cnt") == 1, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("hapax"),
+            F.min(F.struct((-F.col("cnt")).alias("neg"), "term")).alias("_top"),
+        )
+        .select(
+            lang_col,
+            "n_tokens",
+            "vocab",
+            "hapax",
+            F.col("_top.term").alias("top_term"),
+            (-F.col("_top.neg")).cast("long").alias("top_cnt"),
+            F.expr("(0 - _top.neg) * 1000000 div n_tokens").alias(
+                "top_share_ppm"
+            ),
+        )
+    )
+
+
+def bigram_familiarity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model familiarity score: how predictable each
+    document's word-to-word transitions are under a per-language bigram
+    model trained on the corpus itself — the conditional-probability
+    counterpart to :func:`lm_quality_bands`' unigram score (shuffled or
+    machine-generated word salad scores low even when every individual
+    word is common; cf. CCNet's KenLM filtering, Wenzek et al. 1911.00359).
+
+    Integer-exact (cross-engine float log/summation is not bit-stable):
+    for each document bigram (w1, w2),
+
+        ``cond_ppm = (cnt(lang, w1, w2) * 10⁶) DIV cnt(lang, w1·*)``
+
+    is the conditional probability P(w2|w1) in parts-per-million, and the
+    document score is the tf-weighted mean ``Σ tf·cond_ppm DIV n_bigrams``
+    — all BIGINT (ppm ≤ 10⁶, a 10⁹-bigram document tops out at 10¹⁵).
+
+    Shape: bigram formation is a map-only indexed ``transform`` over the
+    token array (no self-join / no window over exploded tokens); then one
+    groupBy((doc, lang, w1, w2)) for tf, a vocabulary-sized groupBy for
+    each model table, and two co-partitioned equi-joins back — AQE handles
+    the stopword-prefix skew. Documents with < 2 tokens are excluded (no
+    transitions to score).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    with_bi = (
+        df.select(F.col(id_col), F.col(lang_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(_toks, 1, size(_toks) - 1),"
+                    " (t, i) -> struct(t AS w1, _toks[i + 1] AS w2))"
+                )
+            ).alias("_bi"),
+        )
+        .select(id_col, lang_col, "_bi.w1", "_bi.w2")
+    )
+    tf = with_bi.groupBy(id_col, lang_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    model = tf.groupBy(lang_col, "w1", "w2").agg(
+        F.sum("tf").alias("cnt")
+    )
+    prefix = model.groupBy(lang_col, "w1").agg(
+        F.sum("cnt").alias("pcnt")
+    )
+    return (
+        tf.join(model, [lang_col, "w1", "w2"])
+        .join(prefix, [lang_col, "w1"])
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("tf") * F.expr("cnt * 1000000 div pcnt")
+            ).alias("_num"),
+        )
+        .select(
+            id_col,
+            lang_col,
+            "n_bigrams",
+            F.expr("_num div n_bigrams").alias("familiarity_ppm"),
+        )
     )

@@ -952,3 +952,84 @@ def test_mixture_weights_upsamples_low_resource(spark):
     assert rows["fr"]["w_ppm"] == 200_000
     # low-resource fr is up-sampled (>1×), high-resource en down-sampled
     assert rows["fr"]["up_x1000"] > 1000 > rows["en"]["up_x1000"]
+
+
+def test_blocklist_hits_counts_and_verdict(spark):
+    from poc_document_ocr_spark.operators.textstats import blocklist_hits
+
+    df = _docs(
+        spark,
+        [
+            (1, "clean text only here"),
+            (2, "spam spam JUNK fine"),   # 3/4 blocklisted, case-folded
+            (3, "slow but mostly ok text words here more words pad pad"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in blocklist_hits(df).collect()}
+    assert rows[1]["hits"] == 0 and rows[1]["keep"]
+    assert rows[2]["hits"] == 3 and rows[2]["distinct_hits"] == 2
+    assert rows[2]["hit_ppm"] == 3 * 1_000_000 // 4
+    assert not rows[2]["keep"]
+    # 1 hit / 11 tokens ≈ 90909 ppm > 60000 → dropped
+    assert rows[3]["hits"] == 1 and not rows[3]["keep"]
+    # custom threshold flips the verdict
+    loose = {
+        r["doc_id"]: r
+        for r in blocklist_hits(df, max_hit_ppm=100_000).collect()
+    }
+    assert loose[3]["keep"] and not loose[2]["keep"]
+
+
+def test_zipf_stats_exact_profile(spark):
+    from poc_document_ocr_spark.operators.textstats import zipf_stats
+
+    df = spark.createDataFrame(
+        # en: the×3 cat×2 sat×1 → 6 tokens, vocab 3, hapax 1
+        # fr: le×1 chat×1 (tie on cnt → lexicographically smaller wins)
+        [
+            (1, "en", "the cat the cat the sat"),
+            (2, "fr", "le chat"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in zipf_stats(df).collect()}
+    en = rows["en"]
+    assert (en["n_tokens"], en["vocab"], en["hapax"]) == (6, 3, 1)
+    assert (en["top_term"], en["top_cnt"]) == ("the", 3)
+    assert en["top_share_ppm"] == 3 * 1_000_000 // 6
+    fr = rows["fr"]
+    assert (fr["top_term"], fr["top_cnt"]) == ("chat", 1)  # tie → min term
+
+
+def test_bigram_familiarity_conditional_ppm(spark):
+    from poc_document_ocr_spark.operators.textstats import (
+        bigram_familiarity,
+    )
+
+    # model (lang en): "a b" ×2 (docs 1+2), "a c" ×1 → P(b|a)=2/3, P(c|a)=1/3
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a b"),
+            (2, "en", "a b"),
+            (3, "en", "a c"),
+            (4, "en", "x"),  # < 2 tokens → excluded
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_familiarity(df).collect()}
+    assert 4 not in rows
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["familiarity_ppm"] == 2 * 1_000_000 // 3
+    assert rows[3]["familiarity_ppm"] == 1 * 1_000_000 // 3
+    # shuffled word-salad scores below a fluent doc under the same model:
+    # every transition in doc 5 is unique (P = 1/pcnt small) vs doc 6's
+    # repeated high-probability transition
+    df2 = spark.createDataFrame(
+        [
+            (5, "en", "p r p s p t"),
+            (6, "en", "p q p q p q"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    r2 = {r["doc_id"]: r for r in bigram_familiarity(df2).collect()}
+    assert r2[6]["familiarity_ppm"] > r2[5]["familiarity_ppm"]
