@@ -2344,6 +2344,61 @@ FROM (SELECT lang, n_docs, n_tokens,
 """
 
 
+def q_dedup_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best dedup policy end-to-end: LSH candidate pairs → connected
+    components → one canonical document per cluster, chosen by highest
+    text length (the keep-longest convention), ties by lowest doc_id."""
+    from .operators.dedup import canonical_docs, connected_components
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    scored = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return canonical_docs(scored, comp)
+
+
+_O_DEDUP_CANON = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b AS src, id_a AS dst FROM prs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (SELECT c.doc_id, coalesce(m.component, c.doc_id) AS component,
+          CAST(length(c.text) AS BIGINT) AS score
+        FROM corpus c LEFT JOIN comp m ON m.node = c.doc_id),
+win AS (SELECT component,
+          CAST(count(*) AS BIGINT) AS cluster_size,
+          first(doc_id ORDER BY score DESC, doc_id) AS canon_id
+        FROM lab GROUP BY component)
+SELECT l.doc_id, l.component, w.cluster_size, w.canon_id,
+       (l.doc_id = w.canon_id) AS is_canon
+FROM lab l JOIN win w ON l.component = w.component
+"""
+
+
 def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-blocklist screen over the documents corpus: per-doc hit
     counts, integer ppm hit ratio, and the keep verdict (C4-style lexical
@@ -2468,6 +2523,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
     "dedup_components": q_dedup_components,
+    "dedup_canon": q_dedup_canon,
     "dup_spans": q_dup_spans,
     "decontam": q_decontam,
     "c4_line_dedup": q_c4_line_dedup,
@@ -2529,6 +2585,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": _O_NGRAM_JACCARD,
     "simhash_neardup": _O_SIMHASH_NEARDUP,
     "dedup_components": _O_DEDUP_COMPONENTS,
+    "dedup_canon": _O_DEDUP_CANON,
     "dup_spans": _O_DUP_SPANS,
     "decontam": _O_DECONTAM,
     "c4_line_dedup": _O_C4_LINE_DEDUP,

@@ -33,6 +33,7 @@ __all__ = [
     "simhash_hamming",
     "simhash_near_pairs",
     "connected_components",
+    "canonical_docs",
     "duplicate_ngram_spans",
     "decontaminate",
     "segment_dedup",
@@ -362,6 +363,57 @@ def connected_components(
         )
     edges.unpersist()
     return labels
+
+
+def canonical_docs(
+    docs: DataFrame,
+    comp: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Canonical-representative selection: given per-document cluster
+    labels (``comp``: the (node, component) output of
+    :func:`connected_components`) and a per-document integer quality
+    score, keep exactly ONE document per near-dup cluster — the highest
+    scoring, ties broken by lowest id. This is the policy step a cleaning
+    pass applies after clustering: near-dup groups usually keep the
+    longest / highest-quality member, not the arbitrary min-id one
+    (cf. the keep-longest convention in C4 / deduplicated CommonCrawl
+    pipelines, Raffel et al. 1910.10683).
+
+    The winner is ``min(struct(-score, id))`` — an order-insensitive
+    aggregate, so the choice is deterministic under any partitioning and
+    costs one vertex-count groupBy (no window over the full corpus).
+    Unlabeled documents (absent from ``comp``) are singleton clusters and
+    keep themselves.
+
+    Returns one row per input document:
+    ``(id, component, cluster_size, canon_id, is_canon)``.
+    """
+    labeled = (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            docs[id_col],
+            F.coalesce("component", docs[id_col]).alias("component"),
+            F.col(score_col).cast("long").alias("_score"),
+        )
+    )
+    winners = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min(
+            F.struct((-F.col("_score")).alias("neg"), F.col(id_col))
+        ).alias("_best"),
+    )
+    return (
+        labeled.join(winners, "component")
+        .select(
+            id_col,
+            "component",
+            "cluster_size",
+            F.col(f"_best.{id_col}").alias("canon_id"),
+            (F.col(id_col) == F.col(f"_best.{id_col}")).alias("is_canon"),
+        )
+    )
 
 
 def ngram_jaccard(shingled: DataFrame, pairs: DataFrame,

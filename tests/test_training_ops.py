@@ -1033,3 +1033,27 @@ def test_bigram_familiarity_conditional_ppm(spark):
     )
     r2 = {r["doc_id"]: r for r in bigram_familiarity(df2).collect()}
     assert r2[6]["familiarity_ppm"] > r2[5]["familiarity_ppm"]
+
+
+def test_canonical_docs_keep_best_policy(spark):
+    from poc_document_ocr_spark.operators.dedup import (
+        canonical_docs,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs)
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: scores 5,9,9 → canon 2 (max score, tie min id);
+        # doc 7 never appears in pairs → singleton keeps itself
+        [(1, 5), (2, 9), (3, 9), (7, 4)],
+        "doc_id long, score long",
+    )
+    rows = {r["doc_id"]: r for r in canonical_docs(docs, comp).collect()}
+    assert all(rows[i]["canon_id"] == 2 for i in (1, 2, 3))
+    assert all(rows[i]["cluster_size"] == 3 for i in (1, 2, 3))
+    assert rows[2]["is_canon"] and not rows[1]["is_canon"]
+    assert rows[7]["canon_id"] == 7 and rows[7]["is_canon"]
+    assert rows[7]["cluster_size"] == 1
