@@ -2344,6 +2344,53 @@ FROM (SELECT lang, n_docs, n_tokens,
 """
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd refinement of IVF centroids over the
+    embeddings table: integer-exact assignment + centroid update +
+    re-assignment (k = 4, lowest-id seeds), byte-identical at any
+    parallelism."""
+    from .operators.similarity import kmeans_lloyd
+
+    load_views(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(spark.table("embeddings"), k=4, iters=1)
+
+
+_O_KMEANS_CELLS = """
+WITH e AS (SELECT vec_id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(floor((x + 2.0) * 1000000.0) AS BIGINT)) AS qv
+      FROM embeddings),
+seed AS (SELECT qv, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           AS ci
+         FROM e ORDER BY vec_id LIMIT 4),
+d0 AS (SELECT e.vec_id, s.ci, e.qv,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (e.qv[i] - s.qv[i]) * (e.qv[i] - s.qv[i]))) AS BIGINT)
+           AS dist
+       FROM e, seed s),
+a0 AS (SELECT vec_id, first(ci ORDER BY dist, ci) AS cell, any_value(qv)
+         AS qv
+       FROM d0 GROUP BY vec_id),
+upd AS (SELECT a0.cell, u.i AS dim_i,
+          CAST(sum(a0.qv[u.i]) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS n
+        FROM a0, UNNEST(range(1, 65)) AS u(i)
+        GROUP BY 1, 2),
+cent AS (SELECT cell, list(s // n ORDER BY dim_i) AS qv FROM upd
+         GROUP BY cell),
+c1 AS (SELECT s.ci, coalesce(c.qv, s.qv) AS qv
+       FROM seed s LEFT JOIN cent c ON c.cell = s.ci),
+d1 AS (SELECT e.vec_id, c.ci,
+         CAST(list_sum(list_transform(range(1, 65),
+           i -> (e.qv[i] - c.qv[i]) * (e.qv[i] - c.qv[i]))) AS BIGINT)
+           AS dist
+       FROM e, c1 c)
+SELECT vec_id, first(ci ORDER BY dist, ci) AS cell,
+       CAST(min(dist) AS BIGINT) AS dist
+FROM d1 GROUP BY vec_id
+"""
+
+
 def q_dedup_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup policy end-to-end: LSH candidate pairs → connected
     components → one canonical document per cluster, chosen by highest
@@ -2550,6 +2597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "kmeans_cells": q_kmeans_cells,
     "cos_neardup": q_cos_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
@@ -2612,6 +2660,7 @@ ORACLES: dict[str, str] = {
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "ann_ivf": _O_ANN_IVF,
+    "kmeans_cells": _O_KMEANS_CELLS,
     "cos_neardup": _O_COS_NEARDUP,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_decode": _O_MULTIMODAL_DECODE,

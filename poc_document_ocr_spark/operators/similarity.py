@@ -28,7 +28,17 @@ __all__ = [
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
+    "quantize_vec",
+    "kmeans_lloyd",
+    "QUANT_SCALE",
+    "QUANT_OFFSET",
 ]
+
+#: fixed-point quantization for the integer-exact k-means: unit-ish
+#: embedding components shift by +2.0 (strictly positive, so integer
+#: division semantics agree across engines) then scale to micro-units
+QUANT_SCALE = 1_000_000
+QUANT_OFFSET = 2.0
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -179,6 +189,107 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cell", "rank")
     )
+
+
+def quantize_vec(vec_col: Column) -> Column:
+    """Fixed-point int64 quantization of a float embedding:
+    ``floor((x + 2.0) · 10⁶)`` per component. Cross-engine bit-stable (cast
+    to double, one add, one multiply, one floor — identical IEEE ops in
+    Spark and DuckDB), and the +2.0 offset makes every stored component
+    positive so integer-division rounding (truncate vs floor) can never
+    diverge between engines. Offsets cancel in centroid DIFFERENCES, so
+    distances and cluster geometry are unchanged.
+    """
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(
+            (x.cast("double") + F.lit(QUANT_OFFSET)) * F.lit(float(QUANT_SCALE))
+        ).cast("long"),
+    )
+
+
+def _nearest_centroid(qv_col: Column, centroids: list[list[int]]) -> Column:
+    """Min (squared-L2-distance, index) struct over integer centroids —
+    argmin with ties to the lowest centroid index, all BIGINT exact
+    (components ≤ 4·10⁶ → squares ≤ 1.6·10¹³, × 64 dims ≈ 10¹⁵ < 2⁶³)."""
+    cands = []
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
+        d = F.aggregate(
+            F.zip_with(qv_col, arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("i")))
+    return F.array_min(F.array(*cands))
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over embeddings, integer-exact and
+    fully deterministic — the centroid-TRAINING step that feeds
+    :func:`ivf_topk`'s cell partitioning (production IVF indexes train
+    centroids on a corpus sample; this runs the same refinement
+    distributed, cf. the IVF-flat design in Johnson et al. 1702.08734).
+
+    Why integer: float centroid means depend on reduction order, so a
+    float Lloyd's is nondeterministic under Spark partitioning. Vectors
+    are fixed-point quantized (:func:`quantize_vec`); per-cell sums are
+    int64 (order-insensitive), centroid update is integer division, and
+    distances are exact — byte-identical output at any parallelism, which
+    the oracle checks cross-engine.
+
+    Per iteration: one map-only assignment against k broadcast-literal
+    centroids (no join), one groupBy(cell) computing 64 per-dimension
+    int64 sums with map-side combine (one shuffle of k·dim longs), and an
+    O(k·dim) driver collect to fold the new centroids into the next
+    plan's literals — the standard Lloyd's-on-Spark shape; the driver
+    never sees data rows. Empty cells keep their previous centroid.
+    Seeds are the k lowest-id vectors (deterministic, collected once).
+
+    Returns ``(id, cell, dist)`` after ``iters`` refinements — final
+    assignment, squared quantized L2 distance. All BIGINT/int.
+    """
+    dim = len(df.select(vec_col).first()[0])
+    qdf = df.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
+    ).persist()
+    qdf.count()  # eager: the lazy-persist race on multi-branch reuse
+    try:
+        centroids = [
+            r["qv"] for r in qdf.orderBy(id_col).limit(k).collect()
+        ]
+        for _ in range(iters):
+            assigned = qdf.select(
+                "qv", _nearest_centroid(F.col("qv"), centroids)["i"].alias("cell")
+            )
+            stats = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("qv", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            ).collect()
+            new = list(centroids)
+            for r in stats:
+                new[r["cell"]] = [r[f"s{d}"] // r["n"] for d in range(dim)]
+            centroids = new
+        best = _nearest_centroid(F.col("qv"), centroids)
+        return qdf.select(
+            F.col(id_col),
+            best["i"].alias("cell"),
+            best["d"].alias("dist"),
+        )
+    finally:
+        # result rows are computed from qv at action time; keep the cache
+        # through the terminal job is the caller's concern — the blocking
+        # collects above are done, so the handle can be released here
+        qdf.unpersist(blocking=False)
 
 
 def lsh_topk(

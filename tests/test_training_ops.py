@@ -1057,3 +1057,47 @@ def test_canonical_docs_keep_best_policy(spark):
     assert rows[2]["is_canon"] and not rows[1]["is_canon"]
     assert rows[7]["canon_id"] == 7 and rows[7]["is_canon"]
     assert rows[7]["cluster_size"] == 1
+
+
+def test_kmeans_lloyd_recovers_clusters_and_is_partitioning_invariant(
+    spark,
+):
+    from poc_document_ocr_spark.operators.similarity import kmeans_lloyd
+
+    # two tight clusters around (+1, ...) and (-1, ...); seeds are the two
+    # lowest ids (one from each cluster by construction)
+    rows = []
+    for i in range(8):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + 0.01 * (i // 2), base, 0.0, base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {r["vec_id"]: r for r in kmeans_lloyd(df, k=2, iters=2).collect()}
+    evens = {out[i]["cell"] for i in range(0, 8, 2)}
+    odds = {out[i]["cell"] for i in range(1, 8, 2)}
+    assert evens == {0} and odds == {1}
+    assert all(out[i]["dist"] >= 0 for i in out)
+
+    # byte-identical under a different partitioning (the determinism the
+    # integer quantization buys)
+    out2 = {
+        r["vec_id"]: r
+        for r in kmeans_lloyd(df.repartition(7), k=2, iters=2).collect()
+    }
+    assert {i: (r["cell"], r["dist"]) for i, r in out.items()} == {
+        i: (r["cell"], r["dist"]) for i, r in out2.items()
+    }
+
+
+def test_kmeans_lloyd_empty_cell_keeps_seed(spark):
+    from poc_document_ocr_spark.operators.similarity import kmeans_lloyd
+
+    # all points identical → every vector lands in cell 0 forever; cell 1
+    # goes empty on update and must keep its seed without erroring
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kmeans_lloyd(df, k=2, iters=2).collect()
+    assert {r["cell"] for r in out} == {0}
+    assert all(r["dist"] == 0 for r in out)
