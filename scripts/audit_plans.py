@@ -291,6 +291,80 @@ def audit(spark, sf_dir: str):
         )[:200],
     )
 
+    # --- blocklist: map-only lexical screen -------------------------------
+    bl = ep.QUERIES["blocklist"](spark, sf_dir)
+    p = plan_of(bl)
+    check(
+        "blocklist: map-only (zero shuffles)",
+        "Exchange" not in p,
+        "no Exchange in plan",
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    check(
+        "blocklist: scan reads only (doc_id, text)",
+        bool(m) and sorted(
+            c.split(":")[0] for c in m.group(1).split(",")
+        ) == ["doc_id", "text"],
+        m.group(1) if m else "no ReadSchema",
+    )
+
+    # --- zipf_stats: exactly the two designed shuffles --------------------
+    # groupBy((lang, term)) then groupBy(lang); the top term is an
+    # order-insensitive struct-min aggregate, so NO window (a window here
+    # would be a third exchange + per-language sort)
+    zp = ep.QUERIES["zipf_stats"](spark, sf_dir)
+    p = plan_of(zp)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "zipf_stats: two shuffles (term count + per-lang fold), no window",
+        n_ex == 2 and "Window" not in p,
+        f"Exchange nodes = {n_ex}, Window = {'Window' in p}",
+    )
+
+    # --- bigram_lm: model joins left to AQE, bigrams formed map-side ------
+    bg = ep.QUERIES["bigram_lm"](spark, sf_dir)
+    check(
+        "bigram_lm: no forced broadcast (bigram model side is unbounded)",
+        "ResolvedHint" not in analyzed(bg),
+        "no ResolvedHint in analyzed plan",
+    )
+    p = plan_of(bg)
+    check(
+        "bigram_lm: bigram formation is map-side (no window/self-join)",
+        "CartesianProduct" not in p
+        and "partial_count" in p,
+        "tf partial-aggregates map-side; no cartesian",
+    )
+
+    # --- dedup_canon: winner election via aggregate, plain joins ----------
+    dc = ep.QUERIES["dedup_canon"](spark, sf_dir)
+    p = plan_of(dc)
+    check(
+        "dedup_canon: no CartesianProduct (cluster join is equi on component)",
+        "CartesianProduct" not in p,
+        "no cartesian in plan",
+    )
+    check(
+        "dedup_canon: keep-best winner partial-aggregates map-side",
+        "partial_min" in p,
+        next(
+            (l.strip()[:90] for l in p.splitlines() if "partial_min" in l),
+            "absent",
+        ),
+    )
+
+    # --- kmeans_cells: final assignment map-only against literal centroids
+    # (each Lloyd iteration is one groupBy shuffle of k·dim longs, folded
+    # into literals driver-side; the RETURNED assignment plan must be pure
+    # scan+project — zero Exchange, zero joins)
+    km = ep.QUERIES["kmeans_cells"](spark, sf_dir)
+    p = plan_of(km)
+    check(
+        "kmeans_cells: assignment map-only (centroids are plan literals)",
+        "Exchange" not in p and "Join" not in p,
+        "no Exchange/Join in returned-assignment plan",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
