@@ -211,16 +211,24 @@ def quantize_vec(vec_col: Column) -> Column:
 def _nearest_centroid(qv_col: Column, centroids: list[list[int]]) -> Column:
     """Min (squared-L2-distance, index) struct over integer centroids —
     argmin with ties to the lowest centroid index, all BIGINT exact
-    (components ≤ 4·10⁶ → squares ≤ 1.6·10¹³, × 64 dims ≈ 10¹⁵ < 2⁶³)."""
+    (components ≤ 4·10⁶ → squares ≤ 1.6·10¹³, × 64 dims ≈ 10¹⁵ < 2⁶³).
+
+    Distances are UNROLLED into explicit per-dimension arithmetic (the
+    centroid components are plan literals, so each distance is a flat
+    k·dim-term codegen expression). A ``zip_with``+``aggregate`` HOF
+    formulation is semantically identical but evaluates a closure per
+    element outside whole-stage codegen — measured 2× slower end-to-end
+    at 400k × 64-dim × k=4 (70.1s → 34.7s for 2 Lloyd iterations)."""
     cands = []
     for i, c in enumerate(centroids):
-        arr = F.array(*[F.lit(int(v)).cast("long") for v in c])
-        d = F.aggregate(
-            F.zip_with(qv_col, arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+        terms = None
+        for d, v in enumerate(c):
+            e = F.element_at(qv_col, d + 1) - F.lit(int(v)).cast("long")
+            sq = e * e
+            terms = sq if terms is None else terms + sq
+        cands.append(
+            F.struct(terms.alias("d"), F.lit(i).cast("int").alias("i"))
         )
-        cands.append(F.struct(d.alias("d"), F.lit(i).cast("int").alias("i")))
     return F.array_min(F.array(*cands))
 
 
