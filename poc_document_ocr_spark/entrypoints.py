@@ -2344,6 +2344,56 @@ FROM (SELECT lang, n_docs, n_tokens,
 """
 
 
+#: corpus with exact duplicate contents under fresh ids — doc_id % 7 < 2
+#: rows are copied verbatim at doc_id + 100000, so their normalized
+#: fingerprints collide across (id-dependent) split labels
+_CORPUS_EXACT_DUP = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text
+  FROM documents WHERE doc_id % 7 < 2
+"""
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: exact-content duplicates whose
+    copies land in different train/val/test hash splits — the post-split
+    leak list an eval-integrity pass consumes."""
+    from .operators.dedup import cross_split_leakage
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT_DUP}) c", "documents"
+    )
+    return cross_split_leakage(
+        corpus, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+
+
+def _o_split_leakage() -> str:
+    from .operators.sampling import _hex_threshold
+
+    t80, t90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+WITH corpus AS ({_CORPUS_EXACT_DUP}),
+l AS (SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+          AS fingerprint,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+                  < '{t80}' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+                  < '{t90}' THEN 'val'
+             ELSE 'test' END AS split
+      FROM corpus),
+g AS (SELECT fingerprint,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+        array_to_string(list_sort(list(DISTINCT split)), '|') AS splits,
+        min(doc_id) AS first_doc
+      FROM l GROUP BY fingerprint)
+SELECT * FROM g WHERE n_splits >= 2
+"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd refinement of IVF centroids over the
     embeddings table: integer-exact assignment + centroid update +
@@ -2584,6 +2634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rep_stats": q_rep_stats,
     "tfidf_topterms": q_tfidf_topterms,
     "split_sample": q_split_sample,
+    "split_leakage": q_split_leakage,
     "strat_sample": q_strat_sample,
     "len_quantiles": q_len_quantiles,
     "shard_pack": q_shard_pack,
@@ -2647,6 +2698,7 @@ ORACLES: dict[str, str] = {
     "rep_stats": _O_REP_STATS,
     "tfidf_topterms": _O_TFIDF_TOPTERMS,
     "split_sample": _o_split_sample(),
+    "split_leakage": _o_split_leakage(),
     "strat_sample": _o_strat_sample(),
     "len_quantiles": _O_LEN_QUANTILES,
     "shard_pack": _O_SHARD_PACK,

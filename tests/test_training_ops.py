@@ -1101,3 +1101,32 @@ def test_kmeans_lloyd_empty_cell_keeps_seed(spark):
     out = kmeans_lloyd(df, k=2, iters=2).collect()
     assert {r["cell"] for r in out} == {0}
     assert all(r["dist"] == 0 for r in out)
+
+
+def test_cross_split_leakage_flags_cross_split_dups_only(spark):
+    from poc_document_ocr_spark.operators.dedup import cross_split_leakage
+    from poc_document_ocr_spark.operators.sampling import _hex_threshold
+
+    # pick two ids landing in different halves of the hash space (the
+    # split is a pure function of (id, seed), so choose fixture ids by
+    # computing the same key here)
+    thr = _hex_threshold(0.5)
+    key = lambda i: hashlib.md5(f"{i}:0".encode()).hexdigest()[:8]
+    lo = next(i for i in range(100) if key(i) < thr)
+    hi = next(i for i in range(100) if key(i) >= thr)
+    lo2 = next(i for i in range(100) if key(i) < thr and i != lo)
+    df = _docs(
+        spark,
+        [
+            (lo, "Shared   Text"),      # same normalized content,
+            (hi, "shared text"),        # different splits → leak
+            (lo2, "same side only"),
+            (99999, "unique content"),
+        ],
+    )
+    out = cross_split_leakage(df, {"a": 0.5, "b": 0.5}).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["fingerprint"] == hashlib.md5(b"shared text").hexdigest()
+    assert (r["n_docs"], r["n_splits"], r["splits"]) == (2, 2, "a|b")
+    assert r["first_doc"] == min(lo, hi)
