@@ -1071,6 +1071,45 @@ WHERE session_id < (SELECT max(session_id) FROM agg m
 """
 
 
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, oracle-checked: the events stream LEFT
+    joins the static customer dimension (user → market segment) per
+    micro-batch — no streaming state, no watermark — then the drained
+    output is rolled up per (segment, event_type). The batch oracle is the
+    identical join+rollup, so every streamed row must be enriched exactly
+    once."""
+    from .streaming.windows import stream_static_enrich
+
+    load_views(spark, sf_dir, "customer")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = stream_static_enrich(
+        _events_stream(spark, sf_dir), dim, "user_id", ("segment",)
+    )
+    path = _drain_stream(enriched, "enrich")
+    return (
+        spark.read.parquet(path)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+_O_STREAMING_ENRICH = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(e.event_id) AS min_event,
+       max(e.event_id) AS max_event
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 #: shared reference-point derivation (dialect-neutral): one row per
 #: (user, hour) — unique as-of keys by construction
 _REF_POINTS = """
@@ -2614,6 +2653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_hits": q_interval_hits,
     "streaming_dedup": q_streaming_dedup,
     "streaming_totals": q_streaming_totals,
+    "streaming_enrich": q_streaming_enrich,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_mid": q_minhash_lsh_mid,
@@ -2678,6 +2718,7 @@ ORACLES: dict[str, str] = {
     "interval_hits": _O_INTERVAL_HITS,
     "streaming_dedup": _O_STREAMING_DEDUP,
     "streaming_totals": _O_STREAMING_TOTALS,
+    "streaming_enrich": _O_STREAMING_ENRICH,
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
     "minhash_lsh_mid": _O_MINHASH_LSH_MID,

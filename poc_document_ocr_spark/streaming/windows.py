@@ -31,7 +31,30 @@ __all__ = [
     "streaming_sessionize",
     "streaming_dedup_keys",
     "streaming_totals_to_dir",
+    "stream_static_enrich",
 ]
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim_df: DataFrame,
+    key: str,
+    dim_cols: tuple[str, ...],
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to every
+    streaming row — the lookup-table pattern (user → segment, doc →
+    source metadata) every production ingest runs before routing/metrics.
+
+    The static side is re-planned per micro-batch (Spark re-resolves the
+    batch DataFrame each trigger, so a refreshed dimension table is picked
+    up without restarting the stream), and a stream-static LEFT join is
+    append-safe with NO watermark — unmatched stream rows pass through
+    with nulls instead of blocking on state. At scale the dimension side
+    should be broadcast-sized or pre-bucketed on the key; the join itself
+    involves no streaming state at all.
+    """
+    dim = dim_df.select(key, *dim_cols)
+    return stream_df.join(dim, key, "left")
 
 
 def streaming_windowed_counts(

@@ -185,3 +185,36 @@ def test_streaming_sessionize_closed_sessions(spark, tmp_path):
         for r in closed.collect()
     }
     assert got_norm == exp_norm and len(got_norm) > 0
+
+
+def test_stream_static_enrich_left_join_passthrough(spark, tmp_path):
+    from poc_document_ocr_spark.streaming.windows import stream_static_enrich
+
+    src = str(tmp_path / "enrich_src")
+    spark.createDataFrame(
+        [(1, 10, "click"), (2, 20, "view"), (3, 99, "click")],
+        "event_id long, user_id long, event_type string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string"
+    ).parquet(src)
+    dim = spark.createDataFrame(
+        [(10, "AUTO"), (20, "HOUSE")], "user_id long, segment string"
+    )
+    out = str(tmp_path / "enrich_out")
+    q = (
+        stream_static_enrich(stream, dim, "user_id", ("segment",))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["event_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["segment"] == "AUTO"
+    assert rows[2]["segment"] == "HOUSE"
+    # unmatched stream row passes through with null (left join, no state)
+    assert rows[3]["segment"] is None
+    assert len(rows) == 3
