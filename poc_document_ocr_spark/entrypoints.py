@@ -2433,6 +2433,66 @@ SELECT * FROM g WHERE n_splits >= 2
 """
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation attrition report over a corpus with planted
+    exact duplicates: raw → quality gate → blocklist screen → exact-dup
+    keepers → per-split finals, one compact oracle-checked table."""
+    from .operators.sampling import curation_funnel
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT_DUP}) c", "documents"
+    )
+    return curation_funnel(
+        corpus, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=0
+    )
+
+
+def _o_curation_funnel() -> str:
+    from .operators.sampling import _hex_threshold
+
+    t80, t90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+WITH corpus AS ({_CORPUS_EXACT_DUP}),
+f AS (SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+        (len(string_split(text, ' ')) BETWEEN 5 AND 100000
+         AND length(replace(text, ' ', ''))
+             / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+         AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             / length(text) <= 0.30
+         AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / length(text) <= 0.50) AS qk,
+        (len(list_filter(string_split(lower(text), ' '), x -> x <> '')) = 0
+         OR len(list_filter(string_split(lower(text), ' '),
+              x -> list_contains(['slow','spam','junk','vector'], x)))
+            * 1000000
+            < 60001 * len(list_filter(string_split(lower(text), ' '),
+                x -> x <> ''))) AS bk
+      FROM corpus),
+g AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE qk AND bk
+      GROUP BY fp),
+sp AS (SELECT CASE
+          WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+               < '{t80}' THEN 'train'
+          WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 8)
+               < '{t90}' THEN 'val'
+          ELSE 'test' END AS split
+       FROM g)
+SELECT 'raw' AS stage, 'all' AS split, CAST(count(*) AS BIGINT) AS n_docs
+  FROM f
+UNION ALL
+SELECT 'quality', 'all',
+  CAST(sum(CASE WHEN qk THEN 1 ELSE 0 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 'blocklist', 'all',
+  CAST(sum(CASE WHEN qk AND bk THEN 1 ELSE 0 END) AS BIGINT) FROM f
+UNION ALL
+SELECT 'dedup', 'all', CAST(count(*) AS BIGINT) FROM g
+UNION ALL
+SELECT 'final', split, CAST(count(*) AS BIGINT) FROM sp GROUP BY split
+"""
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd refinement of IVF centroids over the
     embeddings table: integer-exact assignment + centroid update +
@@ -2675,6 +2735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_topterms": q_tfidf_topterms,
     "split_sample": q_split_sample,
     "split_leakage": q_split_leakage,
+    "curation_funnel": q_curation_funnel,
     "strat_sample": q_strat_sample,
     "len_quantiles": q_len_quantiles,
     "shard_pack": q_shard_pack,
@@ -2740,6 +2801,7 @@ ORACLES: dict[str, str] = {
     "tfidf_topterms": _O_TFIDF_TOPTERMS,
     "split_sample": _o_split_sample(),
     "split_leakage": _o_split_leakage(),
+    "curation_funnel": _o_curation_funnel(),
     "strat_sample": _o_strat_sample(),
     "len_quantiles": _O_LEN_QUANTILES,
     "shard_pack": _O_SHARD_PACK,

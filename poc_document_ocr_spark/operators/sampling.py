@@ -33,6 +33,7 @@ __all__ = [
     "pack_contiguous",
     "group_quantiles",
     "mixture_weights",
+    "curation_funnel",
 ]
 
 #: width of the hex prefix compared against split thresholds (8 hex chars
@@ -315,3 +316,88 @@ def mixture_weights(
             ),
         )
     )
+
+
+def curation_funnel(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """The corpus-curation funnel report: how many documents survive each
+    stage of the standard cleaning ladder — quality gate → blocklist
+    screen → exact dedup → train/val/test split — as one compact table.
+    This is the first artifact a curation run publishes (every C4/CCNet/
+    Gopher paper reports exactly this attrition table).
+
+    Shape: the quality and blocklist verdicts are pure column expressions
+    (:func:`~.textstats.quality_keep` / :func:`~.textstats.blocklist_keep`)
+    evaluated together with the normalized content fingerprint in ONE
+    projection (``flags``); stage counts are conditional sums in one
+    global aggregate, dedup keepers are one groupBy(fingerprint) over the
+    survivors, and the dedup total + per-split finals come out of a single
+    ROLLUP over the (small) keeper set. The two union branches each
+    consume ``flags``, so the corpus is scanned twice (pruned to
+    (id, text) both times); at 100 TB persist the ``flags`` projection —
+    ~tens of bytes/row — to make it one scan.
+
+    Returns ``(stage, split, n_docs)`` — stages ``raw``/``quality``/
+    ``blocklist``/``dedup`` with split ``'all'``, then ``final`` per
+    split label.
+    """
+    from .textstats import blocklist_keep, quality_keep
+
+    text = F.col(text_col)
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    flags = df.select(
+        F.col(id_col),
+        F.md5(norm).alias("_fp"),
+        quality_keep(text).alias("_qk"),
+        (quality_keep(text) & blocklist_keep(text)).alias("_sk"),
+    )
+    stages = (
+        flags.agg(
+            F.count(F.lit(1)).cast("long").alias("raw"),
+            F.sum(F.col("_qk").cast("long")).alias("quality"),
+            F.sum(F.col("_sk").cast("long")).alias("blocklist"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("stage"),
+                            F.lit("all").alias("split"),
+                            F.col(s).alias("n_docs"),
+                        )
+                        for s in ("raw", "quality", "blocklist")
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    keepers = (
+        flags.filter(F.col("_sk"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    finals = (
+        hash_split(keepers, weights, id_col=id_col, seed=seed)
+        .rollup("split")
+        .agg(
+            F.grouping_id().cast("int").alias("_g"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("dedup"))
+            .otherwise(F.lit("final"))
+            .alias("stage"),
+            F.when(F.col("_g") == 1, F.lit("all"))
+            .otherwise(F.col("split"))
+            .alias("split"),
+            "n_docs",
+        )
+    )
+    return stages.unionByName(finals)

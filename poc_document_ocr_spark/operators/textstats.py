@@ -30,6 +30,8 @@ __all__ = [
     "corpus_composition",
     "bpe_token_count",
     "lm_quality_bands",
+    "quality_keep",
+    "blocklist_keep",
     "blocklist_hits",
     "zipf_stats",
     "bigram_familiarity",
@@ -131,6 +133,29 @@ QUALITY_RULES = {
 }
 
 
+def quality_keep(text: Column) -> Column:
+    """The Gopher-style keep/drop verdict of :func:`quality_score` as a
+    pure column expression (shared with the curation funnel so composed
+    queries evaluate it in the same single scan)."""
+    n_chars = F.length(text).cast("long")
+    n_tokens = F.size(_tokens(text)).cast("long")
+    n_nonspace = F.length(F.regexp_replace(text, " ", "")).cast("long")
+    n_punct = F.length(
+        F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    ).cast("long")
+    n_digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long")
+    avg_tok = n_nonspace / n_tokens
+    r = QUALITY_RULES
+    return (
+        (n_tokens >= r["min_tokens"])
+        & (n_tokens <= r["max_tokens"])
+        & (avg_tok >= r["min_avg_token_len"])
+        & (avg_tok <= r["max_avg_token_len"])
+        & ((n_punct / n_chars) <= r["max_punct_ratio"])
+        & ((n_digit / n_chars) <= r["max_digit_ratio"])
+    )
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """Training-data quality filter signals + the keep/drop verdict.
@@ -154,15 +179,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     avg_tok = n_nonspace / n_tokens
     punct_ratio = n_punct / n_chars
     digit_ratio = n_digit / n_chars
-    r = QUALITY_RULES
-    keep = (
-        (n_tokens >= r["min_tokens"])
-        & (n_tokens <= r["max_tokens"])
-        & (avg_tok >= r["min_avg_token_len"])
-        & (avg_tok <= r["max_avg_token_len"])
-        & (punct_ratio <= r["max_punct_ratio"])
-        & (digit_ratio <= r["max_digit_ratio"])
-    )
+    keep = quality_keep(text)
     return df.select(
         F.col(id_col),
         n_punct.alias("n_punct"),
@@ -562,6 +579,27 @@ def lm_quality_bands(
 #: closed demo blocklist for the keyword-filter operator (shared with the
 #: oracle); a production list (e.g. the LDNOOBW sets) plugs in unchanged
 BLOCKLIST: tuple[str, ...] = ("slow", "spam", "junk", "vector")
+
+
+def blocklist_keep(
+    text: Column,
+    blocklist: tuple[str, ...] = BLOCKLIST,
+    max_hit_ppm: int = 60_000,
+) -> Column:
+    """The blocklist keep/drop verdict of :func:`blocklist_hits` as a pure
+    column expression (shared with the curation funnel — single-scan
+    composable). Division-free: for positive BIGINTs,
+    ``(hits·10⁶) DIV n_tokens ≤ m  ⟺  hits·10⁶ < (m+1)·n_tokens``, so the
+    verdict is one integer comparison and provably identical to
+    :func:`blocklist_hits`'s ``hit_ppm ≤ m``."""
+    toks = F.filter(F.split(F.lower(text), " "), lambda t: t != "")
+    n_tokens = F.size(toks).cast("long")
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*blocklist))
+    ).cast("long")
+    return (n_tokens == 0) | (
+        hits * F.lit(1_000_000) < F.lit(max_hit_ppm + 1) * n_tokens
+    )
 
 
 def blocklist_hits(

@@ -1130,3 +1130,34 @@ def test_cross_split_leakage_flags_cross_split_dups_only(spark):
     assert r["fingerprint"] == hashlib.md5(b"shared text").hexdigest()
     assert (r["n_docs"], r["n_splits"], r["splits"]) == (2, 2, "a|b")
     assert r["first_doc"] == min(lo, hi)
+
+
+def test_curation_funnel_stage_counts(spark):
+    from poc_document_ocr_spark.operators.sampling import curation_funnel
+
+    df = _docs(
+        spark,
+        [
+            (1, "good clean prose with enough words here"),
+            (2, "Good   clean prose with enough words here"),  # dup of 1
+            (3, "spam spam spam spam junk junk junk here"),    # blocklisted
+            (4, "x"),                                          # quality drop
+            (5, "another perfectly fine document with words"),
+        ],
+    )
+    rows = curation_funnel(df, {"train": 1.0}).collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert by_stage["raw"][0]["n_docs"] == 5
+    assert by_stage["quality"][0]["n_docs"] == 4      # drops 4
+    assert by_stage["blocklist"][0]["n_docs"] == 3    # drops 3
+    assert by_stage["dedup"][0]["n_docs"] == 2        # 1≡2 collapse
+    finals = {r["split"]: r["n_docs"] for r in by_stage["final"]}
+    assert finals == {"train": 2}
+    # dedup keeps the min-id copy: the train split must be computed from
+    # ids {1, 5}, not {2, 5} — both land in train under weight 1.0 anyway,
+    # so additionally pin the monotone funnel property
+    ns = [by_stage[s][0]["n_docs"]
+          for s in ("raw", "quality", "blocklist", "dedup")]
+    assert ns == sorted(ns, reverse=True)
