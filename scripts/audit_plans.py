@@ -365,6 +365,26 @@ def audit(spark, sf_dir: str):
         "no Exchange/Join in returned-assignment plan",
     )
 
+    # --- split_leakage: leak election partial-aggregates map-side ---------
+    sl = ep.QUERIES["split_leakage"](spark, sf_dir)
+    p = plan_of(sl)
+    check(
+        "split_leakage: fingerprint groupBy partial-aggregates map-side",
+        "partial_count" in p and "CartesianProduct" not in p,
+        "collect_set fold partial-aggregates; no cartesian",
+    )
+
+    # --- curation_funnel: dedup total + split finals in ONE rollup pass ---
+    cf = ep.QUERIES["curation_funnel"](spark, sf_dir)
+    p = plan_of(cf)
+    n_expand = len(re.findall(r"\bExpand\b", p))
+    check(
+        "curation_funnel: keeper rollup is one Expand pass (no second scan"
+        " of the keeper set)",
+        n_expand == 1 and "CartesianProduct" not in p,
+        f"Expand nodes = {n_expand}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
