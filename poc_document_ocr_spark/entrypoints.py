@@ -1656,6 +1656,40 @@ SELECT q_id, n_id, bucket, rank FROM r WHERE rank <= 5
 """
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health check: per-query recall@5 of the bucketed sign-LSH
+    path against the exact cosine baseline, as integer percent — the
+    go/no-go metric a pipeline records before trusting an approximate
+    index for dedup or retrieval. Composes the engine's own two ANN paths;
+    the semi-join counts exact neighbors the approximate index recovered."""
+    from .operators.similarity import lsh_topk
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=5).select("q_id", "n_id")
+    approx = lsh_topk(emb, queries, _ANN_PLANES, k=5).select("q_id", "n_id")
+    hits = (
+        exact.join(approx, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    per_q = exact.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_exact")
+    )
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "k_exact",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.expr(
+                "coalesce(n_hits, CAST(0 AS BIGINT)) * 100 div k_exact"
+            ).alias("recall_pct"),
+        )
+    )
+
+
 def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidates
     (never all-pairs), exact cosine threshold within buckets. At corpus
@@ -1713,6 +1747,20 @@ r AS (SELECT q_id, n_id,
           AS INT) AS rank
       FROM s)
 SELECT q_id, n_id, rank FROM r WHERE rank <= 10
+"""
+
+
+_O_ANN_RECALL = f"""
+WITH ex AS (SELECT q_id, n_id FROM ({_O_ANN_TOPK}) x WHERE rank <= 5),
+ap AS (SELECT q_id, n_id FROM ({_O_ANN_LSH}) y),
+h AS (SELECT ex.q_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ex JOIN ap ON ex.q_id = ap.q_id AND ex.n_id = ap.n_id
+      GROUP BY 1),
+p AS (SELECT q_id, CAST(count(*) AS BIGINT) AS k_exact FROM ex GROUP BY 1)
+SELECT p.q_id, p.k_exact,
+  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(coalesce(h.n_hits, 0) * 100 // p.k_exact AS BIGINT) AS recall_pct
+FROM p LEFT JOIN h ON p.q_id = h.q_id
 """
 
 
@@ -2047,6 +2095,41 @@ SELECT shard, doc_id, n_tokens, pack_id,
   CAST(row_number() OVER (PARTITION BY shard, pack_id ORDER BY doc_id) - 1
     AS INT) AS pack_pos
 FROM p
+"""
+
+
+def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack manifest: per (shard, pack) document count, token total, and
+    integer-ppm budget utilization — the loader-side index a training job
+    reads to schedule fixed-context batches (and the direct view of how
+    much budget the greedy packing wastes per pack)."""
+    from .operators.sampling import pack_contiguous, shard_assign
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_contiguous(
+        shard_assign(with_tokens, n_shards=8, seed=0), budget=1000
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+        .withColumn("util_ppm", F.expr("pack_tokens * 1000000 div 1000"))
+    )
+
+
+_O_PACK_MANIFEST = f"""
+SELECT shard, pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+  CAST(sum(n_tokens) * 1000000 // 1000 AS BIGINT) AS util_ppm
+FROM ({_O_SHARD_PACK}) sp
+GROUP BY shard, pack_id
 """
 
 
@@ -2739,6 +2822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strat_sample": q_strat_sample,
     "len_quantiles": q_len_quantiles,
     "shard_pack": q_shard_pack,
+    "pack_manifest": q_pack_manifest,
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
     "bpe_tokens": q_bpe_tokens,
@@ -2748,6 +2832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm": q_bigram_lm,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
     "ann_ivf": q_ann_ivf,
     "kmeans_cells": q_kmeans_cells,
     "cos_neardup": q_cos_neardup,
@@ -2805,6 +2890,7 @@ ORACLES: dict[str, str] = {
     "strat_sample": _o_strat_sample(),
     "len_quantiles": _O_LEN_QUANTILES,
     "shard_pack": _O_SHARD_PACK,
+    "pack_manifest": _O_PACK_MANIFEST,
     "doc_chunks": _O_DOC_CHUNKS,
     "pii_redact": _O_PII_REDACT,
     "bpe_tokens": _o_bpe_tokens(),
@@ -2814,6 +2900,7 @@ ORACLES: dict[str, str] = {
     "bigram_lm": _O_BIGRAM_LM,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
+    "ann_recall": _O_ANN_RECALL,
     "ann_ivf": _O_ANN_IVF,
     "kmeans_cells": _O_KMEANS_CELLS,
     "cos_neardup": _O_COS_NEARDUP,
