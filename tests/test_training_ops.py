@@ -1161,3 +1161,22 @@ def test_curation_funnel_stage_counts(spark):
     ns = [by_stage[s][0]["n_docs"]
           for s in ("raw", "quality", "blocklist", "dedup")]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_bigram_familiarity_top_w2_pruning(spark):
+    from poc_document_ocr_spark.operators.textstats import (
+        bigram_familiarity,
+    )
+
+    # prefix 'a' has successors b (x2) and c (x1); top_w2=1 keeps only
+    # "a b", so pruned cond P(b|a) = 2/2 = 1 and "a c" rows drop out
+    df = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "en", "a b"), (3, "en", "a c")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_familiarity(df, top_w2=1).collect()
+    }
+    assert rows[1]["familiarity_ppm"] == 1_000_000
+    assert 3 not in rows  # its only transition was pruned away
