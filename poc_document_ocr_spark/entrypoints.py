@@ -1110,6 +1110,38 @@ GROUP BY 1, 2
 """
 
 
+def q_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, oracle-checked: clicks stream joined
+    to the views stream of the same user within the following hour
+    (attribution shape), drained with availableNow. Inner-join emission
+    does not wait for the watermark, so the drained set equals the batch
+    join under the identical time bound."""
+    from .streaming.windows import streaming_interval_join
+
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    views = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    joined = streaming_interval_join(clicks, views).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    path = _drain_stream(joined, "ssjoin")
+    return spark.read.parquet(path)
+
+
+_O_STREAMING_JOIN = """
+SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts AND v.ts < c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+"""
+
+
 #: shared reference-point derivation (dialect-neutral): one row per
 #: (user, hour) — unique as-of keys by construction
 _REF_POINTS = """
@@ -2797,6 +2829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "streaming_totals": q_streaming_totals,
     "streaming_enrich": q_streaming_enrich,
+    "streaming_join": q_streaming_join,
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_mid": q_minhash_lsh_mid,
@@ -2865,6 +2898,7 @@ ORACLES: dict[str, str] = {
     "streaming_dedup": _O_STREAMING_DEDUP,
     "streaming_totals": _O_STREAMING_TOTALS,
     "streaming_enrich": _O_STREAMING_ENRICH,
+    "streaming_join": _O_STREAMING_JOIN,
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
     "minhash_lsh_mid": _O_MINHASH_LSH_MID,

@@ -32,7 +32,43 @@ __all__ = [
     "streaming_dedup_keys",
     "streaming_totals_to_dir",
     "stream_static_enrich",
+    "streaming_interval_join",
 ]
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: match each left-stream event to
+    the right-stream events of the same key that occur within ``window``
+    AFTER it (the attribution pattern — click → conversions within the
+    hour). The hardest streaming op class: BOTH sides buffer state, and
+    the watermark + the time-bound condition are what let Spark evict it
+    — without the bound the state grows forever, so the bound is part of
+    the operator's contract, not an optimization.
+
+    Inner-join emissions do not wait for the watermark (they fire as soon
+    as both rows exist), so an ``availableNow`` drain of bounded input
+    yields exactly the batch join within the same bound — the oracle
+    bridge. State per key is O(events in the window), watermark-evicted.
+    """
+    l = left.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    ).alias("l")
+    r = right.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    ).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts"
+            f" AND r.ts < l.ts + interval {window}"
+        ),
+    )
 
 
 def stream_static_enrich(

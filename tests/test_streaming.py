@@ -218,3 +218,46 @@ def test_stream_static_enrich_left_join_passthrough(spark, tmp_path):
     # unmatched stream row passes through with null (left join, no state)
     assert rows[3]["segment"] is None
     assert len(rows) == 3
+
+
+def test_streaming_interval_join_time_bound(spark, tmp_path):
+    from poc_document_ocr_spark.streaming.windows import (
+        streaming_interval_join,
+    )
+
+    schema = "event_id long, user_id long, ts timestamp"
+    base = "2024-01-01 00:00:00"
+    clicks_src = str(tmp_path / "clicks_src")
+    views_src = str(tmp_path / "views_src")
+    spark.createDataFrame(
+        [(1, 7, base)], "event_id long, user_id long, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts").write.parquet(clicks_src)
+    spark.createDataFrame(
+        [
+            (10, 7, "2024-01-01 00:30:00"),   # in window
+            (11, 7, "2024-01-01 01:30:00"),   # past the 1h bound
+            (12, 8, "2024-01-01 00:10:00"),   # other user
+            (13, 7, "2023-12-31 23:50:00"),   # before the click
+        ],
+        "event_id long, user_id long, ts string",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts").write.parquet(views_src)
+
+    joined = streaming_interval_join(
+        spark.readStream.schema(schema).parquet(clicks_src),
+        spark.readStream.schema(schema).parquet(views_src),
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+    )
+    out = str(tmp_path / "ssj_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    assert [(r["click_id"], r["view_id"]) for r in rows] == [(1, 10)]
