@@ -278,6 +278,65 @@ FROM documents
 """
 
 
+#: markdown envelope for the oracle-checked md engine query: heading +
+#: fenced tool dump + blockquoted corpus text + bullet + link line. Every
+#: piece's extraction is analytically computable, so the DuckDB twin can
+#: predict text AND span offsets exactly.
+_MD_PRE = "# Transcript Note\n\n```\nraw tool dump line\n```\n\n> "
+_MD_SUF = "\n\n- first follow-up\n\nsee [the source](http://src) for more\n"
+
+
+def q_extract_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown main-content extraction: heading marker stripped, fenced
+    code dropped, blockquote/bullet markers stripped, link unwrapped to
+    its text — spans point into the original markup at computable
+    offsets (the md sibling of extract_html / extract_layout)."""
+    docs = _docs(spark, sf_dir)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit(_MD_PRE), F.col("text"), F.lit(_MD_SUF)).alias(
+            "text"
+        ),
+    )
+    ex = extract_turns(wrapped)
+    return ex.select(
+        "doc_id",
+        "extracted_text",
+        "rule",
+        "fmt",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.col("spans")[0]["start"].cast("long").alias("s0_start"),
+        F.col("spans")[0]["end"].cast("long").alias("s0_end"),
+        F.col("spans")[1]["start"].cast("long").alias("body_start"),
+        F.col("spans")[1]["end"].cast("long").alias("body_end"),
+        F.element_at("spans", -1)["start"].cast("long").alias("last_start"),
+        F.element_at("spans", -1)["end"].cast("long").alias("last_end"),
+    )
+
+
+def _o_extract_md() -> str:
+    pre_len = len(_MD_PRE)
+    # suffix-relative offsets of the last span (" for more" after the link)
+    tail = _MD_SUF
+    last_rel = tail.index(") for more") + 1  # first char of " for more"
+    last_len = len(" for more")
+    return f"""
+SELECT doc_id,
+  'Transcript Note' || chr(10) || text || chr(10) ||
+    'first follow-up' || chr(10) || 'see the source for more'
+    AS extracted_text,
+  'md_prose' AS rule, 'md' AS fmt,
+  CAST(6 AS BIGINT) AS n_spans,
+  CAST(2 AS BIGINT) AS s0_start, CAST(17 AS BIGINT) AS s0_end,
+  CAST({pre_len} AS BIGINT) AS body_start,
+  CAST({pre_len} + length(text) AS BIGINT) AS body_end,
+  CAST({pre_len} + length(text) + {last_rel} AS BIGINT) AS last_start,
+  CAST({pre_len} + length(text) + {last_rel} + {last_len} AS BIGINT)
+    AS last_end
+FROM documents
+"""
+
+
 def q_extract_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-page PDF-layout extraction: repeated page headers and page-number
     footers stripped, page bodies joined in order, two spans."""
@@ -2808,6 +2867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_plain": q_extract_plain,
     "extract_html": q_extract_html,
     "extract_layout": q_extract_layout,
+    "extract_md": q_extract_md,
     "dispatch_mix": q_dispatch_mix,
     "field_contributions": q_field_contributions,
     "forward_fill_runs": q_forward_fill_runs,
@@ -2877,6 +2937,7 @@ ORACLES: dict[str, str] = {
     "extract_plain": _O_EXTRACT_PLAIN,
     "extract_html": _O_EXTRACT_HTML,
     "extract_layout": _O_EXTRACT_LAYOUT,
+    "extract_md": _o_extract_md(),
     "dispatch_mix": _O_DISPATCH_MIX,
     "field_contributions": _O_FIELD_CONTRIBS,
     "forward_fill_runs": _O_FFILL_RUNS,

@@ -3,15 +3,15 @@
 Reference analog: the single external-"UDF" boundary in the reference is the
 per-page OCR call (``DocumentIntelligenceService.AnalyzeDocumentAsync``,
 ``DocumentIntelligenceService.cs:72-201``) which turns one unit's raw payload
-into a typed record. Here the payload is text in one of three families —
-HTML, PDF-layout-style, plain/markdown — and the dispatcher picks the engine.
+into a typed record. Here the payload is text in one of four families —
+HTML, PDF-layout-style, markdown, plain — and the dispatcher picks the engine.
 
 Output contract (``schema.EXTRACTION_TYPE``)::
 
     (extracted_text: str | None,
      spans: list[(start, end)],   # codepoint offsets into the ORIGINAL text
      rule: str,                   # which extraction rule fired
-     fmt: str)                    # 'html' | 'layout' | 'plain' | 'empty'
+     fmt: str)                    # 'html' | 'layout' | 'md' | 'plain' | 'empty'
 
 Deterministic; pure Python; safe to call per element inside an Arrow batch.
 """
@@ -21,9 +21,21 @@ from __future__ import annotations
 import re
 
 from .html_extract import extract_html
+from .md_extract import extract_markdown
 from .pdf_layout import extract_layout
 
 __all__ = ["sniff_format", "extract", "extract_safe"]
+
+#: Strong markdown signals: a fence, an ATX heading at line start, or an
+#: inline link. Deliberately conservative — prose that merely contains
+#: '#' or '*' mid-line stays 'plain' (identity extraction is the safe
+#: default; a false 'md' positive would strip content).
+_MD_RE = re.compile(
+    r"^ {0,3}(?:```|~~~)"        # fenced code block
+    r"|^ {0,3}#{1,6} \S"         # ATX heading
+    r"|\[[^\]\n]+\]\([^)\n]+\)", # [text](url) link
+    re.MULTILINE,
+)
 
 #: Real HTML markers: a closing tag, a doctype, or a known opening tag.
 _HTML_TAG_RE = re.compile(
@@ -40,7 +52,7 @@ _GUTTER_LINE_RE = re.compile(r"\S(?:  +| {3,})\S")
 
 
 def sniff_format(text: str | None) -> str:
-    """Classify a payload as 'html' | 'layout' | 'plain' | 'empty'."""
+    """Classify a payload as 'html' | 'layout' | 'md' | 'plain' | 'empty'."""
     if text is None or not text.strip():
         return "empty"
     # HTML: at least two real tag matches, or one structural tag
@@ -58,6 +70,8 @@ def sniff_format(text: str | None) -> str:
         nonblank = sum(1 for ln in lines if ln.strip())
         if nonblank >= 2 and gutter_lines >= max(2, nonblank // 2):
             return "layout"
+    if _MD_RE.search(text):
+        return "md"
     return "plain"
 
 
@@ -73,7 +87,10 @@ def extract(text: str | None) -> tuple[str | None, list[tuple[int, int]], str, s
     if fmt == "layout":
         r = extract_layout(text)
         return (r.extracted_text, r.spans, r.rule, "layout")
-    # plain/markdown: identity extraction, one full-range span
+    if fmt == "md":
+        r = extract_markdown(text)
+        return (r.extracted_text, r.spans, r.rule, "md")
+    # plain: identity extraction, one full-range span
     return (text, [(0, len(text))], "plain", "plain")
 
 

@@ -183,7 +183,9 @@ def test_layout_empty():
         ("<html><body><p>x</p></body></html>", "html"),
         ("<div>a</div><div>b</div>", "html"),
         ("just plain text with no markup", "plain"),
-        ("# markdown title\nsome prose", "plain"),
+        ("# markdown title\nsome prose", "md"),
+        ("see [a link](http://x) here", "md"),
+        ("price #3 and a * b", "plain"),  # mid-line md chars are not md
         ("col a      col b\ncol c      col d", "layout"),
         ("page one\x0cpage two", "layout"),
         ("", "empty"),
@@ -317,3 +319,80 @@ def test_compact_extraction_equals_struct_path(spark):
     )
     compact = rows(extract_turns_compact(df))
     assert compact == full and len(full) == len(data.golden)
+
+
+# ---------------------------------------------------------------------------
+# markdown engine
+# ---------------------------------------------------------------------------
+
+
+class TestMarkdownExtraction:
+    def _check_spans(self, doc, r):
+        # the span invariant: source substrings compose the extracted text
+        joined = "".join(doc[s:e] for s, e in r.spans)
+        assert joined == r.extracted_text.replace("\n", "")
+        assert all(0 <= s < e <= len(doc) for s, e in r.spans)
+
+    def test_heading_and_prose(self):
+        from poc_document_ocr_spark.functions.md_extract import (
+            extract_markdown,
+        )
+
+        doc = "## Section Two\n\nplain prose line\n"
+        r = extract_markdown(doc)
+        assert r.extracted_text == "Section Two\nplain prose line"
+        assert r.rule == "md_prose"
+        self._check_spans(doc, r)
+
+    def test_fence_dropped_whole(self):
+        from poc_document_ocr_spark.functions.md_extract import (
+            extract_markdown,
+        )
+
+        doc = "before\n```py\nx = 1\n# not a heading\n```\nafter\n"
+        r = extract_markdown(doc)
+        assert r.extracted_text == "before\nafter"
+        self._check_spans(doc, r)
+
+    def test_tilde_fence_and_unclosed_fence(self):
+        from poc_document_ocr_spark.functions.md_extract import (
+            extract_markdown,
+        )
+
+        doc = "~~~\ncode\n~~~\nkept\n```\ndangling"
+        r = extract_markdown(doc)
+        assert r.extracted_text == "kept"
+        self._check_spans(doc, r)
+
+    def test_quotes_bullets_hr_images_links_inline(self):
+        from poc_document_ocr_spark.functions.md_extract import (
+            extract_markdown,
+        )
+
+        doc = (
+            "> quoted\n---\n- item one\n12. ordered item\n"
+            "![alt text](http://img)\n"
+            "go to [the docs](http://d) for `api` **details**\n"
+        )
+        r = extract_markdown(doc)
+        assert r.extracted_text == (
+            "quoted\nitem one\nordered item\n"
+            "go to the docs for api details"
+        )
+        self._check_spans(doc, r)
+
+    def test_image_only_line_vanishes_and_plain_brackets_survive(self):
+        from poc_document_ocr_spark.functions.md_extract import (
+            extract_markdown,
+        )
+
+        doc = "![x](y)\nvalue [0.91] stays\n"
+        r = extract_markdown(doc)
+        assert r.extracted_text == "value [0.91] stays"
+        self._check_spans(doc, r)
+
+    def test_dispatch_routes_md(self):
+        from poc_document_ocr_spark.functions.dispatch import extract
+
+        got = extract("# T\n\nbody text")
+        assert (got[0], got[2], got[3]) == ("T\nbody text", "md_prose", "md")
