@@ -1060,6 +1060,71 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     )
 
 
+def q_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window counts per event type: 1-hour windows
+    every 30 minutes — each event lands in exactly two windows."""
+    from .operators.events import sliding_event_counts
+
+    load_views(spark, sf_dir, "events")
+    return sliding_event_counts(spark.table("events"))
+
+
+_O_EVENT_SLIDING = """
+WITH s AS (SELECT event_type,
+        date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+          THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w0
+      FROM events),
+u AS (SELECT event_type, w0 - t.i * INTERVAL 30 MINUTE AS ws
+      FROM s, UNNEST([0, 1]) AS t(i))
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM u GROUP BY 1, 2
+"""
+
+
+def q_event_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hour by count — the per-window trending
+    listing (rank over the aggregate, never the raw events)."""
+    from .operators.events import trending_event_types
+
+    load_views(spark, sf_dir, "events")
+    return trending_event_types(spark.table("events"))
+
+
+_O_EVENT_TRENDING = """
+WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER
+        (PARTITION BY ws ORDER BY n_events DESC, event_type) AS INT) AS rnk
+      FROM c)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       n_events, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
+def q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the event value column (bin width 5.0):
+    edges, counts, integer ppm shares — numeric profiling before choosing
+    clipping constants."""
+    from .operators.events import value_histogram
+
+    load_views(spark, sf_dir, "events")
+    return value_histogram(spark.table("events"))
+
+
+_O_VALUE_HIST = """
+WITH b AS (SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
+SELECT bin, bin * 5.0 AS lo, (bin + 1) * 5.0 AS hi, n,
+       CAST(n * 1000000 // tot AS BIGINT) AS n_ppm
+FROM b, t
+"""
+
+
 def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of event_windows, oracle-checked: watermarked tumbling
     windows drained with availableNow. Append mode emits exactly the
@@ -2882,6 +2947,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineage_counts": q_lineage_counts,
     "event_windows": q_event_windows,
     "event_sessions": q_event_sessions,
+    "event_sliding": q_event_sliding,
+    "event_trending": q_event_trending,
+    "value_hist": q_value_hist,
     "streaming_windows": q_streaming_windows,
     "streaming_sessions": q_streaming_sessions,
     "asof_ref": q_asof_ref,
@@ -2952,6 +3020,9 @@ ORACLES: dict[str, str] = {
     "lineage_counts": _O_LINEAGE,
     "event_windows": _O_EVENT_WINDOWS,
     "event_sessions": _O_EVENT_SESSIONS,
+    "event_sliding": _O_EVENT_SLIDING,
+    "event_trending": _O_EVENT_TRENDING,
+    "value_hist": _O_VALUE_HIST,
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
     "asof_ref": _O_ASOF_REF,

@@ -26,9 +26,93 @@ from pyspark.sql import functions as F
 __all__ = [
     "windowed_event_stats",
     "sessionize_events",
+    "sliding_event_counts",
+    "trending_event_types",
+    "value_histogram",
     "asof_join",
     "interval_join",
 ]
+
+
+def sliding_event_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """SLIDING-window counts per event type: each event lands in
+    ``window/slide`` overlapping windows (``F.window`` with a slide
+    duration — the hopping-window shape dashboards use for smoothed
+    rates, vs the partitioning tumbling windows of
+    :func:`windowed_event_stats`). One shuffle on (window, type); the
+    window replication factor is the constant ``window/slide``, applied
+    map-side."""
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def trending_event_types(
+    events: DataFrame, window: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Top-k event types per tumbling window by count (the "trending"
+    listing): counts first (map-side combine), then a rank window over
+    the per-(window, type) aggregate — the rank input is already
+    aggregate-sized, and Spark's WindowGroupLimit prunes beyond-k rows
+    before the rank's exchange. Deterministic: ties break by type name."""
+    counts = events.groupBy(
+        F.window("ts", window).alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rank_w = W.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "rnk",
+        )
+    )
+
+
+def value_histogram(
+    events: DataFrame, value_col: str = "value", bin_width: float = 5.0
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column: bin index, edges, count,
+    and integer ppm share — the profiling pass a pipeline runs before
+    choosing clipping/normalization constants. ``floor(value / width)``
+    is a single IEEE division (cross-engine exact); one groupBy(bin) with
+    map-side combine, then the tiny bin table crossed with the 1-row
+    total for shares."""
+    b = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    bins = (
+        events.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = bins.agg(F.sum("n").alias("_tot"))
+    return (
+        bins.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).alias("lo"),
+            ((F.col("bin") + 1) * bin_width).alias("hi"),
+            "n",
+            F.expr("n * 1000000 div _tot").alias("n_ppm"),
+        )
+    )
 
 
 def windowed_event_stats(

@@ -1180,3 +1180,61 @@ def test_bigram_familiarity_top_w2_pruning(spark):
     }
     assert rows[1]["familiarity_ppm"] == 1_000_000
     assert 3 not in rows  # its only transition was pruned away
+
+
+def test_sliding_counts_each_event_in_two_windows(spark):
+    from poc_document_ocr_spark.operators.events import (
+        sliding_event_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:40:00", "click")],
+        "event_id long, ts string, event_type string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type")
+    rows = sorted(
+        (r["window_start"], r["n_events"])
+        for r in sliding_event_counts(df).collect()
+    )
+    assert rows == [
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 10:30:00", 1),
+    ]
+
+
+def test_trending_top_k_and_tiebreak(spark):
+    from poc_document_ocr_spark.operators.events import (
+        trending_event_types,
+    )
+
+    rows = [
+        (i, "2024-01-01 10:0%d:00" % (i % 6), t)
+        for i, t in enumerate(
+            ["a"] * 3 + ["b"] * 2 + ["c"] * 2 + ["d"] * 1
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "event_type")
+    got = [
+        (r["event_type"], r["n_events"], r["rnk"])
+        for r in sorted(
+            trending_event_types(df, k=3).collect(),
+            key=lambda r: r["rnk"],
+        )
+    ]
+    # a(3) first; b and c tie at 2 → alphabetical; d pruned by k=3
+    assert got == [("a", 3, 1), ("b", 2, 2), ("c", 2, 3)]
+
+
+def test_value_histogram_bins_and_shares(spark):
+    from poc_document_ocr_spark.operators.events import value_histogram
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 4.99), (3, 5.0), (4, 12.0)],
+        "event_id long, value double",
+    )
+    rows = {r["bin"]: r for r in value_histogram(df).collect()}
+    assert rows[0]["n"] == 2 and (rows[0]["lo"], rows[0]["hi"]) == (0.0, 5.0)
+    assert rows[1]["n"] == 1   # 5.0 lands in [5, 10)
+    assert rows[2]["n"] == 1
+    assert rows[0]["n_ppm"] == 2 * 1_000_000 // 4
