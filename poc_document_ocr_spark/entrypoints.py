@@ -1465,6 +1465,44 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup: the near-dup corpus split into an EXISTING
+    store (original ids) and a NEW batch (the planted +100000 copies);
+    candidates are generated only across the batch boundary — the
+    daily-crawl-vs-corpus ingest shape."""
+    from .operators.dedup import lsh_incremental_pairs
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    existing = corpus.filter(F.col("doc_id") < 100000)
+    new = corpus.filter(F.col("doc_id") >= 100000)
+    return lsh_incremental_pairs(
+        minhash_signatures(word_shingles(existing)),
+        minhash_signatures(word_shingles(new)),
+    )
+
+
+_O_DEDUP_INCR = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2)
+SELECT DISTINCT a.doc_id AS existing_id, b.doc_id AS new_id
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _sql_over(
         spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
@@ -2961,6 +2999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_mid": q_minhash_lsh_mid,
+    "dedup_incr": q_dedup_incr,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
     "dedup_components": q_dedup_components,
@@ -3034,6 +3073,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": _O_DEDUP_EXACT,
     "minhash_lsh": _O_MINHASH_LSH,
     "minhash_lsh_mid": _O_MINHASH_LSH_MID,
+    "dedup_incr": _O_DEDUP_INCR,
     "ngram_jaccard": _O_NGRAM_JACCARD,
     "simhash_neardup": _O_SIMHASH_NEARDUP,
     "dedup_components": _O_DEDUP_COMPONENTS,

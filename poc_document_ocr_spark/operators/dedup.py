@@ -28,6 +28,7 @@ __all__ = [
     "word_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
+    "lsh_incremental_pairs",
     "ngram_jaccard",
     "simhash64",
     "simhash_hamming",
@@ -123,7 +124,30 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     one band. The join is equi on (band, sig); only bucket collisions pair
     up — at corpus scale this is the step that avoids the O(n²) compare.
     """
-    bands = (
+    bands = _band_sigs(signatures, id_col, rows_per_band)
+    # both sides of the self-join read bands — materialize once (a lazy
+    # persist inside the join job would race its own cache fill)
+    bands = bands.persist()
+    bands.count()
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("sig")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _band_sigs(signatures: DataFrame, id_col: str,
+               rows_per_band: int) -> DataFrame:
+    """(id, band, band-signature) rows — the shared banding step of the
+    self-join and incremental candidate generators."""
+    return (
         signatures.withColumn(
             "band", F.floor(F.col("k") / rows_per_band).cast("int")
         )
@@ -142,20 +166,37 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
             ).alias("sig")
         )
     )
-    # both sides of the self-join read bands — materialize once (a lazy
-    # persist inside the join job would race its own cache fill)
-    bands = bands.persist()
-    bands.count()
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
+
+
+def lsh_incremental_pairs(
+    existing_sigs: DataFrame,
+    new_sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Incremental LSH dedup: candidate near-dup pairs between a NEW
+    batch and the EXISTING corpus only — the daily-ingest shape. A crawl
+    pipeline doesn't re-pair the whole corpus each day; it bands the new
+    batch, joins it against the (stored) band signatures of what it
+    already holds, and drops new documents that collide. New↔new pairs
+    are deliberately NOT generated here (run the self-join generator on
+    the surviving batch for those) — so the join cost scales with
+    |new| · collision rate, independent of corpus size.
+
+    Returns distinct ``(existing_id, new_id)`` sharing ≥ 1 band. The
+    existing side's band table is exactly what
+    :func:`lsh_candidate_pairs` computes — at scale it is persisted once
+    and appended per batch, never recomputed.
+    """
+    old_b = _band_sigs(existing_sigs, id_col, rows_per_band).select(
+        F.col(id_col).alias("existing_id"), "band", "sig"
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("band"), F.col("sig")
+    new_b = _band_sigs(new_sigs, id_col, rows_per_band).select(
+        F.col(id_col).alias("new_id"), "band", "sig"
     )
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        old_b.join(new_b, ["band", "sig"])
+        .select("existing_id", "new_id")
         .distinct()
     )
 

@@ -1238,3 +1238,37 @@ def test_value_histogram_bins_and_shares(spark):
     assert rows[1]["n"] == 1   # 5.0 lands in [5, 10)
     assert rows[2]["n"] == 1
     assert rows[0]["n_ppm"] == 2 * 1_000_000 // 4
+
+
+def test_lsh_incremental_pairs_cross_batch_only(spark):
+    from poc_document_ocr_spark.operators.dedup import (
+        lsh_incremental_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    existing = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different old content here now"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),   # dup of 1
+            (11, "totally different old content here now"),  # dup of 2
+            (12, "brand new unique words never seen before"),
+        ],
+    )
+    got = sorted(
+        (r["existing_id"], r["new_id"])
+        for r in lsh_incremental_pairs(
+            minhash_signatures(word_shingles(existing)),
+            minhash_signatures(word_shingles(new)),
+        ).collect()
+    )
+    # cross-batch dups found; 10↔11 (new↔new, not dups anyway) and the
+    # unique doc 12 produce nothing
+    assert got == [(1, 10), (2, 11)]
