@@ -2565,6 +2565,35 @@ FROM r JOIN t ON r.lang = t.lang AND r.rn = t.idx
 """
 
 
+def q_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-tail trim: drop verdict for documents outside
+    their language's [p5, p95] token-length band (discrete quantile
+    bounds broadcast back onto the corpus)."""
+    from .operators.sampling import length_trim
+
+    return length_trim(_docs_with_lang(spark, sf_dir))
+
+
+_O_LENGTH_TRIM = f"""
+WITH {_LANG_CTE},
+r AS (SELECT lang, n_tokens AS v,
+        row_number() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS rn
+      FROM lp),
+c AS (SELECT lang, count(*) AS n FROM r GROUP BY 1),
+t AS (SELECT lang, u.q AS q, CAST(floor(u.qf * (n - 1)) AS BIGINT) AS idx
+      FROM c, (VALUES (50, 0.05), (950, 0.95)) AS u(q, qf)),
+qv AS (SELECT r.lang, t.q, r.v FROM r JOIN t
+       ON r.lang = t.lang AND r.rn = t.idx),
+b AS (SELECT lang,
+        min(CASE WHEN q = 50 THEN v END) AS lo_v,
+        min(CASE WHEN q = 950 THEN v END) AS hi_v
+      FROM qv GROUP BY 1)
+SELECT lp.doc_id, lp.lang, lp.n_tokens AS value, b.lo_v, b.hi_v,
+       (lp.n_tokens >= b.lo_v AND lp.n_tokens <= b.hi_v) AS keep
+FROM lp JOIN b ON lp.lang = b.lang
+"""
+
+
 def q_c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style corpus-level segment dedup (the removal pass): repeated
     8-word segments keep only their globally-first occurrence; cleaned
@@ -3021,6 +3050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel": q_curation_funnel,
     "strat_sample": q_strat_sample,
     "len_quantiles": q_len_quantiles,
+    "length_trim": q_length_trim,
     "shard_pack": q_shard_pack,
     "pack_manifest": q_pack_manifest,
     "doc_chunks": q_doc_chunks,
@@ -3095,6 +3125,7 @@ ORACLES: dict[str, str] = {
     "curation_funnel": _o_curation_funnel(),
     "strat_sample": _o_strat_sample(),
     "len_quantiles": _O_LEN_QUANTILES,
+    "length_trim": _O_LENGTH_TRIM,
     "shard_pack": _O_SHARD_PACK,
     "pack_manifest": _O_PACK_MANIFEST,
     "doc_chunks": _O_DOC_CHUNKS,

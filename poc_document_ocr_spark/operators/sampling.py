@@ -34,6 +34,7 @@ __all__ = [
     "group_quantiles",
     "mixture_weights",
     "curation_funnel",
+    "length_trim",
 ]
 
 #: width of the hex prefix compared against split thresholds (8 hex chars
@@ -401,3 +402,44 @@ def curation_funnel(
         )
     )
     return stages.unionByName(finals)
+
+
+def length_trim(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_tokens",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group length-tail trim: flag rows whose measure falls outside
+    the group's [lo, hi] discrete quantiles — the "drop the shortest and
+    longest 5% per language" cleanup a curation pass runs after inspecting
+    :func:`group_quantiles` (tails are where truncated pages and
+    concatenation accidents live; one global bound would mis-trim every
+    low-resource language).
+
+    The bounds table is one row per group (bounded cardinality — the
+    language set), so it is BROADCAST back onto the corpus: the only
+    corpus-sized costs are the quantile ranking pass and one map-side
+    verdict column. Bounds are inclusive, actual data values (discrete
+    quantile convention — bit-stable across engines).
+
+    Returns ``(id, group, value, lo_v, hi_v, keep)``.
+    """
+    q = group_quantiles(df, group_col, value_col, qs=(lo, hi))
+    lo_key, hi_key = int(round(lo * 1000)), int(round(hi * 1000))
+    bounds = q.groupBy(group_col).agg(
+        F.min(F.when(F.col("q") == lo_key, F.col("value"))).alias("lo_v"),
+        F.min(F.when(F.col("q") == hi_key, F.col("value"))).alias("hi_v"),
+    )
+    v = F.col(value_col).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(group_col), v.alias("value"))
+        .join(F.broadcast(bounds), group_col)
+        .withColumn(
+            "keep",
+            (F.col("value") >= F.col("lo_v"))
+            & (F.col("value") <= F.col("hi_v")),
+        )
+    )

@@ -1272,3 +1272,20 @@ def test_lsh_incremental_pairs_cross_batch_only(spark):
     # cross-batch dups found; 10↔11 (new↔new, not dups anyway) and the
     # unique doc 12 produce nothing
     assert got == [(1, 10), (2, 11)]
+
+
+def test_length_trim_bounds_per_group(spark):
+    from poc_document_ocr_spark.operators.sampling import length_trim
+
+    # en lengths 1..20 → p5 idx floor(.05*19)=0 → lo=1; p95 idx
+    # floor(.95*19)=18 → hi=19; so 20 is trimmed, everything else kept.
+    # fr has a single row: both bounds equal its value → kept.
+    rows = [(i, "en", i) for i in range(1, 21)] + [(100, "fr", 7)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in length_trim(df).collect()}
+    assert (out[1]["lo_v"], out[1]["hi_v"]) == (1, 19)
+    assert out[1]["keep"] and out[19]["keep"]
+    assert not out[20]["keep"]
+    assert out[100]["keep"] and out[100]["lo_v"] == 7
