@@ -396,6 +396,61 @@ def audit(spark, sf_dir: str):
         f"Expand nodes = {n_expand}",
     )
 
+    # --- extract_md: Arrow-batched, zero shuffles, pruned scan -------------
+    md = ep.QUERIES["extract_md"](spark, sf_dir)
+    p = plan_of(md)
+    check(
+        "extract_md: map-only (the md engine runs inside the Arrow batch)",
+        "Exchange" not in p and "ArrowEvalPython" in p,
+        "no Exchange; ArrowEvalPython stage present",
+    )
+
+    # --- event analytics: shuffle counts and top-k pruning -----------------
+    sl = ep.QUERIES["event_sliding"](spark, sf_dir)
+    p = plan_of(sl)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "event_sliding: ONE shuffle (window replication is map-side Expand)",
+        n_ex == 1 and "Expand" in p,
+        f"Exchange nodes = {n_ex}; Expand present",
+    )
+    tr = ep.QUERIES["event_trending"](spark, sf_dir)
+    p = plan_of(tr)
+    check(
+        "event_trending: rank runs over the aggregate with WindowGroupLimit",
+        "WindowGroupLimit" in p,
+        next(
+            (l.strip()[:90] for l in p.splitlines() if "WindowGroupLimit" in l),
+            "absent",
+        ),
+    )
+    vh = ep.QUERIES["value_hist"](spark, sf_dir)
+    p = plan_of(vh)
+    check(
+        "value_hist: bin groupBy partial-aggregates; totals broadcast",
+        "partial_count" in p and "BroadcastNestedLoopJoin" in p
+        or "BroadcastExchange" in p,
+        "map-side combine + broadcast total",
+    )
+
+    # --- dedup_incr: cross-batch equi join only ---------------------------
+    di = ep.QUERIES["dedup_incr"](spark, sf_dir)
+    p = plan_of(di)
+    check(
+        "dedup_incr: band equi-join between batches, no cartesian",
+        "CartesianProduct" not in p,
+        "no cartesian in plan",
+    )
+
+    # --- length_trim: bounded bounds table broadcast back ------------------
+    lt = ep.QUERIES["length_trim"](spark, sf_dir)
+    p = plan_of(lt)
+    check(
+        "length_trim: per-language bounds broadcast onto the corpus",
+        bool(re.search(r"BroadcastHashJoin \[lang", p)),
+        next((l.strip()[:90] for l in p.splitlines() if "Join" in l), "?"),
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
