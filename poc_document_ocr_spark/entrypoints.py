@@ -1862,24 +1862,26 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = cosine_topk(emb, queries, k=5).select("q_id", "n_id")
-    approx = lsh_topk(emb, queries, _ANN_PLANES, k=5).select("q_id", "n_id")
-    hits = (
-        exact.join(approx, ["q_id", "n_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    approx = lsh_topk(emb, queries, _ANN_PLANES, k=5).select(
+        "q_id", "n_id", F.lit(1).cast("long").alias("_hit")
     )
-    per_q = exact.groupBy("q_id").agg(
-        F.count(F.lit(1)).cast("long").alias("k_exact")
-    )
+    # one left join + one groupBy: the expensive exact subtree (brute-force
+    # cosine over the corpus) is consumed exactly ONCE — a semi-join +
+    # separate per-query count would evaluate it twice with no persist
     return (
-        per_q.join(hits, "q_id", "left")
+        exact.join(approx, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_exact"),
+            F.sum(F.coalesce("_hit", F.lit(0).cast("long"))).alias(
+                "n_hits"
+            ),
+        )
         .select(
             "q_id",
             "k_exact",
-            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
-            F.expr(
-                "coalesce(n_hits, CAST(0 AS BIGINT)) * 100 div k_exact"
-            ).alias("recall_pct"),
+            "n_hits",
+            F.expr("n_hits * 100 div k_exact").alias("recall_pct"),
         )
     )
 
@@ -2292,6 +2294,13 @@ FROM p
 """
 
 
+#: pack budget shared by the query, its util denominator, and the oracle
+#: (a desynced copy would silently report utilization against the wrong
+#: denominator). NOTE: _O_SHARD_PACK's windowed pack_id also assumes this
+#: value — keep them aligned.
+_PACK_BUDGET = 1000
+
+
 def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack manifest: per (shard, pack) document count, token total, and
     integer-ppm budget utilization — the loader-side index a training job
@@ -2305,7 +2314,7 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     packed = pack_contiguous(
-        shard_assign(with_tokens, n_shards=8, seed=0), budget=1000
+        shard_assign(with_tokens, n_shards=8, seed=0), budget=_PACK_BUDGET
     )
     return (
         packed.groupBy("shard", "pack_id")
@@ -2313,7 +2322,10 @@ def q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("pack_tokens"),
         )
-        .withColumn("util_ppm", F.expr("pack_tokens * 1000000 div 1000"))
+        .withColumn(
+            "util_ppm",
+            F.expr(f"pack_tokens * 1000000 div {_PACK_BUDGET}"),
+        )
     )
 
 
@@ -2321,7 +2333,7 @@ _O_PACK_MANIFEST = f"""
 SELECT shard, pack_id,
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
-  CAST(sum(n_tokens) * 1000000 // 1000 AS BIGINT) AS util_ppm
+  CAST(sum(n_tokens) * 1000000 // {_PACK_BUDGET} AS BIGINT) AS util_ppm
 FROM ({_O_SHARD_PACK}) sp
 GROUP BY shard, pack_id
 """

@@ -27,13 +27,16 @@ from .pdf_layout import extract_layout
 __all__ = ["sniff_format", "extract", "extract_safe"]
 
 #: Strong markdown signals: a fence, an ATX heading at line start, or an
-#: inline link. Deliberately conservative — prose that merely contains
-#: '#' or '*' mid-line stays 'plain' (identity extraction is the safe
-#: default; a false 'md' positive would strip content).
+#: inline link whose TARGET looks like a URL/path. Deliberately
+#: conservative — prose that merely contains '#' or '*' mid-line stays
+#: 'plain', and bracket-then-paren prose ("ref[1](chapter 2)") is NOT a
+#: link (identity extraction is the safe default; a false 'md' positive
+#: would strip content).
 _MD_RE = re.compile(
     r"^ {0,3}(?:```|~~~)"        # fenced code block
     r"|^ {0,3}#{1,6} \S"         # ATX heading
-    r"|\[[^\]\n]+\]\([^)\n]+\)", # [text](url) link
+    # [text](target) only when target is scheme/path/anchor-shaped
+    r"|\[[^\]\n]+\]\((?:https?://|www\.|/|#|\./|\.\./)[^)\n]*\)",
     re.MULTILINE,
 )
 

@@ -85,6 +85,11 @@ def extract_markdown(text: str) -> MarkdownExtraction:
     fence_mark = ""
     for raw in text.split("\n"):
         base, offset = offset, offset + len(raw) + 1
+        # CRLF input: parse without the trailing \r so rule/prefix regexes
+        # anchored at end-of-line still fire, and spans (bounded by
+        # len(raw)) never cover the stray carriage return
+        if raw.endswith("\r"):
+            raw = raw[:-1]
         fm = _FENCE_RE.match(raw)
         if in_fence:
             if fm and fm.group(1) == fence_mark:

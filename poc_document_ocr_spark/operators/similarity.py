@@ -263,7 +263,6 @@ def kmeans_lloyd(
     Returns ``(id, cell, dist)`` after ``iters`` refinements — final
     assignment, squared quantized L2 distance. All BIGINT/int.
     """
-    dim = len(df.select(vec_col).first()[0])
     qdf = df.select(
         F.col(id_col), quantize_vec(F.col(vec_col)).alias("qv")
     ).persist()
@@ -272,6 +271,11 @@ def kmeans_lloyd(
         centroids = [
             r["qv"] for r in qdf.orderBy(id_col).limit(k).collect()
         ]
+        if not centroids:
+            raise ValueError("kmeans_lloyd: input has no vectors")
+        # the seed collect already holds a quantized vector — no separate
+        # dimension-probe job
+        dim = len(centroids[0])
         for _ in range(iters):
             assigned = qdf.select(
                 "qv", _nearest_centroid(F.col("qv"), centroids)["i"].alias("cell")

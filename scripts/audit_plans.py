@@ -428,8 +428,8 @@ def audit(spark, sf_dir: str):
     p = plan_of(vh)
     check(
         "value_hist: bin groupBy partial-aggregates; totals broadcast",
-        "partial_count" in p and "BroadcastNestedLoopJoin" in p
-        or "BroadcastExchange" in p,
+        "partial_count" in p
+        and ("BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p),
         "map-side combine + broadcast total",
     )
 

@@ -186,6 +186,10 @@ def test_layout_empty():
         ("# markdown title\nsome prose", "md"),
         ("see [a link](http://x) here", "md"),
         ("price #3 and a * b", "plain"),  # mid-line md chars are not md
+        # bracket-then-paren prose is NOT a link — a false 'md' positive
+        # would destructively strip "(chapter 2)" from plain text
+        ("see ref[1](chapter 2) for details", "plain"),
+        ("call arr[0](ctx) here", "plain"),
         ("col a      col b\ncol c      col d", "layout"),
         ("page one\x0cpage two", "layout"),
         ("", "empty"),
@@ -396,3 +400,14 @@ class TestMarkdownExtraction:
 
         got = extract("# T\n\nbody text")
         assert (got[0], got[2], got[3]) == ("T\nbody text", "md_prose", "md")
+
+    def test_crlf_input_drops_rules_and_carriage_returns(self):
+        from poc_document_ocr_spark.functions.md_extract import (
+            extract_markdown,
+        )
+
+        doc = "# T\r\n---\r\nkept line\r\n"
+        r = extract_markdown(doc)
+        assert r.extracted_text == "T\nkept line"
+        assert "\r" not in r.extracted_text
+        self._check_spans(doc, r)
