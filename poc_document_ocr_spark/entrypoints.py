@@ -2751,6 +2751,67 @@ SELECT * FROM g WHERE n_splits >= 2
 """
 
 
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) curation profile: document/token totals,
+    quality-keep share, and intra-source exact-dup share, all integer ppm
+    — the per-domain report a crawl pipeline uses to allowlist, throttle,
+    or drop whole sources (domain-level pruning acts on exactly these
+    aggregates). One scan, one groupBy(source) with map-side combine;
+    output cardinality = number of sources."""
+    from .operators.textstats import quality_keep
+
+    text = F.col("text")
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    flags = _docs(spark, sf_dir).select(
+        "source",
+        F.size(F.split(text, " ")).cast("long").alias("n_toks"),
+        quality_keep(text).cast("long").alias("qk"),
+        F.md5(norm).alias("fp"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("qk").alias("_nk"),
+            F.countDistinct("fp").cast("long").alias("_nfp"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("_nk * 1000000 div n_docs").alias("keep_ppm"),
+            (F.col("n_docs") - F.col("_nfp")).alias("dup_docs"),
+            F.expr("(n_docs - _nfp) * 1000000 div n_docs").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+_O_SOURCE_PROFILE = """
+WITH f AS (SELECT source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        CAST(CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 100000
+          AND length(replace(text, ' ', ''))
+              / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+          AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+              / length(text) <= 0.30
+          AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+              / length(text) <= 0.50 THEN 1 ELSE 0 END AS BIGINT) AS qk,
+        md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+  CAST(sum(qk) * 1000000 // count(*) AS BIGINT) AS keep_ppm,
+  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+  CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS BIGINT)
+    AS dup_ppm
+FROM f GROUP BY source
+"""
+
+
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus-curation attrition report over a corpus with planted
     exact duplicates: raw → quality gate → blocklist screen → exact-dup
@@ -3060,6 +3121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_sample": q_split_sample,
     "split_leakage": q_split_leakage,
     "curation_funnel": q_curation_funnel,
+    "source_profile": q_source_profile,
     "strat_sample": q_strat_sample,
     "len_quantiles": q_len_quantiles,
     "length_trim": q_length_trim,
@@ -3135,6 +3197,7 @@ ORACLES: dict[str, str] = {
     "split_sample": _o_split_sample(),
     "split_leakage": _o_split_leakage(),
     "curation_funnel": _o_curation_funnel(),
+    "source_profile": _O_SOURCE_PROFILE,
     "strat_sample": _o_strat_sample(),
     "len_quantiles": _O_LEN_QUANTILES,
     "length_trim": _O_LENGTH_TRIM,
