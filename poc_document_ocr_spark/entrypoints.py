@@ -1125,6 +1125,37 @@ FROM b, t
 """
 
 
+def q_session_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size distribution: exact discrete quantiles (p50/p90/p99)
+    of events-per-session over the gap-sessionized log — the composition
+    of the sessionizer with the group-quantile operator (state-store and
+    batch-size budgets come straight from these numbers)."""
+    from .operators.events import sessionize_events
+    from .operators.sampling import group_quantiles
+
+    load_views(spark, sf_dir, "events")
+    sessions = sessionize_events(spark.table("events")).select(
+        F.lit("all").alias("grp"), F.col("n_events")
+    )
+    return group_quantiles(
+        sessions, group_col="grp", value_col="n_events",
+        qs=(0.5, 0.9, 0.99),
+    )
+
+
+_O_SESSION_SIZE_Q = f"""
+WITH sess AS ({{sessions}}),
+r AS (SELECT 'all' AS grp, n_events AS v,
+        row_number() OVER (ORDER BY n_events) - 1 AS rn
+      FROM sess),
+c AS (SELECT count(*) AS n FROM r),
+t AS (SELECT u.q AS q, CAST(floor(u.qf * (n - 1)) AS BIGINT) AS idx
+      FROM c, (VALUES (500, 0.5), (900, 0.9), (990, 0.99)) AS u(q, qf))
+SELECT r.grp, CAST(t.q AS INT) AS q, CAST(r.v AS BIGINT) AS value
+FROM r JOIN t ON r.rn = t.idx
+"""
+
+
 def q_streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of event_windows, oracle-checked: watermarked tumbling
     windows drained with availableNow. Append mode emits exactly the
@@ -3090,6 +3121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sliding": q_event_sliding,
     "event_trending": q_event_trending,
     "value_hist": q_value_hist,
+    "session_size_q": q_session_size_q,
     "streaming_windows": q_streaming_windows,
     "streaming_sessions": q_streaming_sessions,
     "asof_ref": q_asof_ref,
@@ -3166,6 +3198,7 @@ ORACLES: dict[str, str] = {
     "event_sliding": _O_EVENT_SLIDING,
     "event_trending": _O_EVENT_TRENDING,
     "value_hist": _O_VALUE_HIST,
+    "session_size_q": _O_SESSION_SIZE_Q.format(sessions=_O_EVENT_SESSIONS),
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
     "asof_ref": _O_ASOF_REF,
