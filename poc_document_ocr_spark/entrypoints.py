@@ -1125,6 +1125,35 @@ FROM b, t
 """
 
 
+def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role × tool usage profile over the transcripts: turn counts, text
+    volume, and per-role conversation reach — the agent-telemetry
+    breakdown (which roles call which tools, how much text each lane
+    produces) a transcript-curation pass reads before weighting lanes.
+    One groupBy((role, tool)) with map-side combine; ``tool`` is null for
+    non-tool turns, kept as its own row (the prose lane)."""
+    t = spark_transcripts(spark, sf_dir)
+    return (
+        t.groupBy("role", "tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min("turn_idx").cast("long").alias("first_turn_idx"),
+        )
+    )
+
+
+_O_TOOL_USAGE = oracle_cte("""
+SELECT role, tool,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(min(turn_idx) AS BIGINT) AS first_turn_idx
+FROM t GROUP BY role, tool
+""")
+
+
 def q_session_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-size distribution: exact discrete quantiles (p50/p90/p99)
     of events-per-session over the gap-sessionized log — the composition
@@ -3122,6 +3151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_trending": q_event_trending,
     "value_hist": q_value_hist,
     "session_size_q": q_session_size_q,
+    "tool_usage": q_tool_usage,
     "streaming_windows": q_streaming_windows,
     "streaming_sessions": q_streaming_sessions,
     "asof_ref": q_asof_ref,
@@ -3199,6 +3229,7 @@ ORACLES: dict[str, str] = {
     "event_trending": _O_EVENT_TRENDING,
     "value_hist": _O_VALUE_HIST,
     "session_size_q": _O_SESSION_SIZE_Q.format(sessions=_O_EVENT_SESSIONS),
+    "tool_usage": _O_TOOL_USAGE,
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
     "asof_ref": _O_ASOF_REF,
