@@ -1154,6 +1154,38 @@ FROM t GROUP BY role, tool
 """)
 
 
+def q_conv_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation shape profile: turn counts by lane (user /
+    assistant / tool), distinct-role fan-out, and text volume — the
+    structural fingerprint a transcript-curation pass filters on (e.g.
+    drop tool-only conversations, cap monologues). One groupBy(conv_id)
+    with map-side combine over conditional sums."""
+    t = spark_transcripts(spark, sf_dir)
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        one_if(F.col("role") == "user").alias("n_user"),
+        one_if(F.col("role") == "assistant").alias("n_assistant"),
+        one_if(F.col("tool").isNotNull()).alias("n_tool_calls"),
+        F.countDistinct("role").cast("long").alias("n_roles"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+
+
+_O_CONV_SHAPE = oracle_cte("""
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_assistant,
+  CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_tool_calls,
+  CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM t GROUP BY conv_id
+""")
+
+
 def q_session_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-size distribution: exact discrete quantiles (p50/p90/p99)
     of events-per-session over the gap-sessionized log — the composition
@@ -3152,6 +3184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_hist": q_value_hist,
     "session_size_q": q_session_size_q,
     "tool_usage": q_tool_usage,
+    "conv_shape": q_conv_shape,
     "streaming_windows": q_streaming_windows,
     "streaming_sessions": q_streaming_sessions,
     "asof_ref": q_asof_ref,
@@ -3230,6 +3263,7 @@ ORACLES: dict[str, str] = {
     "value_hist": _O_VALUE_HIST,
     "session_size_q": _O_SESSION_SIZE_Q.format(sessions=_O_EVENT_SESSIONS),
     "tool_usage": _O_TOOL_USAGE,
+    "conv_shape": _O_CONV_SHAPE,
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
     "asof_ref": _O_ASOF_REF,
