@@ -2014,6 +2014,44 @@ SELECT id_a, id_b, bucket FROM p WHERE cos >= 0.2
 """
 
 
+def q_emb_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus health profile per label: vector count, dimension,
+    and squared-norm extremes — the sanity pass before trusting an
+    embedding table for ANN/dedup (zero or wildly varying norms mean a
+    broken encoder batch). Norm² is a deterministic left-fold dot product
+    (identical order in the DuckDB twin); min/max of identically-computed
+    doubles are the only float aggregates the oracle allows."""
+    from .operators.similarity import dot
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    n2 = dot(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.select("label", F.size("embedding").alias("dim"), n2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("dim").cast("long").alias("min_dim"),
+            F.max("dim").cast("long").alias("max_dim"),
+            F.min("n2").alias("min_norm2"),
+            F.max("n2").alias("max_norm2"),
+        )
+    )
+
+
+_O_EMB_STATS = """
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+  CAST(max(len(embedding)) AS BIGINT) AS max_dim,
+  min(list_dot_product(CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) AS min_norm2,
+  max(list_dot_product(CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[]))) AS max_norm2
+FROM embeddings GROUP BY label
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
@@ -3229,6 +3267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "blocklist": q_blocklist,
     "zipf_stats": q_zipf_stats,
     "bigram_lm": q_bigram_lm,
+    "emb_stats": q_emb_stats,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_recall": q_ann_recall,
@@ -3308,6 +3347,7 @@ ORACLES: dict[str, str] = {
     "blocklist": _O_BLOCKLIST,
     "zipf_stats": _O_ZIPF_STATS,
     "bigram_lm": _O_BIGRAM_LM,
+    "emb_stats": _O_EMB_STATS,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "ann_recall": _O_ANN_RECALL,
