@@ -2842,6 +2842,56 @@ _CORPUS_EXACT_DUP = """
 """
 
 
+def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile: histogram of exact-dup cluster sizes over the
+    planted-duplicate corpus — cluster size k vs how many clusters have
+    that size, plus the redundant-document share each bucket carries
+    (integer ppm of the corpus). The one-glance answer to "how duplicated
+    is this crawl" that decides whether dedup is worth a full pass. Two
+    vocabulary-sized groupBys after the fingerprint aggregate."""
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT_DUP}) c", "documents"
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    clusters = (
+        corpus.select(F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    total = clusters.agg(F.sum("k").alias("_tot"))
+    return (
+        clusters.groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_clusters",
+            (F.col("k") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("k") - 1) * F.col("n_clusters")).alias(
+                "redundant_docs"
+            ),
+            F.expr(
+                "(k - 1) * n_clusters * 1000000 div _tot"
+            ).alias("redundant_ppm"),
+        )
+    )
+
+
+_O_DUP_PROFILE = f"""
+WITH corpus AS ({_CORPUS_EXACT_DUP}),
+cl AS (SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+         AS fp, CAST(count(*) AS BIGINT) AS k
+       FROM corpus GROUP BY 1),
+t AS (SELECT CAST(sum(k) AS BIGINT) AS tot FROM cl)
+SELECT k, CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(k * count(*) AS BIGINT) AS n_docs,
+  CAST((k - 1) * count(*) AS BIGINT) AS redundant_docs,
+  CAST((k - 1) * count(*) * 1000000 // max(t.tot) AS BIGINT)
+    AS redundant_ppm
+FROM cl, t GROUP BY k
+"""
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination audit: exact-content duplicates whose
     copies land in different train/val/test hash splits — the post-split
@@ -3235,6 +3285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "minhash_lsh_mid": q_minhash_lsh_mid,
     "dedup_incr": q_dedup_incr,
+    "dup_profile": q_dup_profile,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
     "dedup_components": q_dedup_components,
@@ -3315,6 +3366,7 @@ ORACLES: dict[str, str] = {
     "minhash_lsh": _O_MINHASH_LSH,
     "minhash_lsh_mid": _O_MINHASH_LSH_MID,
     "dedup_incr": _O_DEDUP_INCR,
+    "dup_profile": _O_DUP_PROFILE,
     "ngram_jaccard": _O_NGRAM_JACCARD,
     "simhash_neardup": _O_SIMHASH_NEARDUP,
     "dedup_components": _O_DEDUP_COMPONENTS,
