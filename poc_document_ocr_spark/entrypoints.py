@@ -2931,6 +2931,47 @@ SELECT * FROM g WHERE n_splits >= 2
 """
 
 
+#: the consolidated record's extracted-value columns (subset of the
+#: 13-field catalog materialized as *_value columns) — the coverage unit
+_COVERAGE_COLS = (
+    "identifier_value", "firstname_value", "lastname_value",
+    "courtdate_value", "maincharge_value", "addcharges_value",
+    "defsig_value", "offsig_value", "phone_value", "notes_value",
+)
+
+
+def q_field_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-coverage histogram over the consolidated records: how many
+    of the extracted-value fields are populated per document, bucketed —
+    the completeness report a review queue is prioritized by (the
+    reference surfaces the same signal per document as its 5/13 progress
+    count, SURVEY row 16; this is the corpus-level rollup). Composes the
+    full consolidation fold, then one tiny groupBy over its output."""
+    rec = q_consolidate(spark, sf_dir)
+    filled = None
+    for c in _COVERAGE_COLS:
+        e = F.when(F.col(c).isNotNull(), 1).otherwise(0)
+        filled = e if filled is None else filled + e
+    return (
+        rec.select(filled.cast("long").alias("n_filled"))
+        .groupBy("n_filled")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    )
+
+
+def _o_field_coverage() -> str:
+    cases = " + ".join(
+        f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
+        for c in _COVERAGE_COLS
+    )
+    return f"""
+WITH rec AS ({_O_CONSOLIDATE})
+SELECT CAST({cases} AS BIGINT) AS n_filled,
+       CAST(count(*) AS BIGINT) AS n_records
+FROM rec GROUP BY 1
+"""
+
+
 def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source (domain) curation profile: document/token totals,
     quality-keep share, and intra-source exact-dup share, all integer ppm
@@ -3306,6 +3347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "curation_funnel": q_curation_funnel,
     "source_profile": q_source_profile,
+    "field_coverage": q_field_coverage,
     "strat_sample": q_strat_sample,
     "len_quantiles": q_len_quantiles,
     "length_trim": q_length_trim,
@@ -3387,6 +3429,7 @@ ORACLES: dict[str, str] = {
     "split_leakage": _o_split_leakage(),
     "curation_funnel": _o_curation_funnel(),
     "source_profile": _O_SOURCE_PROFILE,
+    "field_coverage": _o_field_coverage(),
     "strat_sample": _o_strat_sample(),
     "len_quantiles": _O_LEN_QUANTILES,
     "length_trim": _O_LENGTH_TRIM,
