@@ -1782,6 +1782,54 @@ SELECT doc_id, UNNEST(fps) AS fp FROM w
 """
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection end-to-end: winnowing fingerprints →
+    inverted index on fingerprint → boilerplate-fingerprint drop (fps in
+    > 10 docs carry no signal, the standard MOSS ignore list) → pair
+    overlap counts ≥ 5. The fingerprint bucket join IS the candidate
+    generator — no all-pairs shape at any scale, and the frequency cap
+    bounds every bucket's fan-out."""
+    from .operators.textstats import winnow_fingerprints
+
+    wf = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
+    rare = (
+        wf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= 10))
+        .select("fp")
+    )
+    wfr = wf.join(rare, "fp")
+    a = wfr.select(F.col("doc_id").alias("id_a"), "fp")
+    b = wfr.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 5)
+    )
+
+
+_O_WINNOW_OVERLAP = """
+WITH g AS (SELECT doc_id,
+    list_transform(range(1, length(text) - 8 + 2),
+                   i -> md5(substr(text, i, 8))) AS gh
+  FROM documents WHERE length(text) >= 11),
+w AS (SELECT doc_id,
+    list_distinct(list_transform(range(0, len(gh) - 4 + 1),
+                  j -> list_min(list_slice(gh, j + 1, j + 4)))) AS fps
+  FROM g),
+wf AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+rare AS (SELECT fp FROM wf GROUP BY fp
+         HAVING count(*) BETWEEN 2 AND 10),
+wfr AS (SELECT wf.doc_id, wf.fp FROM wf JOIN rare USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM wfr a JOIN wfr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
@@ -3341,6 +3389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "quality_score": q_quality_score,
     "winnow_fp": q_winnow_fp,
+    "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
     "tfidf_topterms": q_tfidf_topterms,
     "split_sample": q_split_sample,
@@ -3423,6 +3472,7 @@ ORACLES: dict[str, str] = {
     "fingerprint": _O_FINGERPRINT,
     "quality_score": _O_QUALITY_SCORE,
     "winnow_fp": _O_WINNOW_FP,
+    "winnow_overlap": _O_WINNOW_OVERLAP,
     "rep_stats": _O_REP_STATS,
     "tfidf_topterms": _O_TFIDF_TOPTERMS,
     "split_sample": _o_split_sample(),
