@@ -851,13 +851,18 @@ FROM t WHERE (turn_idx BETWEEN 1 AND 6) OR turn_idx = 9
 
 
 def q_dup_skip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-skip / resume primitive: left-anti join on existing keys."""
+    """Duplicate-skip / resume primitive: left-anti join on existing keys.
+
+    No broadcast hint: ``existing`` is corpus-derived (it grows with the
+    input), so the join strategy is AQE's call — the same rule the
+    production path follows (plans/pipeline.py) and the plan audit
+    enforces (no ResolvedHint on corpus-cardinality sides)."""
     t = spark_transcripts(spark, sf_dir)
     existing = (
         t.filter(F.col("doc_id") % 5 == 0).select("conv_id").distinct()
     )
     return (
-        t.join(F.broadcast(existing), "conv_id", "left_anti")
+        t.join(existing, "conv_id", "left_anti")
         .groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n_turns"))
     )
@@ -2873,8 +2878,11 @@ SELECT lang, n_docs, n_tokens, p_ppm, w_ppm,
   CASE WHEN p_ppm > 0 THEN CAST(w_ppm * 1000 // p_ppm AS BIGINT) END
     AS up_x1000
 FROM (SELECT lang, n_docs, n_tokens,
-        CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS p_ppm,
-        CAST(s * 1000000 // tot_s AS BIGINT) AS w_ppm
+        -- HUGEINT numerator = Spark's DECIMAL(38,0) widening: the x1e6
+        -- multiply must not overflow 64-bit at extreme token counts
+        CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot_tokens AS BIGINT)
+          AS p_ppm,
+        CAST(CAST(s AS HUGEINT) * 1000000 // tot_s AS BIGINT) AS w_ppm
       FROM k, t) z
 """
 
@@ -3337,57 +3345,13 @@ GROUP BY 1, 2
 # Registry + driver entry
 # ---------------------------------------------------------------------------
 
+# Dict order matters: the driver's CORRECTNESS gate records only the FIRST
+# 50 entries (round-3 finding).  The 30 ops the round-3 driver file never
+# recorded lead here; the extraction/consolidate/streaming core — already
+# driver-green in rounds 1-3 AND pinned by the pytest e2e suite — sits in
+# the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "extract_plain": q_extract_plain,
-    "extract_html": q_extract_html,
-    "extract_layout": q_extract_layout,
-    "extract_md": q_extract_md,
-    "dispatch_mix": q_dispatch_mix,
-    "field_contributions": q_field_contributions,
-    "forward_fill_runs": q_forward_fill_runs,
-    "run_headers": q_run_headers,
-    "consolidate": q_consolidate,
-    "review_projections": q_review_projections,
-    "status_projection": q_status_projection,
-    "turn_select_reindex": q_turn_select_reindex,
-    "dup_skip_anti": q_dup_skip_anti,
-    "reassembly": q_reassembly,
-    "date_parse": q_date_parse,
-    "lineage_counts": q_lineage_counts,
-    "event_windows": q_event_windows,
-    "event_sessions": q_event_sessions,
-    "event_sliding": q_event_sliding,
-    "event_trending": q_event_trending,
-    "value_hist": q_value_hist,
-    "session_size_q": q_session_size_q,
-    "tool_usage": q_tool_usage,
-    "conv_shape": q_conv_shape,
-    "streaming_windows": q_streaming_windows,
-    "streaming_sessions": q_streaming_sessions,
-    "asof_ref": q_asof_ref,
-    "interval_hits": q_interval_hits,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_totals": q_streaming_totals,
-    "streaming_enrich": q_streaming_enrich,
-    "streaming_join": q_streaming_join,
-    "dedup_exact": q_dedup_exact,
-    "minhash_lsh": q_minhash_lsh,
-    "minhash_lsh_mid": q_minhash_lsh_mid,
-    "dedup_incr": q_dedup_incr,
-    "dup_profile": q_dup_profile,
-    "ngram_jaccard": q_ngram_jaccard,
-    "simhash_neardup": q_simhash_neardup,
-    "dedup_components": q_dedup_components,
-    "dedup_canon": q_dedup_canon,
-    "dup_spans": q_dup_spans,
-    "decontam": q_decontam,
-    "c4_line_dedup": q_c4_line_dedup,
-    "ulm_quality": q_ulm_quality,
-    "mix_weights": q_mix_weights,
-    "token_stats": q_token_stats,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "quality_score": q_quality_score,
+    # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
@@ -3418,6 +3382,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cos_neardup": q_cos_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
+    # --- driver-green in round 3, re-recorded while slots remain ---
+    "tool_usage": q_tool_usage,
+    "conv_shape": q_conv_shape,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh": q_minhash_lsh,
+    "minhash_lsh_mid": q_minhash_lsh_mid,
+    "dedup_incr": q_dedup_incr,
+    "dup_profile": q_dup_profile,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash_neardup": q_simhash_neardup,
+    "dedup_components": q_dedup_components,
+    "dedup_canon": q_dedup_canon,
+    "dup_spans": q_dup_spans,
+    "decontam": q_decontam,
+    "c4_line_dedup": q_c4_line_dedup,
+    "ulm_quality": q_ulm_quality,
+    "mix_weights": q_mix_weights,
+    "token_stats": q_token_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "quality_score": q_quality_score,
+    # --- tail: driver-green rounds 1-3 and pinned by the pytest suite ---
+    "extract_plain": q_extract_plain,
+    "extract_html": q_extract_html,
+    "extract_layout": q_extract_layout,
+    "extract_md": q_extract_md,
+    "dispatch_mix": q_dispatch_mix,
+    "field_contributions": q_field_contributions,
+    "forward_fill_runs": q_forward_fill_runs,
+    "run_headers": q_run_headers,
+    "consolidate": q_consolidate,
+    "review_projections": q_review_projections,
+    "status_projection": q_status_projection,
+    "turn_select_reindex": q_turn_select_reindex,
+    "dup_skip_anti": q_dup_skip_anti,
+    "reassembly": q_reassembly,
+    "date_parse": q_date_parse,
+    "lineage_counts": q_lineage_counts,
+    "event_windows": q_event_windows,
+    "event_sessions": q_event_sessions,
+    "event_sliding": q_event_sliding,
+    "event_trending": q_event_trending,
+    "value_hist": q_value_hist,
+    "session_size_q": q_session_size_q,
+    "asof_ref": q_asof_ref,
+    "interval_hits": q_interval_hits,
+    "streaming_windows": q_streaming_windows,
+    "streaming_sessions": q_streaming_sessions,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_totals": q_streaming_totals,
+    "streaming_enrich": q_streaming_enrich,
+    "streaming_join": q_streaming_join,
 }
 
 ORACLES: dict[str, str] = {

@@ -125,10 +125,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     up — at corpus scale this is the step that avoids the O(n²) compare.
     """
     bands = _band_sigs(signatures, id_col, rows_per_band)
-    # both sides of the self-join read bands — materialize once (a lazy
-    # persist inside the join job would race its own cache fill)
-    bands = bands.persist()
-    bands.count()
+    # Both sides of the self-join read bands — materialize once. Exchange
+    # reuse can't do it (collect_list in the band signature is marked
+    # non-deterministic, so the two branches never compare sameResult).
+    # localCheckpoint instead of persist(): a CacheManager persist is held
+    # strongly for the session lifetime unless someone calls unpersist —
+    # with four independent callers nobody owns that lifecycle and every
+    # call leaked a cached table (round-3 ADVICE). The checkpoint blocks
+    # are owned by the returned plan and freed by the ContextCleaner when
+    # the caller drops the result.
+    bands = bands.localCheckpoint(eager=True)
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")
     )

@@ -32,6 +32,7 @@ __all__ = [
     "shard_assign",
     "pack_contiguous",
     "group_quantiles",
+    "group_quantiles_approx",
     "mixture_weights",
     "curation_funnel",
     "length_trim",
@@ -223,25 +224,42 @@ def group_quantiles(
     robust to float summation order. The corpus length-distribution
     report behind chunking/packing budget choices.
 
-    Shape: one window sort per group assigns ranks, one group count joins
-    target indexes in, and the quantile rows are a filter — no collect,
-    no approx sketch (use ``approx_percentile`` instead when one pass
-    over 100 TB matters more than exactness; this operator is the exact
-    twin the sketch is validated against). Ties take the lowest-ranked
-    duplicate (deterministic: ordering is (value, id-stability via
-    row_number over value)).
+    Shape — skew-safe two-pass over the VALUE HISTOGRAM, never a per-group
+    row sort (round-3 finding: ``row_number().over(partitionBy(group)
+    .orderBy(v))`` funnels each group through ONE task — at 100 TB a
+    dominant language (English ≈ half the corpus) is a straggler/spill
+    cliff):
+
+    1. ``groupBy(group, v).count()`` — map-side combinable, shuffled on
+       (group, v), so the dominant group's ROWS spread across the cluster
+       and only its distinct-VALUE domain (bounded: token counts, not
+       documents) reaches any one place.
+    2. a running-sum window per group over the histogram — input is
+       |distinct values per group|, not |rows per group|.
+    3. quantile q = element at 0-based sorted index ``floor(q·(n-1))`` =
+       the histogram bucket whose cumulative range covers the index
+       (``cum - cnt ≤ idx < cum``) — a filter after an equi-join of the
+       per-group target indexes.
+
+    Identical output to the row-sort formulation (ties collapse into one
+    histogram bucket, so "lowest-ranked duplicate" is free). No collect,
+    no approx sketch — :func:`group_quantiles_approx` is the one-pass
+    sketch twin validated against this exact path.
 
     Returns ``(group, q, value)`` with ``q`` scaled to an integer permille
     (250, 500, …) to keep the output all-integer.
     """
-    ranked = df.select(
-        F.col(group_col),
-        F.col(value_col).cast("long").alias("v"),
-    ).withColumn(
-        "rn",
-        F.row_number().over(W.partitionBy(group_col).orderBy("v")) - 1,
+    hist = (
+        df.select(
+            F.col(group_col), F.col(value_col).cast("long").alias("v")
+        )
+        .groupBy(group_col, "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    counts = ranked.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(W.partitionBy(group_col).orderBy("v"))
+    )
+    counts = hist.groupBy(group_col).agg(F.sum("cnt").alias("n"))
     targets = F.array(
         *[
             F.struct(
@@ -255,10 +273,49 @@ def group_quantiles(
         group_col, F.explode(targets).alias("t")
     ).select(group_col, F.col("t.q").cast("int").alias("q"), "t.idx")
     return (
-        ranked.join(wanted, [group_col])
-        .filter(F.col("rn") == F.col("idx"))
+        cum.join(wanted, [group_col])
+        .filter(
+            (F.col("cum") - F.col("cnt") <= F.col("idx"))
+            & (F.col("idx") < F.col("cum"))
+        )
         .select(group_col, "q", F.col("v").alias("value"))
     )
+
+
+def group_quantiles_approx(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_tokens",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """One-pass sketch twin of :func:`group_quantiles`:
+    ``approx_percentile`` (Greenwald-Khanna) per group — a single
+    map-side-combinable aggregate, no second pass, no window. Use when one
+    pass over 100 TB matters more than exactness; rank error is bounded by
+    ``1/accuracy`` and returned values are ACTUAL data values, so on
+    narrow distributions it frequently equals the exact answer (the pytest
+    suite pins it within tolerance of the exact twin). Same output shape:
+    ``(group, q, value)``, q in permille.
+    """
+    pcts = F.array(*[F.lit(float(q)) for q in qs])
+    per_group = df.groupBy(group_col).agg(
+        F.percentile_approx(
+            F.col(value_col).cast("long"), pcts, F.lit(accuracy)
+        ).alias("vals")
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(int(round(q * 1000))).alias("q"),
+                F.col("vals")[i].alias("value"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    return per_group.select(
+        group_col, F.explode(pairs).alias("t")
+    ).select(group_col, F.col("t.q").cast("int").alias("q"), "t.value")
 
 
 def mixture_weights(
@@ -301,14 +358,25 @@ def mixture_weights(
         F.sum("n_tokens").alias("_tot_tokens"),
         F.sum("_s").alias("_tot_s"),
     )
+    # the ×1e6 numerators are widened to DECIMAL(38,0) before the integral
+    # divide: in BIGINT a language beyond ~9.2e12 tokens (or a _tot_s near
+    # the 64-bit edge) would overflow the multiply, and ANSI mode aborts
+    # the job — inconsistent with the 100 TB scale notes (round-3 ADVICE).
+    # The quotient is ≤ 1e6 so the final BIGINT cast is always exact.
     return (
         keyed.crossJoin(F.broadcast(totals))
         .select(
             F.col(lang_col),
             "n_docs",
             "n_tokens",
-            F.expr("n_tokens * 1000000 div _tot_tokens").alias("p_ppm"),
-            F.expr("_s * 1000000 div _tot_s").alias("w_ppm"),
+            F.expr(
+                "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000"
+                " div _tot_tokens AS BIGINT)"
+            ).alias("p_ppm"),
+            F.expr(
+                "CAST(CAST(_s AS DECIMAL(38,0)) * 1000000"
+                " div _tot_s AS BIGINT)"
+            ).alias("w_ppm"),
         )
         .withColumn(
             "up_x1000",
@@ -338,10 +406,10 @@ def curation_funnel(
     projection (``flags``); stage counts are conditional sums in one
     global aggregate, dedup keepers are one groupBy(fingerprint) over the
     survivors, and the dedup total + per-split finals come out of a single
-    ROLLUP over the (small) keeper set. The two union branches each
-    consume ``flags``, so the corpus is scanned twice (pruned to
-    (id, text) both times); at 100 TB persist the ``flags`` projection —
-    ~tens of bytes/row — to make it one scan.
+    ROLLUP over the (small) keeper set. The ``flags`` projection —
+    ~tens of bytes/row — is materialized once (localCheckpoint), so both
+    union branches read it and the corpus text is scanned exactly ONCE;
+    checkpoint blocks are freed by the ContextCleaner with the result.
 
     Returns ``(stage, split, n_docs)`` — stages ``raw``/``quality``/
     ``blocklist``/``dedup`` with split ``'all'``, then ``final`` per
@@ -356,7 +424,7 @@ def curation_funnel(
         F.md5(norm).alias("_fp"),
         quality_keep(text).alias("_qk"),
         (quality_keep(text) & blocklist_keep(text)).alias("_sk"),
-    )
+    ).localCheckpoint(eager=True)
     stages = (
         flags.agg(
             F.count(F.lit(1)).cast("long").alias("raw"),

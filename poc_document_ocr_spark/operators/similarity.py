@@ -57,14 +57,28 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    ``queries`` is expected to be small (it is broadcast); the corpus is
-    scanned once. Self-matches (same id) are excluded. Returns
+    Contract: ``queries`` must be SMALL — this is the exact baseline the
+    bucketed ANN paths (:func:`lsh_topk`, IVF) are validated against, and
+    it is a broadcast nested-loop doing |C|·|Q| cosine evaluations. The
+    bound is enforced: more than ``max_queries`` query rows raises
+    instead of silently degrading into a near-cartesian over the corpus
+    (use the LSH/IVF generators for large query sides). The guard count
+    is one cheap job over the (small, by contract) query side; the corpus
+    is never counted. Self-matches (same id) are excluded. Returns
     ``(q_id, n_id, rank)`` — ranks are deterministic: ties broken by
     neighbor id.
     """
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"cosine_topk is the exact small-query baseline: got {n_q} "
+            f"query vectors (> max_queries={max_queries}). Use lsh_topk "
+            "or the IVF path for corpus-sized query sides."
+        )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )

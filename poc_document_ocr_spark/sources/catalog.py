@@ -55,17 +55,20 @@ class Catalog:
         df.write.mode("append").parquet(self.path(name))
 
     def overwrite_partitions(
-        self, df: DataFrame, name: str, part_col: str
+        self, df: DataFrame, name: str, part_col: str | tuple[str, ...]
     ) -> None:
         """Idempotent per-partition write: replaces only the ``part_col``
         values present in ``df`` (dynamic partition overwrite — Iceberg
         ``overwritePartitions()`` analog). The write that makes an
         at-least-once replay safe: re-writing the same partition value
-        overwrites the earlier partial attempt instead of appending."""
+        overwrites the earlier partial attempt instead of appending.
+        Accepts a single column or a tuple for composite partitioning
+        (e.g. ``(run_id, batch_id)``)."""
+        cols = [part_col] if isinstance(part_col, str) else list(part_col)
         (
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(part_col)
+            .partitionBy(*cols)
             .parquet(self.path(name))
         )
 

@@ -86,10 +86,14 @@ def stream_extract_to_catalog(
     foreachBatch delivery is at-least-once: a micro-batch that fails after a
     partial write but before the checkpoint commit is REPLAYED with the same
     ``batch_id``. The sink is made idempotent by giving each batch its own
-    ``batch_id=<k>`` partition written with dynamic partition overwrite — a
-    replay replaces the partial partition instead of appending duplicates
-    (Iceberg analog: ``overwritePartitions()``; same shape as the
-    reference's overwrite-true blob writes, SURVEY §2.9)."""
+    ``run_id=<r>/batch_id=<k>`` partition written with dynamic partition
+    overwrite — a replay replaces the partial partition instead of appending
+    duplicates (Iceberg analog: ``overwritePartitions()``; same shape as the
+    reference's overwrite-true blob writes, SURVEY §2.9). Partitioning on
+    ``(run_id, batch_id)`` rather than ``batch_id`` alone matters: a later
+    run started with a FRESH checkpoint restarts batch numbering at 0, and a
+    batch_id-only layout would silently overwrite the earlier run's
+    partitions in the same table (round-3 ADVICE finding)."""
     extracted = extract_turns(_source(spark, input_path, max_files))
 
     def sink(batch_df, batch_id: int) -> None:
@@ -98,7 +102,7 @@ def stream_extract_to_catalog(
                 "batch_id", F.lit(batch_id).cast("long")
             ),
             extracted_table,
-            part_col="batch_id",
+            part_col=("run_id", "batch_id"),
         )
 
     writer = (

@@ -91,12 +91,18 @@ def audit(spark, sf_dir: str):
         m.group(1) if m else "no ReadSchema",
     )
 
-    # --- duplicate-skip anti-join: broadcast, not shuffle ----------------
+    # --- duplicate-skip anti-join: strategy left to AQE ------------------
+    # (round-3 finding: the demo query force-broadcast `existing`, which is
+    # corpus-derived — 20% of all conv_ids — and grows with the input. The
+    # production path leaves the strategy to AQE; the demo must mirror it.)
     anti = ep.QUERIES["dup_skip_anti"](spark, sf_dir)
     p = plan_of(anti)
     check(
-        "dup_skip_anti: BroadcastHashJoin LeftAnti (existing keys broadcast)",
-        bool(re.search(r"BroadcastHashJoin.*LeftAnti", p)),
+        "dup_skip_anti: LeftAnti join present, no forced broadcast of the"
+        " corpus-derived existing side",
+        bool(re.search(r"Join LeftAnti|LeftAnti", p))
+        and "ResolvedHint"
+        not in anti._jdf.queryExecution().analyzed().toString(),
         "join strategy line: "
         + next((l.strip() for l in p.splitlines() if "Join" in l), "?"),
     )
@@ -395,6 +401,17 @@ def audit(spark, sf_dir: str):
         n_expand == 1 and "CartesianProduct" not in p,
         f"Expand nodes = {n_expand}",
     )
+    # round-3 finding: both union branches consumed `flags` unpersisted, so
+    # the corpus text was scanned twice. The flags projection is now
+    # localCheckpointed — the funnel's own plan must contain NO parquet
+    # scan of the documents text (both branches read the checkpoint).
+    n_scans = len(re.findall(r"Scan parquet|FileScan parquet", p))
+    check(
+        "curation_funnel: corpus scanned once (flags checkpointed; no "
+        "parquet scan inside the funnel plan)",
+        n_scans == 0,
+        f"parquet scans in funnel plan = {n_scans}",
+    )
 
     # --- extract_md: Arrow-batched, zero shuffles, pruned scan -------------
     md = ep.QUERIES["extract_md"](spark, sf_dir)
@@ -449,6 +466,22 @@ def audit(spark, sf_dir: str):
         "length_trim: per-language bounds broadcast onto the corpus",
         bool(re.search(r"BroadcastHashJoin \[lang", p)),
         next((l.strip()[:90] for l in p.splitlines() if "Join" in l), "?"),
+    )
+
+    # --- group quantiles: skew-safe histogram path, no per-group row sort --
+    # (round-3 finding: row_number().over(partitionBy(group).orderBy(v))
+    # sorted each group's ROWS in one task — a straggler cliff when one
+    # language dominates. The rewrite windows over the value HISTOGRAM:
+    # the plan must show the map-side-combinable groupBy(group, v) BELOW
+    # the window and no row_number at all.)
+    lq = ep.QUERIES["len_quantiles"](spark, sf_dir)
+    p = plan_of(lq)
+    check(
+        "len_quantiles: quantile select runs over the value histogram "
+        "(no per-group full-row row_number sort; histogram partial-"
+        "aggregates map-side)",
+        "row_number" not in p and "partial_count" in p,
+        "no row_number; partial_count present",
     )
 
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------

@@ -749,6 +749,52 @@ def test_group_quantiles_discrete_exact(spark):
     assert got[("b", 250)] == 7 and got[("b", 950)] == 7
 
 
+def test_group_quantiles_ties_and_skew_shape(spark):
+    """Ties collapse into one histogram bucket (same answer as the old
+    per-group row sort: the lowest-ranked duplicate), and the plan carries
+    no row_number window over the raw rows — the skew fix for a dominant
+    group."""
+    from poc_document_ocr_spark.operators.sampling import group_quantiles
+
+    # group 'a' dominated by value 5 (ties), n=10 -> idx(0.5*9)=4 -> 5
+    rows = [("a", i, 5) for i in range(8)] + [
+        ("a", 8, 1), ("a", 9, 9),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    q = group_quantiles(df, qs=(0.0, 0.5, 1.0))
+    got = {(r.lang, r.q): r.value for r in q.collect()}
+    assert got[("a", 0)] == 1
+    assert got[("a", 500)] == 5
+    assert got[("a", 1000)] == 9
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan
+
+
+def test_group_quantiles_approx_matches_exact(spark):
+    """The one-pass approx_percentile twin returns actual data values
+    within the sketch's rank-error bound of the exact path — here (narrow
+    distinct domain, high accuracy) it matches the exact answer."""
+    from poc_document_ocr_spark.operators.sampling import (
+        group_quantiles,
+        group_quantiles_approx,
+    )
+
+    rows = [("a", i, (i % 37) + 1) for i in range(500)] + [
+        ("b", i, i) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tokens long")
+    exact = {
+        (r.lang, r.q): r.value for r in group_quantiles(df).collect()
+    }
+    approx = {
+        (r.lang, r.q): r.value
+        for r in group_quantiles_approx(df).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for key, v in exact.items():
+        assert abs(approx[key] - v) <= 1, (key, v, approx[key])
+
+
 def test_bpe_token_count_vs_whitespace(spark):
     from poc_document_ocr_spark.operators.textstats import bpe_token_count
 
