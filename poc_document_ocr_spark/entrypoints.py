@@ -1292,6 +1292,63 @@ WHERE session_id < (SELECT max(session_id) FROM agg m
 """
 
 
+def q_streaming_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-end open-tail flush, oracle-checked against the FULL batch
+    sessionization: the availableNow drain emits every closed session,
+    then the checkpoint's state store is read back with the state data
+    source and each user's open tail is flushed as a final session row.
+    closed ∪ flush must equal the batch twin exactly — no session lost in
+    state, none emitted twice (the round-3 'open tail stays in state'
+    convention made drain-complete)."""
+    import os
+    import tempfile
+
+    from .streaming.windows import read_open_sessions, streaming_sessionize
+
+    d = tempfile.mkdtemp(prefix="sg_stream_flush_")
+    out_dir, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+    q = (
+        streaming_sessionize(_events_stream(spark, sf_dir), gap_minutes=30)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    cols = [
+        F.col("user_id"),
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        F.col("n_events").cast("int").alias("n_events"),
+    ]
+    closed = spark.read.parquet(out_dir).select(*cols)
+    flushed = read_open_sessions(spark, ckpt).select(*cols)
+    return closed.unionByName(flushed)
+
+
+_O_STREAMING_FLUSH = """
+WITH o AS (SELECT *, lag(epoch_us(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+b AS (SELECT *, CASE WHEN prev_us IS NULL
+                      OR epoch_us(ts) - prev_us > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+      FROM o),
+s AS (SELECT *, CAST(sum(brk) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+      FROM b)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS INT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment, oracle-checked: the events stream LEFT
     joins the static customer dimension (user → market segment) per
@@ -3351,6 +3408,8 @@ GROUP BY 1, 2
 # driver-green in rounds 1-3 AND pinned by the pytest e2e suite — sits in
 # the tail.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 4 ---
+    "streaming_flush": q_streaming_flush,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3463,6 +3522,7 @@ ORACLES: dict[str, str] = {
     "conv_shape": _O_CONV_SHAPE,
     "streaming_windows": _O_STREAMING_WINDOWS,
     "streaming_sessions": _O_STREAMING_SESSIONS,
+    "streaming_flush": _O_STREAMING_FLUSH,
     "asof_ref": _O_ASOF_REF,
     "interval_hits": _O_INTERVAL_HITS,
     "streaming_dedup": _O_STREAMING_DEDUP,

@@ -33,6 +33,7 @@ __all__ = [
     "streaming_totals_to_dir",
     "stream_static_enrich",
     "streaming_interval_join",
+    "read_open_sessions",
 ]
 
 
@@ -169,6 +170,36 @@ def streaming_totals_to_dir(
         .start()
     )
     q.awaitTermination()
+
+
+def read_open_sessions(spark, checkpoint_dir: str) -> DataFrame:
+    """Drain-end flush of the OPEN session tails left in the state store.
+
+    :func:`streaming_sessionize` emits a session only when a later event
+    closes it, so after an ``availableNow`` drain each user's final session
+    is still sitting in state — correct for a continuously running job
+    (the next batch may extend it), but a *finished* backlog drain wants
+    those tails flushed. Rather than invent a sentinel-event convention,
+    this reads the checkpoint's state store directly with Spark's state
+    data source (``format("statestore")``): one batch scan over the latest
+    committed state version, sharded by the store's own partitioning — no
+    stream restart, no state mutation, safe to run after (or even while)
+    the query is stopped.
+
+    Returns the open tails shaped exactly like the emitted rows
+    ``(user_id, session_start, session_end, n_events)`` so
+    ``closed ∪ flush`` equals the batch sessionization of the whole input
+    — the invariant the restart e2e test and the ``streaming_flush``
+    oracle query pin.
+    """
+    st = spark.read.format("statestore").load(checkpoint_dir)
+    gs = F.col("value.groupState")
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.timestamp_micros(gs["start"]).alias("session_start"),
+        F.timestamp_micros(gs["last"]).alias("session_end"),
+        gs["n"].alias("n_events"),
+    )
 
 
 def streaming_sessionize(

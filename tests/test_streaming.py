@@ -261,3 +261,77 @@ def test_streaming_interval_join_time_bound(spark, tmp_path):
     q.awaitTermination()
     rows = spark.read.parquet(out).collect()
     assert [(r["click_id"], r["view_id"]) for r in rows] == [(1, 10)]
+
+
+def test_streaming_sessions_restart_from_checkpoint_and_flush(
+    spark, tmp_path
+):
+    """Kill/restart e2e for the stateful sessionizer: drain wave 1, stop
+    the query (simulated kill — availableNow terminates and nothing holds
+    the state but the checkpoint), land wave 2, restart from the SAME
+    checkpoint and drain again, then flush the open tails from the state
+    store. closed₁ ∪ closed₂ ∪ flush must equal the batch sessionization
+    of ALL events — sessions spanning the kill boundary must be stitched
+    by the restored state, not split or double-emitted."""
+    import datetime as dt
+
+    from poc_document_ocr_spark.operators.events import sessionize_events
+    from poc_document_ocr_spark.streaming.windows import (
+        read_open_sessions,
+        streaming_sessionize,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # split by a GLOBAL time threshold so each user's wave-2 events are all
+    # later than its wave-1 events (the per-user non-decreasing arrival
+    # contract a continuously running job gets from its watermark)
+    cut = events.selectExpr(
+        "percentile_approx(CAST(ts AS TIMESTAMP), 0.5) p"
+    ).collect()[0]["p"]
+    src = str(tmp_path / "restart_src")
+    out = str(tmp_path / "restart_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+    tscol = F.col("ts").cast("timestamp")
+    events.filter(tscol <= F.lit(cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = events.schema
+
+    def drain():
+        q = (
+            streaming_sessionize(
+                spark.readStream.schema(schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()  # wave 1, then the query is gone (kill point)
+    n_closed_1 = spark.read.parquet(out).count()
+
+    events.filter(tscol > F.lit(cut)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()  # restart from the same checkpoint: must resume, not reprocess
+    closed = spark.read.parquet(out)
+    assert closed.count() > n_closed_1
+    flush = read_open_sessions(spark, ckpt)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in closed.unionByName(flush).collect()
+    }
+
+    def parse(s):
+        return dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S.%f")
+
+    expect = {
+        (r.user_id, parse(r.session_start), parse(r.session_end), r.n_events)
+        for r in sessionize_events(events, gap_minutes=30).collect()
+    }
+    assert got == expect and len(got) > 0
