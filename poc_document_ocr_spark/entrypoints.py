@@ -3253,6 +3253,49 @@ FROM d1 GROUP BY vec_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end-to-end (SemDeDup, Abbas et al. 2303.09540):
+    k-means cells → within-cell cosine pairs (cell-equi join, never global
+    all-pairs) → connected components → keep the member farthest from its
+    centroid per cluster. Every stage is integer-exact or an identical-
+    order float fold, so the full composition is oracle-checkable."""
+    from .operators.similarity import semantic_dedup
+
+    load_views(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        spark.table("embeddings"), k=4, iters=1, tau=0.35
+    )
+
+
+_O_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE km AS ({_O_KMEANS_CELLS}),
+e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+j AS (SELECT e2.vec_id, e2.v, km.cell FROM e2 JOIN km USING (vec_id)),
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b AS src, id_a AS dst FROM prs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (SELECT km.vec_id, km.cell, km.dist,
+          coalesce(m.component, km.vec_id) AS component
+        FROM km LEFT JOIN comp m ON m.node = km.vec_id),
+win AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+          first(vec_id ORDER BY dist DESC, vec_id) AS canon_id
+        FROM lab GROUP BY component)
+SELECT l.vec_id, l.cell, l.component, w.cluster_size, w.canon_id,
+       (l.vec_id = w.canon_id) AS is_canon
+FROM lab l JOIN win w USING (component)
+"""
+
+
 def q_dedup_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best dedup policy end-to-end: LSH candidate pairs → connected
     components → one canonical document per cluster, chosen by highest
@@ -3410,6 +3453,7 @@ GROUP BY 1, 2
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 ---
     "streaming_flush": q_streaming_flush,
+    "semantic_dedup": q_semantic_dedup,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3574,6 +3618,7 @@ ORACLES: dict[str, str] = {
     "ann_recall": _O_ANN_RECALL,
     "ann_ivf": _O_ANN_IVF,
     "kmeans_cells": _O_KMEANS_CELLS,
+    "semantic_dedup": _O_SEMANTIC_DEDUP,
     "cos_neardup": _O_COS_NEARDUP,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_decode": _O_MULTIMODAL_DECODE,

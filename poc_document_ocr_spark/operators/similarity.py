@@ -30,6 +30,7 @@ __all__ = [
     "ivf_topk",
     "quantize_vec",
     "kmeans_lloyd",
+    "semantic_dedup",
     "QUANT_SCALE",
     "QUANT_OFFSET",
 ]
@@ -316,6 +317,71 @@ def kmeans_lloyd(
         # through the terminal job is the caller's concern — the blocking
         # collects above are done, so the handle can be released here
         qdf.unpersist(blocking=False)
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    tau: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate pruning end-to-end — the SemDeDup
+    shape (Abbas et al. 2303.09540): cluster the corpus into k-means
+    cells, find cosine-similar pairs ONLY within each cell, group pairs
+    into clusters, and keep one representative per cluster.
+
+    Composition of four independently-verified operators:
+
+    1. :func:`kmeans_lloyd` — integer-exact cell assignment (byte-identical
+       at any parallelism), ``dist`` = squared quantized L2 to the final
+       centroid;
+    2. within-cell candidate pairs — an EQUI join on ``cell`` (never the
+       global all-pairs the paper exists to avoid: at 10⁹ vectors the
+       cell count grows with the corpus so per-cell pair fan-out stays
+       bounded, and AQE splits any hot cell), exact cosine ≥ ``tau``;
+    3. ``connected_components`` over the pair graph (checkpointed min-label
+       propagation, O(1) plan depth);
+    4. ``canonical_docs`` keep-one policy with score = ``dist`` — the
+       paper's convention keeps the cluster member FARTHEST from its
+       centroid (low-similarity examples carry the most diversity), ties
+       to the lowest id; integer scores keep the choice cross-engine exact.
+
+    Returns one row per vector:
+    ``(vec_id, cell, component, cluster_size, canon_id, is_canon)``.
+    Dropping ``is_canon = false`` rows applies the prune.
+    """
+    from .dedup import canonical_docs, connected_components
+
+    cells = kmeans_lloyd(emb, k=k, iters=iters, id_col=id_col,
+                         vec_col=vec_col)
+    # one narrow join puts (vector, cell, dist) on each row; the kmeans
+    # output is id-grain so this is a plain equi join on the id
+    labeled = emb.select(id_col, vec_col).join(cells, id_col)
+    a = labeled.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = labeled.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        norm(F.col("va")) * norm(F.col("vb"))
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= tau)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    scored = cells.select(id_col, F.col("dist").alias("score"), "cell")
+    canon = canonical_docs(
+        scored.drop("cell"), comp, id_col=id_col, score_col="score"
+    )
+    return canon.join(cells.select(id_col, "cell"), id_col).select(
+        id_col, "cell", "component", "cluster_size", "canon_id", "is_canon"
+    )
 
 
 def lsh_topk(

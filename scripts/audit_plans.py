@@ -382,6 +382,23 @@ def audit(spark, sf_dir: str):
         "no Exchange/Join in returned-assignment plan",
     )
 
+    # --- semantic_dedup: pair generation is CELL-equi only ----------------
+    # (the SemDeDup contract: cosine pairs are generated strictly within
+    # k-means cells — a cartesian/nested-loop anywhere in the composed plan
+    # means the cell partitioning leaked and the op degenerated to global
+    # all-pairs, the exact shape the operator exists to avoid)
+    sd = ep.QUERIES["semantic_dedup"](spark, sf_dir)
+    p = plan_of(sd)
+    check(
+        "semantic_dedup: cosine pairs cell-equi only (no cartesian/BNLJ in"
+        " the composed plan)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+        "join lines: "
+        + "; ".join(
+            l.strip()[:70] for l in p.splitlines() if "Join" in l
+        )[:200],
+    )
+
     # --- split_leakage: leak election partial-aggregates map-side ---------
     sl = ep.QUERIES["split_leakage"](spark, sf_dir)
     p = plan_of(sl)

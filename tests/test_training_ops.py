@@ -1335,3 +1335,42 @@ def test_length_trim_bounds_per_group(spark):
     assert out[1]["keep"] and out[19]["keep"]
     assert not out[20]["keep"]
     assert out[100]["keep"] and out[100]["lo_v"] == 7
+
+
+def test_semantic_dedup_prunes_within_cells_keeps_farthest(spark):
+    from poc_document_ocr_spark.operators.similarity import semantic_dedup
+
+    # two tight direction-clusters (the k-means cells) — within the first,
+    # ids 0/2/4 are near-identical (cos ≈ 1 → one dedup cluster) while id 6
+    # points elsewhere inside the same cell; the second cell (odd ids) has
+    # no near-identical members at tau=0.95
+    rows = []
+    for i in (0, 2, 4):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 1.0]))
+    rows.append((6, [1.0, 0.9, 0.0, 0.2]))
+    odd_dirs = {1: [0.0, 0.0], 3: [2.0, 0.0], 5: [0.0, 2.0], 7: [-2.0, 0.0]}
+    for i in (1, 3, 5, 7):
+        rows.append((i, [-1.0, odd_dirs[i][0], odd_dirs[i][1], -1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(df, k=2, iters=2, tau=0.95).collect()
+    }
+    assert len(out) == 8
+    # the near-identical trio forms ONE cluster...
+    assert len({out[i]["component"] for i in (0, 2, 4)}) == 1
+    assert all(out[i]["cluster_size"] == 3 for i in (0, 2, 4))
+    # ...whose canon is the member farthest from the cell centroid (the
+    # SemDeDup keep-low-similarity convention); 6 drags the centroid, so
+    # the trio's extreme member 0 or 4 wins — never the middle one (2)
+    canon = {out[i]["canon_id"] for i in (0, 2, 4)}
+    assert len(canon) == 1 and canon < {0, 4}
+    assert sum(out[i]["is_canon"] for i in (0, 2, 4)) == 1
+    # every other vector is a singleton that keeps itself
+    for i in (1, 3, 5, 6, 7):
+        assert out[i]["cluster_size"] == 1 and out[i]["is_canon"]
+    # components never span cells (pairs are generated within cells only)
+    for comp in {r["component"] for r in out.values()}:
+        cells = {r["cell"] for r in out.values() if r["component"] == comp}
+        assert len(cells) == 1
