@@ -496,6 +496,24 @@ def q_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-13-keys completion), flattened to scalar columns."""
     ex = extract_turns(spark_transcripts(spark, sf_dir))
     rec = consolidate_stage(ex)
+    return _flat_consolidated(rec)
+
+
+def q_consolidate_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The automatic long-conversation fold guard under load: the auto
+    router with threshold=3 sends nearly every document through the
+    LONG-format per-field fold (streaming aggregates, no whole-document
+    collect buffer) while the few light ones take the compact fold — and
+    the union must still match the one consolidate oracle row-for-row.
+    Proves the escape-hatch path computes the identical four merge rules,
+    not an approximation of them."""
+    ex = extract_turns(spark_transcripts(spark, sf_dir))
+    from .operators.aggregation import consolidate_auto
+
+    return _flat_consolidated(consolidate_auto(ex, threshold=3))
+
+
+def _flat_consolidated(rec: DataFrame) -> DataFrame:
     return rec.select(
         "conv_id",
         "run_id",
@@ -3454,6 +3472,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4 ---
     "streaming_flush": q_streaming_flush,
     "semantic_dedup": q_semantic_dedup,
+    "consolidate_long": q_consolidate_long,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3549,6 +3568,7 @@ ORACLES: dict[str, str] = {
     "forward_fill_runs": _O_FFILL_RUNS,
     "run_headers": _O_RUN_HEADERS,
     "consolidate": _O_CONSOLIDATE,
+    "consolidate_long": _O_CONSOLIDATE,
     "review_projections": _O_REVIEW_PROJECTIONS,
     "status_projection": _O_STATUS_PROJECTION,
     "turn_select_reindex": _O_SELECT_REINDEX,

@@ -45,6 +45,7 @@ __all__ = [
     "run_headers",
     "consolidate",
     "consolidate_compact",
+    "consolidate_auto",
     "parse_ocr_date",
 ]
 
@@ -298,6 +299,36 @@ def _field_struct(cs: Column, name: str) -> Column:
     )
 
 
+def _header_agg_exprs(id_col: str) -> list[Column]:
+    """The shared per-document header aggregates (both fold paths)."""
+    return [
+        F.min("ffill_id").alias("identifier_raw"),
+        F.count(F.lit(1)).cast("int").alias("turn_count"),
+        F.sort_array(F.collect_list("turn_idx")).alias("turn_idxs"),
+        F.min("turn_idx").alias("first_turn"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("turn_idx").alias("turn_idx"),
+                    F.col("id_source").alias("source"),
+                    F.col(id_col).alias("extracted_id"),
+                )
+            )
+        ).alias("provenance"),
+    ]
+
+
+def _doc_key_expr() -> Column:
+    """Synthetic-identifier rule shared by both fold paths
+    (``DocumentSchemaMapperService.cs:67-71``)."""
+    identifier = F.coalesce(F.col("identifier_raw"), F.lit(""))
+    return F.when(F.trim(identifier) != "", identifier).otherwise(
+        F.concat(
+            F.lit("unknown-"), F.col("conv_id"), F.lit("-"), F.col("first_turn")
+        )
+    )
+
+
 def _consolidate_grouped(
     turns: DataFrame, id_col: str = "extracted_id"
 ) -> DataFrame:
@@ -317,30 +348,13 @@ def _consolidate_grouped(
         ),
     )
     grouped = turns.groupBy("conv_id", "run_id").agg(
-        F.min("ffill_id").alias("identifier_raw"),
-        F.count(F.lit(1)).cast("int").alias("turn_count"),
-        F.sort_array(F.collect_list("turn_idx")).alias("turn_idxs"),
-        F.min("turn_idx").alias("first_turn"),
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("turn_idx").alias("turn_idx"),
-                    F.col("id_source").alias("source"),
-                    F.col(id_col).alias("extracted_id"),
-                )
-            )
-        ).alias("provenance"),
+        *_header_agg_exprs(id_col),
         # all contributions of the document, sorted by (turn, field, raw) —
         # a total order, so the fold is deterministic at any parallelism
         F.array_sort(F.flatten(F.collect_list(with_t))).alias("_cs"),
     )
 
-    identifier = F.coalesce(F.col("identifier_raw"), F.lit(""))
-    doc_key = F.when(F.trim(identifier) != "", identifier).otherwise(
-        F.concat(
-            F.lit("unknown-"), F.col("conv_id"), F.lit("-"), F.col("first_turn")
-        )
-    )
+    doc_key = _doc_key_expr()
     cs = F.col("_cs")
     # FR-006 warn path made observable (the reference only logs,
     # DocumentSchemaMapperService.cs:258-267): count signature contributions
@@ -397,6 +411,215 @@ def consolidate_compact(extracted: DataFrame) -> DataFrame:
         contributions_array("extracted_text").alias("contribs"),
     ).withColumn("extracted_id", best_extracted_id(F.col("contribs")))
     return _consolidate_grouped(with_runs(t))
+
+
+def _field_struct_from_summary(fs: Column, name: str) -> Column:
+    """SchemaField struct for catalog field ``name`` from the document's
+    per-field summary array ``fs`` (the long fold path's equivalent of
+    :func:`_field_struct` — same merge rules, same quirks, but computed
+    from streaming per-field aggregates instead of the full contributions
+    array). A missing summary row (field never contributed) falls out as
+    the all-null 'Pending' struct through null propagation."""
+    # F.get: null (not error) when the field never contributed / fs is null
+    s = F.get(F.filter(fs, lambda x: x["field"] == name), 0)
+    best_raw, best_conf = s["best"]["v"], s["best"]["cf"]
+
+    if name in SIGNATURE_FIELDS:
+        value = F.when(
+            s["n_parts"] > 0,
+            F.when(s["sig_present"], "true").otherwise("false"),
+        )
+        confidence = s["min_conf_all"]
+        raw_text = F.lit(None).cast("string")
+    elif name in DATE_FIELDS:
+        value = parse_ocr_date(best_raw)
+        confidence = best_conf
+        raw_text = best_raw
+    elif name in MULTI_VALUE_FIELDS:
+        value = F.when(s["n_nonws"] > 0, s["concat_v"])
+        confidence = F.when(
+            s["n_nonws"] > 0, F.coalesce(s["min_conf_nonws"], F.lit(0.0))
+        )
+        raw_text = F.lit(None).cast("string")
+    else:
+        value = best_raw
+        confidence = best_conf
+        raw_text = F.lit(None).cast("string")
+
+    return F.struct(
+        value.cast("string").alias("value"),
+        raw_text.alias("raw_text"),
+        confidence.cast("double").alias("confidence"),
+        F.lit(None).cast("string").alias("reviewed_value"),
+        F.lit(None).cast("timestamp").alias("reviewed_at"),
+        F.lit(None).cast("string").alias("reviewed_by"),
+        F.lit("Pending").alias("status"),
+    )
+
+
+def _consolidate_grouped_long(
+    turns: DataFrame, id_col: str = "extracted_id"
+) -> DataFrame:
+    """Long-format fold for documents too contribution-heavy for the
+    compact path's single ``collect_list`` buffer.
+
+    Shape: explode contributions → groupBy (conv_id, run_id, **field**) —
+    best/min/count/bool-or are streaming aggregates with map-side partial
+    aggregation, so a million-contribution field costs combiner rows, not
+    one array buffer — → regroup the ≤13 per-field summaries per document
+    and join the (turn-grain) header aggregation. The ONLY per-group list
+    buffer left is the multi-value concat's part list, whose size equals
+    the operator's own output string — the semantic floor, not an
+    implementation artifact. Headers still carry per-turn provenance /
+    turn_idxs arrays (bounded by turn count, not field-line count).
+
+    Same merge-rule semantics as :func:`_consolidate_grouped`, pinned by
+    the equality tests and the shared oracle.
+    """
+    bad_sig = lambda c: (
+        c["field"].isin(*SIGNATURE_FIELDS)
+        & c["raw_value"].isNotNull()
+        & ~F.lower(c["raw_value"]).isin("signed", "present", "unsigned")
+    )
+    warn_per_turn = F.size(
+        F.filter(F.coalesce(F.col("contribs"), F.array()), bad_sig)
+    )
+    headers = (
+        turns.withColumn("_warn", warn_per_turn)
+        .groupBy("conv_id", "run_id")
+        .agg(
+            *_header_agg_exprs(id_col),
+            F.sum("_warn").cast("int").alias("sig_warnings"),
+        )
+    )
+
+    ex = turns.select(
+        "conv_id",
+        "run_id",
+        F.col("turn_idx").alias("t"),
+        F.explode(F.coalesce(F.col("contribs"), F.array())).alias("c"),
+    ).select(
+        "conv_id",
+        "run_id",
+        "t",
+        F.col("c.field").alias("field"),
+        F.col("c.raw_value").alias("raw"),
+        F.col("c.confidence").alias("conf"),
+    )
+    nonws = F.col("raw").isNotNull() & (F.trim("raw") != "")
+    per_field = ex.groupBy("conv_id", "run_id", "field").agg(
+        # FR-004 winner: identical ordering struct to the compact path's
+        # array_max — max conf (null → -inf), tie → lowest turn
+        F.max(
+            F.struct(
+                F.coalesce("conf", F.lit(_NEG_INF)).alias("c"),
+                (-F.col("t")).cast("long").alias("nt"),
+                F.col("raw").alias("v"),
+                F.col("conf").alias("cf"),
+            )
+        ).alias("best"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.when(nonws, 1).otherwise(0)).alias("n_nonws"),
+        F.max(
+            F.coalesce(F.lower("raw").isin("signed", "present"), F.lit(False))
+        ).alias("sig_present"),
+        F.min("conf").alias("min_conf_all"),
+        F.min(F.when(nonws, F.col("conf"))).alias("min_conf_nonws"),
+        # FR-005 ordered concat: collect ONLY the non-whitespace parts
+        # (collect_list skips the when()'s nulls) sorted by the same
+        # (turn, raw, conf) order the compact path's sorted _cs induces
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            nonws,
+                            F.struct(
+                                F.col("t"),
+                                F.col("raw").alias("v"),
+                                F.col("conf").alias("cf"),
+                            ),
+                        )
+                    )
+                ),
+                lambda p: p["v"],
+            ),
+            "\n",
+        ).alias("concat_v"),
+    )
+    summaries = per_field.groupBy("conv_id", "run_id").agg(
+        F.collect_list(
+            F.struct(
+                "field", "best", "n_parts", "n_nonws", "sig_present",
+                "min_conf_all", "min_conf_nonws", "concat_v",
+            )
+        ).alias("_fs")
+    )
+
+    fs = F.col("_fs")
+    return (
+        headers.join(summaries, ["conv_id", "run_id"], "left")
+        .select(
+            "conv_id",
+            "run_id",
+            _doc_key_expr().alias("doc_key"),
+            "turn_count",
+            "turn_idxs",
+            "first_turn",
+            "provenance",
+            "sig_warnings",
+            *[
+                _field_struct_from_summary(fs, name).alias(name)
+                for name in FIELD_NAMES
+            ],
+        )
+    )
+
+
+def consolidate_auto(
+    extracted: DataFrame,
+    threshold: int = 100_000,
+    id_col: str = "extracted_id",
+) -> DataFrame:
+    """Compact fold with an AUTOMATIC long-document escape hatch.
+
+    The compact path (:func:`consolidate_compact`) buys its one-shuffle
+    speed by collecting every contribution of a document into one
+    aggregation buffer — fine to ~10⁶ contributions, an OOM/straggler
+    cliff beyond (see its docstring). This router makes the documented
+    manual escape hatch automatic: a window over the run partitioning
+    counts each document's contributions, documents at or under
+    ``threshold`` take the compact fold, heavier ones the long-format
+    per-field fold (:func:`_consolidate_grouped_long`) whose buffers are
+    streaming aggregates. The count window reuses the run window's
+    hash(conv_id) exchange (ClusteredDistribution on a key subset), so
+    the guard costs a sort, not a shuffle; outputs are row-identical
+    between the two paths (pinned by tests and the shared oracle), so
+    routing never changes results — only the memory shape.
+
+    The north-rule requirement 'explicit skew handling for long
+    conversations', made structural: no configuration, no manual
+    routing, bounded task memory at any document size.
+    """
+    from .fields import best_extracted_id, contributions_array
+
+    t = extracted.select(
+        "conv_id",
+        "turn_idx",
+        contributions_array("extracted_text").alias("contribs"),
+    ).withColumn(id_col, best_extracted_id(F.col("contribs")))
+    t = with_runs(t, id_col=id_col)
+    n_c = F.sum(
+        F.size(F.coalesce(F.col("contribs"), F.array()))
+    ).over(W.partitionBy("conv_id", "run_id"))
+    t = t.withColumn("_n_c", n_c)
+    small = _consolidate_grouped(
+        t.filter(F.col("_n_c") <= threshold), id_col=id_col
+    )
+    big = _consolidate_grouped_long(
+        t.filter(F.col("_n_c") > threshold), id_col=id_col
+    )
+    return small.unionByName(big)
 
 
 def consolidate(

@@ -31,7 +31,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.aggregation import consolidate_compact
+from ..operators.aggregation import consolidate_auto, consolidate_compact
 from ..operators.extraction import extract_turns, salted_repartition
 from ..functions.selection import TurnSelection
 from ..sources.catalog import Catalog
@@ -73,6 +73,13 @@ class PipelineConfig:
     #: injectable per-payload extractor (None → functions.dispatch.extract);
     #: also the fault-injection seam for testing error isolation
     extract_fn: object = None
+    #: automatic long-conversation fold guard: documents whose contribution
+    #: count exceeds this route through the long-format per-field fold
+    #: instead of the compact collect_list fold (north rule: explicit skew
+    #: handling for long conversations). The default sits at the compact
+    #: path's documented ~10⁶-contribution comfort bound; None disables the
+    #: guard (pure compact plan, one shuffle)
+    long_doc_threshold: int | None = 1_000_000
 
 
 def _bucket_col(n_buckets: int):
@@ -105,7 +112,9 @@ def extract_stage(
     return extract_turns(turns, extract_fn=extract_fn)
 
 
-def consolidate_stage(extracted: DataFrame) -> DataFrame:
+def consolidate_stage(
+    extracted: DataFrame, long_doc_threshold: int | None = None
+) -> DataFrame:
     """Extracted turns → forward-fill runs → folded consolidated records.
 
     One linear plan (``consolidate_compact``): contributions and the
@@ -115,7 +124,17 @@ def consolidate_stage(extracted: DataFrame) -> DataFrame:
     contribs/runs + pivot + headers join was the 4× local[32] cliff in
     BENCH_r01). Two shuffles end-to-end: the run window sort and the fold
     groupBy.
+
+    ``long_doc_threshold`` arms the automatic long-document guard
+    (``consolidate_auto``): contribution-heavy documents take the
+    long-format per-field fold whose buffers are streaming aggregates, so
+    one million-field conversation cannot OOM a task. Row-identical output
+    either way; the guard costs one extra count window + a second (usually
+    empty) aggregation branch, so the hot batch path leaves it off and
+    ``run_pipeline`` arms it by default.
     """
+    if long_doc_threshold is not None:
+        return consolidate_auto(extracted, threshold=long_doc_threshold)
     return consolidate_compact(extracted)
 
 
@@ -231,7 +250,9 @@ def run_pipeline(
                     extracted.withColumn("run_id", F.lit(cfg.run_id)),
                     cfg.extracted_table,
                 )
-            records = consolidate_stage(extracted)
+            records = consolidate_stage(
+                extracted, long_doc_threshold=cfg.long_doc_threshold
+            )
             # run correlation stamp (reference: cosmosEntity.OperationId,
             # PdfProcessorFunction.cs:197) — injected as a job arg, never
             # wall-clock inside executors

@@ -322,3 +322,75 @@ def test_consolidate_provenance_and_counts(spark):
         (3, "Inferred", None),
     ]
     assert recs["TK-2"].turn_count == 1
+
+
+def test_consolidate_auto_equals_compact_at_any_threshold(spark):
+    """The auto router's output is row-identical to the compact fold no
+    matter where the threshold lands — all-compact, mixed, all-long."""
+    from poc_document_ocr_spark.operators.aggregation import (
+        consolidate_auto,
+        consolidate_compact,
+    )
+    from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+    from poc_document_ocr_spark.sources.datagen import generate
+    from poc_document_ocr_spark.operators.extraction import extract_turns
+
+    data = generate(n_convs=12, median_turns=6, seed=7, skew=False)
+    ex = extract_turns(
+        spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+    ).localCheckpoint()
+    compact = consolidate_compact(ex)
+    for threshold in (0, 2, 10**9):
+        auto = consolidate_auto(ex, threshold=threshold)
+        assert auto.columns == compact.columns
+        assert auto.exceptAll(compact).count() == 0
+        assert compact.exceptAll(auto).count() == 0
+
+
+def test_consolidate_auto_million_contribution_conversation(spark):
+    """North-rule skew guard: ONE conversation with 10⁶ field lines routes
+    through the long fold and completes with exact merge-rule output. The
+    long path's per-field aggregates are streaming (map-side partial), so
+    no task ever buffers the million contributions at once — the only
+    large object is the multi-value concat result itself."""
+    from poc_document_ocr_spark.operators.aggregation import consolidate_auto
+
+    n_turns, lines_per_turn = 2000, 500  # = 10⁶ field lines
+    # distributed text construction (never a driver-side string): each turn
+    # carries lines_per_turn field lines — multi-value mainCharge parts,
+    # one firstName candidate per turn with a known best, one signature
+    line = (
+        "CASE WHEN j % 100 = 0 THEN "
+        "  printf('firstName: fn-%04d [0.%03d]', id, CAST(id % 500 AS INT))"
+        " WHEN j % 100 = 1 THEN 'defendantSignature: signed [0.40]'"
+        " ELSE printf('mainCharge: part-%04d-%03d [0.90]', id, j) END"
+    )
+    ex = spark.sql(
+        f"""
+        SELECT 'cBIG' AS conv_id, CAST(id + 1 AS INT) AS turn_idx,
+               concat_ws('\n', transform(sequence(0, {lines_per_turn - 1}),
+                                         j -> {line})) AS extracted_text
+        FROM range({n_turns})
+        """
+    )
+    out = consolidate_auto(ex, threshold=10_000).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["turn_count"] == n_turns
+    assert r["doc_key"].startswith("unknown-cBIG-")
+    # FR-004 best: highest formatted confidence is 0.499 at id 499
+    assert r["firstName"]["value"] == "fn-0499"
+    assert r["firstName"]["confidence"] == 0.499
+    # FR-005 ordered concat: every mainCharge part, newline-joined, in
+    # (turn, value) order; min confidence over the parts
+    parts = r["mainCharge"]["value"].split("\n")
+    # 5 firstName + 5 signature lines per turn (j % 100 ∈ {0, 1}) leave
+    # 490 mainCharge parts per turn
+    assert len(parts) == n_turns * (lines_per_turn - 10)
+    assert parts[0] == "part-0000-002"
+    assert parts[-1] == "part-1999-499"
+    assert r["mainCharge"]["confidence"] == 0.9
+    # FR-006 OR-fold with min confidence over all contributors
+    assert r["defendantSignature"]["value"] == "true"
+    assert r["defendantSignature"]["confidence"] == 0.4
+    assert r["sig_warnings"] == 0
