@@ -1209,6 +1209,121 @@ FROM t GROUP BY conv_id
 """)
 
 
+def q_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-transition profile over the transcripts: counts of each
+    (previous role → role) bigram across conversations, with a synthetic
+    '<start>' state for first turns — the alternation fingerprint a
+    dialogue-curation pass checks before assuming user/assistant turn
+    structure (tool-call storms and monologues show up as heavy self-
+    transitions). One lag window under the conversation partitioning, one
+    groupBy with map-side combine."""
+    from pyspark.sql import Window as W
+
+    t = spark_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag("role").over(w)
+    return (
+        t.select(
+            "conv_id",
+            F.coalesce(prev, F.lit("<start>")).alias("from_role"),
+            F.col("role").alias("to_role"),
+        )
+        .groupBy("from_role", "to_role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        )
+    )
+
+
+_O_TURN_TRANSITIONS = oracle_cte("""
+SELECT from_role, to_role,
+  CAST(count(*) AS BIGINT) AS n_transitions,
+  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM (SELECT conv_id,
+        coalesce(lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                 '<start>') AS from_role,
+        role AS to_role
+      FROM t) x
+GROUP BY 1, 2
+""")
+
+
+def q_turn_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript integrity lint, per conversation: empty-text turns,
+    unknown roles, turn-index gaps and duplicates, consecutive same-role
+    runs, tool values on non-tool turns — the structural validation gate
+    an ingest runs before a corpus is admitted to training (malformed
+    conversations poison turn-ordering invariants downstream). One lag
+    window + one groupBy, both under the conversation partitioning."""
+    from pyspark.sql import Window as W
+
+    t = spark_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    prev_idx = F.lag("turn_idx").over(w)
+    prev_role = F.lag("role").over(w)
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    flagged = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.col("text"),
+        prev_idx.alias("_pidx"),
+        prev_role.alias("_prole"),
+    )
+    out = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        one_if(F.trim(F.col("text")) == "").alias("n_empty_text"),
+        one_if(
+            ~F.col("role").isin("user", "assistant", "system", "tool")
+        ).alias("n_bad_role"),
+        one_if(
+            F.col("_pidx").isNotNull()
+            & (F.col("turn_idx") != F.col("_pidx") + 1)
+        ).alias("n_idx_gaps"),
+        one_if(F.col("role") == F.col("_prole")).alias("n_same_role_steps"),
+        one_if(
+            F.col("tool").isNotNull() & (F.col("role") != "tool")
+        ).alias("n_tool_on_nontool"),
+    )
+    return out.withColumn(
+        "is_clean",
+        (F.col("n_empty_text") == 0)
+        & (F.col("n_bad_role") == 0)
+        & (F.col("n_idx_gaps") == 0)
+        & (F.col("n_tool_on_nontool") == 0),
+    )
+
+
+_O_TURN_LINT = oracle_cte("""
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_empty_text,
+  CAST(sum(CASE WHEN role NOT IN ('user','assistant','system','tool')
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_role,
+  CAST(sum(CASE WHEN pidx IS NOT NULL AND turn_idx <> pidx + 1
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_gaps,
+  CAST(sum(CASE WHEN role = prole THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_same_role_steps,
+  CAST(sum(CASE WHEN tool IS NOT NULL AND role <> 'tool'
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_on_nontool,
+  (sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) = 0
+   AND sum(CASE WHEN role NOT IN ('user','assistant','system','tool')
+           THEN 1 ELSE 0 END) = 0
+   AND sum(CASE WHEN pidx IS NOT NULL AND turn_idx <> pidx + 1
+           THEN 1 ELSE 0 END) = 0
+   AND sum(CASE WHEN tool IS NOT NULL AND role <> 'tool'
+           THEN 1 ELSE 0 END) = 0) AS is_clean
+FROM (SELECT conv_id, turn_idx, role, tool, text,
+        lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pidx,
+        lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prole
+      FROM t) x
+GROUP BY conv_id
+""")
+
+
 def q_session_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-size distribution: exact discrete quantiles (p50/p90/p99)
     of events-per-session over the gap-sessionized log — the composition
@@ -2177,6 +2292,52 @@ SELECT label,
   max(list_dot_product(CAST(embedding AS DOUBLE[]),
                        CAST(embedding AS DOUBLE[]))) AS max_norm2
 FROM embeddings GROUP BY label
+"""
+
+
+def q_emb_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style quantization health profile: each embedding is fixed-
+    point quantized (the same exact ``floor((x+2)·10⁶)`` micro-units the
+    integer k-means uses), then coarsened to a 129-level scalar code
+    (step 31250 µunits ≈ int8 over the ±2 range). The per-component
+    reconstruction error of floor coarsening is exactly ``q mod step``,
+    so the whole profile — worst component error and total error mass
+    per label — is BIGINT arithmetic, identical in both engines. The
+    go/no-go check before serving an int8-compressed ANN index: a label
+    whose max_err hits step−1 with high sum_err loses ranking fidelity.
+    Map-only until one label-sized groupBy."""
+    from .operators.similarity import quantize_vec
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    step = F.lit(31250).cast("long")
+    errs = F.transform(
+        quantize_vec(F.col("embedding")), lambda x: F.pmod(x, step)
+    )
+    per_vec = emb.select(
+        "label",
+        F.array_max(errs).alias("_max_err"),
+        F.aggregate(
+            errs, F.lit(0).cast("long"), lambda acc, e: acc + e
+        ).alias("_sum_err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max("_max_err").alias("max_err"),
+        F.sum("_sum_err").alias("sum_err"),
+    )
+
+
+_O_EMB_QUANT = """
+WITH q AS (SELECT label,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> CAST(floor((x + 2.0) * 1000000.0) AS BIGINT) % 31250) AS errs
+      FROM embeddings)
+SELECT label,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(max(list_max(errs)) AS BIGINT) AS max_err,
+  CAST(sum(list_sum(errs)) AS BIGINT) AS sum_err
+FROM q GROUP BY label
 """
 
 
@@ -3473,6 +3634,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_flush": q_streaming_flush,
     "semantic_dedup": q_semantic_dedup,
     "consolidate_long": q_consolidate_long,
+    "turn_transitions": q_turn_transitions,
+    "turn_lint": q_turn_lint,
+    "emb_quant": q_emb_quant,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3633,6 +3797,9 @@ ORACLES: dict[str, str] = {
     "zipf_stats": _O_ZIPF_STATS,
     "bigram_lm": _O_BIGRAM_LM,
     "emb_stats": _O_EMB_STATS,
+    "emb_quant": _O_EMB_QUANT,
+    "turn_transitions": _O_TURN_TRANSITIONS,
+    "turn_lint": _O_TURN_LINT,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "ann_recall": _O_ANN_RECALL,
