@@ -3123,6 +3123,41 @@ FROM (SELECT lang, n_docs, n_tokens,
 """
 
 
+def q_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture APPLIED: deterministic hash downsample of
+    over-represented languages toward the α = 0.5 shares, reported as the
+    per-language attrition table — the one-pass composition of
+    mix_weights with the hash sampler (over-represented langs keep a
+    ``up_x1000/1000`` slice of the hex space; under-represented keep
+    all)."""
+    from .operators.sampling import apply_mixture
+
+    return apply_mixture(_docs(spark, sf_dir))
+
+
+_O_MIX_APPLY = f"""
+WITH mw AS ({_O_MIX_WEIGHTS}),
+thr AS (SELECT lang, up_x1000,
+          CASE WHEN least(coalesce(up_x1000, 1000), 1000) >= 1000 THEN 'g'
+               ELSE printf('%08x',
+                 least(coalesce(up_x1000, 1000), 1000)
+                   * 4294967296 // 1000)
+          END AS t
+        FROM mw),
+k AS (SELECT d.lang, thr.up_x1000,
+        CASE WHEN substr(md5(CAST(d.doc_id AS STRING) || ':0'), 1, 8)
+             < thr.t THEN 1 ELSE 0 END AS kept,
+        len(string_split(d.text, ' ')) AS n_toks
+      FROM documents d JOIN thr ON d.lang = thr.lang)
+SELECT lang, up_x1000,
+  CAST(count(*) AS BIGINT) AS n_docs_in,
+  CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+  CAST(sum(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+    AS n_tokens_kept
+FROM k GROUP BY 1, 2
+"""
+
+
 #: corpus with exact duplicate contents under fresh ids — doc_id % 7 < 2
 #: rows are copied verbatim at doc_id + 100000, so their normalized
 #: fingerprints collide across (id-dependent) split labels
@@ -3637,6 +3672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_transitions": q_turn_transitions,
     "turn_lint": q_turn_lint,
     "emb_quant": q_emb_quant,
+    "mix_apply": q_mix_apply,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3771,6 +3807,7 @@ ORACLES: dict[str, str] = {
     "c4_line_dedup": _O_C4_LINE_DEDUP,
     "ulm_quality": _O_ULM_QUALITY,
     "mix_weights": _O_MIX_WEIGHTS,
+    "mix_apply": _O_MIX_APPLY,
     "token_stats": _O_TOKEN_STATS,
     "lang_id": _O_LANG_ID,
     "fingerprint": _O_FINGERPRINT,

@@ -34,6 +34,7 @@ __all__ = [
     "group_quantiles",
     "group_quantiles_approx",
     "mixture_weights",
+    "apply_mixture",
     "curation_funnel",
     "length_trim",
 ]
@@ -384,6 +385,55 @@ def mixture_weights(
                 F.col("p_ppm") > 0, F.expr("w_ppm * 1000 div p_ppm")
             ),
         )
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """APPLY the temperature mixture: deterministic per-language hash
+    downsample of over-represented languages toward the α = 0.5 target
+    shares — the single-pass composition of :func:`mixture_weights` with
+    the hash-threshold sampler. Languages whose natural share exceeds
+    their temperature share (``up_x1000 < 1000``) keep a
+    ``up_x1000/1000`` fraction of documents; under-represented languages
+    keep everything (a one-pass sampler cannot create data — the sampler
+    up-weights them at epoch time using ``up_x1000``).
+
+    Everything is engine-exact: the keep threshold is an INTEGER slice of
+    the 32-bit hex space (``min(up,1000)·2³² div 1000`` rendered as a
+    zero-padded hex literal) compared against the md5 split key, so the
+    kept set is a pure function of (id, seed, corpus shares).
+
+    Scale shape: the per-language weights table is output-cardinality =
+    #languages — a bounded MODEL artifact, broadcast by design (same rule
+    as the bigram model / length-trim bounds); the corpus side is one
+    map pass. Returns the per-language attrition report
+    ``(lang, up_x1000, n_docs_in, n_docs_kept, n_tokens_kept)``; filter
+    composition on the kept flag gives the sampled corpus itself.
+    """
+    mw = mixture_weights(df, lang_col=lang_col, text_col=text_col).select(
+        lang_col, "up_x1000"
+    )
+    thr_n = F.expr(
+        "least(coalesce(up_x1000, 1000), 1000) * 4294967296 div 1000"
+    )
+    thr_hex = F.when(thr_n >= F.lit(4294967296), F.lit("g")).otherwise(
+        F.format_string("%08x", thr_n)
+    )
+    keyed = df.join(F.broadcast(mw.withColumn("_thr", thr_hex)), lang_col)
+    kept = F.when(split_key(F.col(id_col), seed) < F.col("_thr"), 1).otherwise(0)
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return keyed.groupBy(lang_col, "up_x1000").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.sum(kept).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(kept == 1, n_toks).otherwise(0)).cast("long").alias(
+            "n_tokens_kept"
+        ),
     )
 
 
