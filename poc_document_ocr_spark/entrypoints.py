@@ -1984,25 +1984,10 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap counts ≥ 5. The fingerprint bucket join IS the candidate
     generator — no all-pairs shape at any scale, and the frequency cap
     bounds every bucket's fan-out."""
-    from .operators.textstats import winnow_fingerprints
+    from .operators.textstats import winnow_fingerprints, winnow_overlap_pairs
 
     wf = winnow_fingerprints(_docs(spark, sf_dir), k=8, w=4)
-    rare = (
-        wf.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= 10))
-        .select("fp")
-    )
-    wfr = wf.join(rare, "fp")
-    a = wfr.select(F.col("doc_id").alias("id_a"), "fp")
-    b = wfr.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 5)
-    )
+    return winnow_overlap_pairs(wf, min_df=2, max_df=10, min_shared=5)
 
 
 _O_WINNOW_OVERLAP = """

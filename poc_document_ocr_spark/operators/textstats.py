@@ -23,6 +23,7 @@ __all__ = [
     "fingerprint",
     "quality_score",
     "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "repetition_stats",
     "tfidf_top_terms",
     "chunk_text",
@@ -223,6 +224,47 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             F.col(id_col),
             F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
         )
+    )
+
+
+def winnow_overlap_pairs(
+    wf: DataFrame,
+    min_df: int = 2,
+    max_df: int = 10,
+    min_shared: int = 5,
+) -> DataFrame:
+    """MOSS-style overlap pairs from a winnow-fingerprint table: inverted
+    index on fp, boilerplate cap (fps in more than ``max_df`` docs carry
+    no signal — the standard MOSS ignore list, and the bound on every
+    bucket's pair fan-out), pair overlap counts ≥ ``min_shared``.
+
+    **Both joins pin sort-merge** (``hint("merge")``): the fp table AND
+    the rare-fp list are corpus-cardinality, so broadcasting either side
+    is wrong at every scale — yet measured at 1.88M documents, Spark's
+    size estimate of the rare-fp aggregate slipped under the broadcast
+    threshold and the runtime broadcast blew past
+    ``spark.driver.maxResultSize`` (1 GiB of fp rows shipped to the
+    driver). This is the mirror image of the repo's no-forced-broadcast
+    rule: a bounded MODEL side may be broadcast by design, a corpus-
+    cardinality side must be pinned AWAY from broadcast when the planner
+    cannot know its size. Sort-merge also keeps AQE skew splitting
+    available for hot fingerprints.
+    """
+    rare = (
+        wf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter((F.col("_n") >= min_df) & (F.col("_n") <= max_df))
+        .select("fp")
+    )
+    wfr = wf.join(rare.hint("merge"), "fp")
+    a = wfr.select(F.col("doc_id").alias("id_a"), "fp")
+    b = wfr.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b.hint("merge"), "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

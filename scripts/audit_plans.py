@@ -399,6 +399,23 @@ def audit(spark, sf_dir: str):
         )[:200],
     )
 
+    # --- winnow_overlap: corpus×corpus joins pinned to sort-merge ----------
+    # (measured at 1.88M docs: Spark's estimate of the rare-fp aggregate
+    # slipped under the broadcast threshold and the runtime broadcast blew
+    # past driver.maxResultSize — the fp table and the rare-fp list are
+    # BOTH corpus-cardinality, so no broadcast can ever be right here)
+    wo = ep.QUERIES["winnow_overlap"](spark, sf_dir)
+    p = plan_of(wo)
+    check(
+        "winnow_overlap: fp joins are sort-merge (no broadcast of a"
+        " corpus-cardinality side, no cartesian)",
+        "BroadcastHashJoin" not in p and "CartesianProduct" not in p,
+        "join lines: "
+        + "; ".join(
+            l.strip()[:70] for l in p.splitlines() if "Join" in l
+        )[:200],
+    )
+
     # --- split_leakage: leak election partial-aggregates map-side ---------
     sl = ep.QUERIES["split_leakage"](spark, sf_dir)
     p = plan_of(sl)

@@ -46,26 +46,14 @@ def _steal_sample() -> tuple[int, int]:
 
 
 def winnow_overlap(docs):
-    """Inline twin of q_winnow_overlap (fp inverted index, 2..10 cap)."""
-    from poc_document_ocr_spark.operators.textstats import winnow_fingerprints
+    """q_winnow_overlap's exact composition (shared operator)."""
+    from poc_document_ocr_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
 
     wf = winnow_fingerprints(docs, k=8, w=4)
-    rare = (
-        wf.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter((F.col("_n") >= 2) & (F.col("_n") <= 10))
-        .select("fp")
-    )
-    wfr = wf.join(rare, "fp")
-    a = wfr.select(F.col("doc_id").alias("id_a"), "fp")
-    b = wfr.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 5)
-    )
+    return winnow_overlap_pairs(wf, min_df=2, max_df=10, min_shared=5)
 
 
 def dup_profile(docs):

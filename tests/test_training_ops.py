@@ -1374,3 +1374,30 @@ def test_semantic_dedup_prunes_within_cells_keeps_farthest(spark):
     for comp in {r["component"] for r in out.values()}:
         cells = {r["cell"] for r in out.values() if r["component"] == comp}
         assert len(cells) == 1
+
+
+def test_apply_mixture_downsamples_only_overrepresented(spark):
+    from poc_document_ocr_spark.operators.sampling import apply_mixture
+
+    # language A dominates token mass; B is the low-resource tail
+    rows = [(i, "A", "w " * 50) for i in range(90)]
+    rows += [(1000 + i, "B", "w " * 10) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, l, t.strip()) for i, l, t in rows],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["lang"]: r for r in apply_mixture(df).collect()}
+    a, b = out["A"], out["B"]
+    # under-represented language keeps EVERYTHING and is marked up-sampled
+    assert b["n_docs_kept"] == b["n_docs_in"] == 10
+    assert b["up_x1000"] > 1000
+    # over-represented language is strictly downsampled, near its target:
+    # kept/in ≈ up_x1000/1000 (hash granularity ±, but never above target
+    # by more than the binomial spread at n=90)
+    assert a["up_x1000"] < 1000
+    assert 0 < a["n_docs_kept"] < a["n_docs_in"]
+    # determinism: same input → identical kept counts
+    out2 = {r["lang"]: r for r in apply_mixture(df).collect()}
+    assert {k: v["n_docs_kept"] for k, v in out.items()} == {
+        k: v["n_docs_kept"] for k, v in out2.items()
+    }
