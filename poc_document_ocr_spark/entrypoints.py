@@ -633,6 +633,104 @@ _CAROL, _ALICE, _BOB, _EVE = (
 )
 
 
+# Dialect-neutral lock/request fixture derivation (Spark SQL == DuckDB):
+# 60 documents, a third of them held (half fresh, half exactly at the 24h
+# stale boundary), ~8 timestamp-ordered requests per document mixing
+# checkout/checkin/cancel across 4 reviewers.
+_LOCKS_SQL = """
+SELECT doc_key,
+  CASE WHEN k % 3 = 1 THEN 'rev' || CAST(k % 4 AS STRING) END
+    AS checked_out_by,
+  CASE WHEN k % 3 = 1 THEN CAST(1000000 - (k % 2) * 86400 AS BIGINT) END
+    AS checked_out_at,
+  CAST(NULL AS STRING) AS last_checked_in_by,
+  CAST(NULL AS BIGINT) AS last_checked_in_at
+FROM (SELECT DISTINCT doc_id % 60 AS k,
+        'dk' || CAST(doc_id % 60 AS STRING) AS doc_key FROM documents) z
+"""
+
+_LOCK_REQS_SQL = """
+SELECT 'dk' || CAST(doc_id % 60 AS STRING) AS doc_key,
+  CAST(doc_id AS INT) AS seq,
+  'rev' || CAST(doc_id % 4 AS STRING) AS reviewer,
+  CASE WHEN doc_id % 7 < 4 THEN 'checkout'
+       WHEN doc_id % 7 < 6 THEN 'checkin' ELSE 'cancel' END AS action,
+  CAST(1000000 + doc_id % 50 AS BIGINT) AS req_ts
+FROM documents
+"""
+
+
+def q_lock_checkout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pessimistic lock service resolved as a batch (SURVEY row 55,
+    FR-021..FR-024): per-document timestamp-ordered fold of checkout/
+    checkin/cancel requests against the lock table — same decision table
+    as ``DocumentLockService.cs:32-147`` (same-holder refresh, <24h deny,
+    ≥24h stale release, non-holder checkin/cancel rejection, FR-024
+    cancel-without-stamps), with the oracle replaying the identical
+    sequential state machine as a recursive CTE."""
+    from .operators.review import resolve_lock_requests
+
+    locks = _sql_over(spark, sf_dir, _LOCKS_SQL, "documents")
+    reqs = _sql_over(spark, sf_dir, _LOCK_REQS_SQL, "documents")
+    return resolve_lock_requests(locks, reqs)
+
+
+_O_LOCK_CHECKOUT = f"""
+WITH RECURSIVE
+locks AS ({_LOCKS_SQL}),
+reqs0 AS ({_LOCK_REQS_SQL}),
+reqs AS (SELECT *, CAST(row_number() OVER
+           (PARTITION BY doc_key ORDER BY req_ts, seq, reviewer, action)
+           AS INT) AS step
+         FROM reqs0),
+sim(doc_key, step, cob, coa, lcib, lcia, seq, reviewer, action, ts,
+    granted, reason, last_ci_by, last_ci_at) AS (
+  SELECT d.doc_key, 0, l.checked_out_by, l.checked_out_at,
+         l.last_checked_in_by, l.last_checked_in_at,
+         CAST(NULL AS INT), CAST(NULL AS STRING), CAST(NULL AS STRING),
+         CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN), CAST(NULL AS STRING),
+         CAST(NULL AS STRING), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT doc_key FROM reqs0) d
+  LEFT JOIN locks l ON l.doc_key = d.doc_key
+  UNION ALL
+  SELECT doc_key, step, new_cob, new_coa, new_lcib, new_lcia,
+         seq, reviewer, action, ts, granted, reason, new_lcib, new_lcia
+  FROM (
+    SELECT x.*,
+      CASE WHEN x.action = 'checkout' AND x.granted THEN x.reviewer
+           WHEN x.action <> 'checkout' AND x.granted THEN NULL
+           ELSE x.cob END AS new_cob,
+      CASE WHEN x.action = 'checkout' AND x.granted THEN x.ts
+           WHEN x.action <> 'checkout' AND x.granted THEN NULL
+           ELSE x.coa END AS new_coa,
+      CASE WHEN x.action = 'checkin' AND x.granted THEN x.reviewer
+           ELSE x.lcib END AS new_lcib,
+      CASE WHEN x.action = 'checkin' AND x.granted THEN x.ts
+           ELSE x.lcia END AS new_lcia,
+      CASE WHEN x.granted THEN NULL
+           WHEN x.action = 'checkout' THEN 'held'
+           ELSE 'held_by_other' END AS reason
+    FROM (
+      SELECT s.doc_key, r.step, s.cob, s.coa, s.lcib, s.lcia,
+             r.seq, r.reviewer, r.action, r.req_ts AS ts,
+             CASE WHEN r.action = 'checkout'
+                  THEN s.cob IS NULL
+                       OR coalesce(lower(s.cob) = lower(r.reviewer), false)
+                       OR coalesce(r.req_ts - s.coa >= 86400, false)
+                  ELSE s.cob IS NULL
+                       OR coalesce(lower(s.cob) = lower(r.reviewer), false)
+             END AS granted
+      FROM sim s JOIN reqs r
+        ON r.doc_key = s.doc_key AND r.step = s.step + 1
+    ) x
+  ) y
+)
+SELECT doc_key, seq, reviewer, action, ts AS req_ts, granted, reason,
+       cob AS held_by, coa AS held_at, last_ci_by, last_ci_at
+FROM sim WHERE step > 0
+"""
+
+
 def q_review_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving layer over consolidated records: a deterministic simulated
     review session (per-field Confirmed/Corrected edits incl. a rejected
@@ -3658,6 +3756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "turn_lint": q_turn_lint,
     "emb_quant": q_emb_quant,
     "mix_apply": q_mix_apply,
+    "lock_checkout": q_lock_checkout,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3755,6 +3854,7 @@ ORACLES: dict[str, str] = {
     "consolidate": _O_CONSOLIDATE,
     "consolidate_long": _O_CONSOLIDATE,
     "review_projections": _O_REVIEW_PROJECTIONS,
+    "lock_checkout": _O_LOCK_CHECKOUT,
     "status_projection": _O_STATUS_PROJECTION,
     "turn_select_reindex": _O_SELECT_REINDEX,
     "dup_skip_anti": _O_DUP_SKIP,

@@ -35,6 +35,8 @@ __all__ = [
     "is_valid_reviewed_date",
     "apply_field_edit",
     "filter_documents",
+    "resolve_lock_requests",
+    "STALE_CHECKOUT_SECONDS",
 ]
 
 #: ReviewUiHelpers thresholds (ReviewUiHelpers.cs:24-25)
@@ -207,3 +209,163 @@ def filter_documents(
     elif checkout == "checked_out":
         out = out.filter(~empty)
     return out
+
+
+#: 24h per FR-022 / D5 (``IDocumentLockService.cs:50-54``)
+STALE_CHECKOUT_SECONDS = 24 * 3600
+
+
+def resolve_lock_requests(
+    locks: DataFrame,
+    requests: DataFrame,
+    ttl_seconds: int = STALE_CHECKOUT_SECONDS,
+) -> DataFrame:
+    """Pessimistic checkout/check-in/cancel resolved as a batch — the
+    engine analog of ``DocumentLockService`` (FR-021..FR-024,
+    ``src/DocumentOcr.Common/Services/DocumentLockService.cs:32-147``),
+    the one SURVEY §2 row (55) that previously had no executable form.
+
+    The reference serves one HTTP request at a time against an
+    ETag-guarded document row. The batch transposition: all requests of a
+    period are resolved per document in timestamp order through the SAME
+    decision table —
+
+    * checkout on a free document → granted;
+    * checkout by the current holder (case-insensitive) → granted,
+      timestamp refreshed;
+    * checkout by another reviewer while the hold is younger than
+      ``ttl_seconds`` → denied (the holder/held-at are reported);
+    * hold age ≥ ttl → stale auto-release, granted to the requester
+      (the code's ``age < threshold`` deny means age == threshold
+      acquires);
+    * check-in / cancel by a non-holder → rejected (the reference
+      throws; the batch form records the rejection so one bad request
+      cannot abort the batch — constitution error isolation);
+    * check-in stamps ``last_checked_in_by/at`` and clears the hold;
+      cancel clears the hold WITHOUT the stamps (FR-024). Both succeed
+      on a free document (only held-by-OTHER rejects), matching the
+      service's guard.
+
+    Execution shape: requests are collected per doc_key (bounded: the
+    reference's scale envelope is low-double-digit reviewers, so a
+    document sees at most a handful per batch), sorted, and folded with
+    ``F.aggregate`` — the whole state machine is ONE higher-order
+    expression, JVM-side, no Python, no iteration; one shuffle to group
+    plus a left join to the (same-partitioned) lock table. The ETag
+    single-retry loop has no analog here because the fold serializes all
+    contenders deterministically — optimistic-concurrency conflicts
+    cannot occur inside one batch; across batches the idempotent
+    conditional-overwrite sink plays that role (plans/pipeline.py).
+
+    ``locks``: (doc_key, checked_out_by, checked_out_at,
+    last_checked_in_by, last_checked_in_at) — timestamps as epoch-second
+    longs; absent doc_key = free. ``requests``: (doc_key, seq, reviewer,
+    action['checkout'|'checkin'|'cancel'], req_ts). Returns one row per
+    request: (doc_key, seq, reviewer, action, req_ts, granted, reason,
+    held_by, held_at) where held_by/held_at are the post-decision hold.
+    """
+    req_arr = requests.groupBy("doc_key").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("req_ts").cast("long").alias("ts"),
+                    F.col("seq").cast("int").alias("seq"),
+                    F.col("reviewer").alias("reviewer"),
+                    F.col("action").alias("action"),
+                )
+            )
+        ).alias("_reqs")
+    )
+    lock0 = locks.select(
+        "doc_key",
+        F.col("checked_out_by").alias("_cob0"),
+        F.col("checked_out_at").cast("long").alias("_coa0"),
+        F.col("last_checked_in_by").alias("_lcib0"),
+        F.col("last_checked_in_at").cast("long").alias("_lcia0"),
+    )
+    joined = req_arr.join(lock0, "doc_key", "left")
+
+    out_t = (
+        "struct<seq:int,reviewer:string,action:string,ts:bigint,"
+        "granted:boolean,reason:string,held_by:string,held_at:bigint,"
+        "last_ci_by:string,last_ci_at:bigint>"
+    )
+    init = F.struct(
+        F.col("_cob0").alias("cob"),
+        F.col("_coa0").alias("coa"),
+        F.col("_lcib0").alias("lcib"),
+        F.col("_lcia0").alias("lcia"),
+        F.array().cast(f"array<{out_t}>").alias("outs"),
+    )
+
+    def step(st: Column, r: Column) -> Column:
+        same = F.lower(st["cob"]) == F.lower(r["reviewer"])
+        held = st["cob"].isNotNull()
+        stale = (r["ts"] - st["coa"]) >= F.lit(ttl_seconds)
+        is_checkout = r["action"] == "checkout"
+        # checkout grants unless held by another, non-stale reviewer
+        co_grant = ~held | same | stale
+        # checkin/cancel reject only when held by ANOTHER reviewer
+        rel_grant = ~held | same
+        granted = F.when(is_checkout, co_grant).otherwise(rel_grant)
+        reason = F.when(granted, F.lit(None).cast("string")).otherwise(
+            F.when(is_checkout, F.lit("held")).otherwise(
+                F.lit("held_by_other")
+            )
+        )
+        cob = (
+            F.when(is_checkout & granted, r["reviewer"])
+            .when(~is_checkout & granted, F.lit(None).cast("string"))
+            .otherwise(st["cob"])
+        )
+        coa = (
+            F.when(is_checkout & granted, r["ts"])
+            .when(~is_checkout & granted, F.lit(None).cast("long"))
+            .otherwise(st["coa"])
+        )
+        is_checkin = r["action"] == "checkin"
+        lcib = F.when(is_checkin & granted, r["reviewer"]).otherwise(
+            st["lcib"]
+        )
+        lcia = F.when(is_checkin & granted, r["ts"]).otherwise(st["lcia"])
+        out = F.struct(
+            r["seq"].alias("seq"),
+            r["reviewer"].alias("reviewer"),
+            r["action"].alias("action"),
+            r["ts"].alias("ts"),
+            granted.alias("granted"),
+            reason.alias("reason"),
+            cob.alias("held_by"),
+            coa.alias("held_at"),
+            # post-decision stamps make FR-024 observable per row: checkin
+            # sets them, cancel must leave them untouched
+            lcib.alias("last_ci_by"),
+            lcia.alias("last_ci_at"),
+        )
+        return F.struct(
+            cob.alias("cob"),
+            coa.alias("coa"),
+            lcib.alias("lcib"),
+            lcia.alias("lcia"),
+            F.array_append(st["outs"], out).alias("outs"),
+        )
+
+    folded = joined.select(
+        "doc_key", F.aggregate(F.col("_reqs"), init, step).alias("_st")
+    )
+    out = folded.select(
+        "doc_key", F.explode(F.col("_st")["outs"]).alias("o")
+    )
+    return out.select(
+        "doc_key",
+        F.col("o.seq").alias("seq"),
+        F.col("o.reviewer").alias("reviewer"),
+        F.col("o.action").alias("action"),
+        F.col("o.ts").alias("req_ts"),
+        F.col("o.granted").alias("granted"),
+        F.col("o.reason").alias("reason"),
+        F.col("o.held_by").alias("held_by"),
+        F.col("o.held_at").alias("held_at"),
+        F.col("o.last_ci_by").alias("last_ci_by"),
+        F.col("o.last_ci_at").alias("last_ci_at"),
+    )

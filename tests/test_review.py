@@ -209,3 +209,78 @@ def test_filter_documents_checkout(spark):
         r.doc_key
         for r in filter_documents(df, "Reviewed", "all").collect()
     } == {"c"}
+
+
+def test_lock_state_machine_matches_reference_decision_table(spark):
+    """Mirrors DocumentLockServiceTests.cs 1:1 (checkout free / held-fresh
+    / held-stale / held-by-self; checkin by holder / by non-holder; cancel
+    without last-checked-in stamps) plus the batch-only sequencing case the
+    HTTP service never sees: several requests on one document resolved in
+    timestamp order through one fold."""
+    from poc_document_ocr_spark.operators.review import (
+        STALE_CHECKOUT_SECONDS as TTL,
+        resolve_lock_requests,
+    )
+
+    B = 1_000_000  # epoch base
+    REV, OTHER = "reviewer@example.com", "other@example.com"
+    locks = spark.createDataFrame(
+        [
+            ("d_held", OTHER, B, None, None),
+            ("d_stale", OTHER, B - TTL, None, None),  # age == TTL acquires
+            ("d_self", REV, B - 100, None, None),
+            ("d_ci", REV, B - 100, None, None),
+            ("d_ci_other", OTHER, B - 100, None, None),
+            ("d_cancel", REV, B - 100, "earlier@example.com", B - 5000),
+        ],
+        "doc_key string, checked_out_by string, checked_out_at long, "
+        "last_checked_in_by string, last_checked_in_at long",
+    )
+    requests = spark.createDataFrame(
+        [
+            ("d_free", 1, REV, "checkout", B),       # free -> acquires
+            ("d_held", 1, REV, "checkout", B + 10),  # fresh hold -> denied
+            ("d_stale", 1, REV, "checkout", B),      # stale -> acquires
+            ("d_self", 1, REV.upper(), "checkout", B),  # self -> refresh
+            ("d_ci", 1, REV, "checkin", B),
+            ("d_ci_other", 1, REV, "checkin", B),    # non-holder -> reject
+            ("d_cancel", 1, REV, "cancel", B),
+            # sequencing: A takes it, A releases, B takes it
+            ("d_seq", 1, OTHER, "checkout", B),
+            ("d_seq", 2, OTHER, "checkin", B + 1),
+            ("d_seq", 3, REV, "checkout", B + 2),
+        ],
+        "doc_key string, seq int, reviewer string, action string, "
+        "req_ts long",
+    )
+    out = {
+        (r["doc_key"], r["seq"]): r
+        for r in resolve_lock_requests(locks, requests).collect()
+    }
+    assert len(out) == 10
+
+    r = out[("d_free", 1)]
+    assert r["granted"] and (r["held_by"], r["held_at"]) == (REV, B)
+    r = out[("d_held", 1)]
+    assert not r["granted"] and r["reason"] == "held"
+    assert (r["held_by"], r["held_at"]) == (OTHER, B)
+    r = out[("d_stale", 1)]
+    assert r["granted"] and r["held_by"] == REV
+    r = out[("d_self", 1)]
+    assert r["granted"] and r["held_by"] == REV.upper()
+    assert r["held_at"] == B  # timestamp refreshed
+    r = out[("d_ci", 1)]
+    assert r["granted"] and r["held_by"] is None and r["held_at"] is None
+    assert (r["last_ci_by"], r["last_ci_at"]) == (REV, B)
+    r = out[("d_ci_other", 1)]
+    assert not r["granted"] and r["reason"] == "held_by_other"
+    assert r["held_by"] == OTHER
+    r = out[("d_cancel", 1)]
+    assert r["granted"] and r["held_by"] is None
+    # FR-024: cancel clears the hold WITHOUT stamping last-checked-in
+    assert (r["last_ci_by"], r["last_ci_at"]) == ("earlier@example.com", B - 5000)
+    # the sequencing case
+    assert out[("d_seq", 1)]["granted"]
+    assert out[("d_seq", 2)]["granted"]
+    r = out[("d_seq", 3)]
+    assert r["granted"] and (r["held_by"], r["held_at"]) == (REV, B + 2)
