@@ -633,6 +633,44 @@ _CAROL, _ALICE, _BOB, _EVE = (
 )
 
 
+def q_streaming_consolidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consolidation as streaming view maintenance, oracle-
+    checked against the FULL batch consolidate: the derived transcripts
+    arrive as two files with every conversation split across them (odd/even
+    doc_id halves), ``maxFilesPerTrigger=1`` forces one micro-batch per
+    file, and each batch re-folds only the conv-buckets it touched over
+    their complete accumulated history. The drained records table must
+    equal the one-shot batch fold row-for-row — partial per-batch documents
+    from batch 1 must have been REPLACED, not appended to, by batch 2's
+    re-fold."""
+    import os
+    import tempfile
+
+    from .sources.catalog import Catalog
+    from .streaming.ingest import stream_consolidate_to_catalog
+
+    t = spark_transcripts(spark, sf_dir)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    d = tempfile.mkdtemp(prefix="sg_stream_consol_")
+    src = os.path.join(d, "in")
+    # every conversation has turns in BOTH waves (doc_id parity interleaves
+    # turn_idx within each conv), so batch 1 folds partial documents that
+    # batch 2's bucket re-fold must replace
+    for wave, pred in (("w0", F.col("doc_id") % 2 == 0),
+                       ("w1", F.col("doc_id") % 2 == 1)):
+        t.filter(pred).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cat = Catalog(spark, os.path.join(d, "wh"))
+    q = stream_consolidate_to_catalog(
+        spark, cat, src, "extracted_stream", "records",
+        os.path.join(d, "ckpt"), run_id="run-SC",
+        max_files=1, buckets=8,
+    )
+    q.awaitTermination()
+    return _flat_consolidated(cat.read("records"))
+
+
 # Dialect-neutral lock/request fixture derivation (Spark SQL == DuckDB):
 # 60 documents, a third of them held (half fresh, half exactly at the 24h
 # stale boundary), ~8 timestamp-ordered requests per document mixing
@@ -3757,6 +3795,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_quant": q_emb_quant,
     "mix_apply": q_mix_apply,
     "lock_checkout": q_lock_checkout,
+    "streaming_consolidate": q_streaming_consolidate,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3853,6 +3892,7 @@ ORACLES: dict[str, str] = {
     "run_headers": _O_RUN_HEADERS,
     "consolidate": _O_CONSOLIDATE,
     "consolidate_long": _O_CONSOLIDATE,
+    "streaming_consolidate": _O_CONSOLIDATE,
     "review_projections": _O_REVIEW_PROJECTIONS,
     "lock_checkout": _O_LOCK_CHECKOUT,
     "status_projection": _O_STATUS_PROJECTION,

@@ -10,12 +10,14 @@ writes and the duplicate-skip anti-join, not from stream state (SURVEY
   the same Arrow-batched pandas UDF → append sink, with the checkpoint
   giving exactly-once file tracking. This is the expensive stage, and the
   one worth running incrementally at 100 TB/day arrival rates.
-* **Consolidation stays batch.** The fold is conversation-grain; a
-  micro-batch boundary can split a conversation, so per-batch folding
-  would silently produce partial documents. Run ``plans.pipeline`` over the
-  streamed extracted table on demand (the duplicate-skip anti-join makes
-  re-folds idempotent) — the same lambda shape the reference has
-  (queue-driven OCR, on-demand aggregation reads).
+* **Consolidation is incremental view maintenance.** The fold is
+  conversation-grain and a micro-batch boundary can split a conversation,
+  so per-batch folding would silently produce partial documents. Instead
+  :func:`stream_consolidate_to_catalog` recomputes KEY-SCOPED: each batch
+  re-folds only the conv-hash buckets it touched, over those buckets'
+  COMPLETE accumulated turn history, and dynamic-overwrites the same
+  buckets of the records table — after any drain the records table equals
+  the batch pipeline's output (oracle-checked).
 
 ``Trigger(availableNow=True)`` drains everything present then stops — the
 "process the backlog as one resumable job" mode used by the tests; drop it
@@ -31,7 +33,11 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.extraction import extract_turns
 from ..schema import TRANSCRIPT_SCHEMA
 
-__all__ = ["stream_extract", "stream_extract_to_catalog"]
+__all__ = [
+    "stream_extract",
+    "stream_extract_to_catalog",
+    "stream_consolidate_to_catalog",
+]
 
 
 def _source(spark: SparkSession, input_path: str, max_files: int | None):
@@ -104,6 +110,89 @@ def stream_extract_to_catalog(
             extracted_table,
             part_col=("run_id", "batch_id"),
         )
+
+    writer = (
+        extracted.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_consolidate_to_catalog(
+    spark: SparkSession,
+    catalog,
+    input_path: str,
+    extracted_table: str,
+    records_table: str,
+    checkpoint_path: str,
+    run_id: str,
+    available_now: bool = True,
+    max_files: int | None = None,
+    buckets: int = 32,
+    long_doc_threshold: int | None = None,
+) -> StreamingQuery:
+    """Incremental CONSOLIDATION — the view-maintenance step this module's
+    docstring previously scoped out ('consolidation stays batch'). The
+    reason it had to stay batch is that a micro-batch boundary can split a
+    conversation; the fix is not per-batch folding but KEY-SCOPED
+    recomputation, the standard incremental-materialized-view shape:
+
+    per micro-batch —
+
+    1. land the batch's extracted turns idempotently, partitioned by
+       ``(run_id, batch_id, bucket(conv_id))`` — replay-safe exactly like
+       :func:`stream_extract_to_catalog`, with the bucket dimension added
+       so step 2 can prune;
+    2. re-read ONLY the conv-hash buckets the batch touched (a partition
+       filter — at 100 TB this reads the affected slice, never the table)
+       across ALL runs/batches, so a conversation split over any number of
+       micro-batches is folded over its COMPLETE turn set every time;
+    3. re-fold those buckets through the exact batch ``consolidate_stage``
+       (optionally with the long-conversation guard armed) and
+       dynamic-overwrite the same buckets of the records table.
+
+    Idempotency: every write is a deterministic function of the extracted
+    table's content, and both writes are dynamic partition overwrites — an
+    at-least-once foreachBatch replay converges to the same bytes. No
+    driver-side key sets: the only collected value is the batch's distinct
+    bucket ids (≤ ``buckets``, a bounded job arg). After a drain the
+    records table EQUALS the batch pipeline's output over the same input —
+    the oracle contract (``streaming_consolidate``).
+    """
+    from ..plans.pipeline import consolidate_stage
+
+    extracted = extract_turns(_source(spark, input_path, max_files))
+
+    def bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+    def sink(batch_df, batch_id: int) -> None:
+        landed = (
+            batch_df.withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("bucket", bucket_of(F.col("conv_id")))
+        )
+        catalog.overwrite_partitions(
+            landed, extracted_table, part_col=("run_id", "batch_id", "bucket")
+        )
+        touched = [
+            r["bucket"]
+            for r in batch_df.select(
+                bucket_of(F.col("conv_id")).alias("bucket")
+            ).distinct().collect()
+        ]
+        if not touched:
+            return
+        scope = catalog.read(extracted_table).filter(
+            F.col("bucket").isin(*touched)
+        )
+        records = consolidate_stage(
+            scope.drop("run_id", "batch_id", "bucket"),
+            long_doc_threshold=long_doc_threshold,
+        ).withColumn("bucket", bucket_of(F.col("conv_id")))
+        catalog.overwrite_partitions(records, records_table, part_col="bucket")
 
     writer = (
         extracted.writeStream.foreachBatch(sink)

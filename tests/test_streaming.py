@@ -335,3 +335,48 @@ def test_streaming_sessions_restart_from_checkpoint_and_flush(
         for r in sessionize_events(events, gap_minutes=30).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_stream_consolidate_incremental_equals_batch(spark, tmp_path):
+    """Incremental consolidation (key-scoped bucket re-fold per micro-
+    batch): two waves splitting every conversation, one batch per file;
+    final records table equals the batch fold, and re-running the drained
+    stream from its checkpoint changes nothing (idempotent maintenance)."""
+    from poc_document_ocr_spark.operators.extraction import extract_turns
+    from poc_document_ocr_spark.plans.pipeline import consolidate_stage
+    from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+    from poc_document_ocr_spark.sources.catalog import Catalog
+    from poc_document_ocr_spark.sources.datagen import generate
+    from poc_document_ocr_spark.streaming.ingest import (
+        stream_consolidate_to_catalog,
+    )
+
+    data = generate(n_convs=10, median_turns=6, seed=5, skew=False)
+    turns = spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+    src = str(tmp_path / "in")
+    for parity in (0, 1):
+        turns.filter(F.col("turn_idx") % 2 == parity).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    def drain():
+        q = stream_consolidate_to_catalog(
+            spark, cat, src, "ex_s", "rec_s", str(tmp_path / "ck"),
+            run_id="r1", max_files=1, buckets=4,
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got = cat.read("rec_s").drop("bucket")
+    expect = consolidate_stage(extract_turns(spark.read.parquet(src)))
+    assert got.columns == expect.columns
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+    snap = sorted(repr(tuple(r)) for r in got.collect())
+    drain()  # same checkpoint: no new files -> nothing may change
+    again = sorted(
+        repr(tuple(r)) for r in cat.read("rec_s").drop("bucket").collect()
+    )
+    assert again == snap
