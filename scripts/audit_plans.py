@@ -518,6 +518,65 @@ def audit(spark, sf_dir: str):
         "no row_number; partial_count present",
     )
 
+    # --- round-4 ops -------------------------------------------------------
+    # lock_checkout: the whole state machine is ONE higher-order aggregate
+    # fold — no Python stage, no cartesian; requests group + lock join only
+    lc = ep.QUERIES["lock_checkout"](spark, sf_dir)
+    p = plan_of(lc)
+    check(
+        "lock_checkout: JVM-side fold (no Python eval), no cartesian",
+        "EvalPython" not in p and "CartesianProduct" not in p,
+        "join lines: "
+        + "; ".join(
+            l.strip()[:70] for l in p.splitlines() if "Join" in l
+        )[:160],
+    )
+    # mix_apply: the per-language weights table is a bounded MODEL artifact
+    # broadcast onto the corpus (same rule as length_trim / bigram_lm)
+    ma = ep.QUERIES["mix_apply"](spark, sf_dir)
+    p = plan_of(ma)
+    check(
+        "mix_apply: bounded weights table broadcast onto the corpus scan",
+        bool(re.search(r"BroadcastHashJoin \[lang", p)),
+        next((l.strip()[:90] for l in p.splitlines() if "Join" in l), "?"),
+    )
+    # turn_lint / turn_transitions: lag window + groupBy share the
+    # conversation partitioning — ONE Exchange end-to-end
+    for qname in ("turn_lint", "turn_transitions"):
+        q = ep.QUERIES[qname](spark, sf_dir)
+        p = plan_of(q)
+        n_ex = len(re.findall(r"\bExchange\b", p))
+        # turn_transitions regroups on (from_role, to_role) → 2 exchanges;
+        # turn_lint groups on the window's own key → 1
+        limit = 1 if qname == "turn_lint" else 2
+        check(
+            f"{qname}: ≤{limit} shuffles (window partitioning reused where"
+            " the grouping key allows)",
+            n_ex <= limit,
+            f"Exchange nodes = {n_ex}",
+        )
+    # emb_quant: map-only error fold, one label-sized groupBy with
+    # map-side combine
+    eq = ep.QUERIES["emb_quant"](spark, sf_dir)
+    p = plan_of(eq)
+    check(
+        "emb_quant: one groupBy with map-side partial aggregation",
+        len(re.findall(r"\bExchange\b", p)) == 1 and "partial_max" in p,
+        "one Exchange; partial_max present",
+    )
+    # consolidate_long: the auto guard is a two-branch union — the compact
+    # branch plus the exploded per-field branch — with no forced hints
+    clq = ep.QUERIES["consolidate_long"](spark, sf_dir)
+    p = plan_of(clq)
+    check(
+        "consolidate_long: routed two-branch union, no cartesian, no"
+        " forced broadcast",
+        "Union" in p and "CartesianProduct" not in p
+        and "ResolvedHint"
+        not in clq._jdf.queryExecution().analyzed().toString(),
+        "Union present; no cartesian/hint",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
