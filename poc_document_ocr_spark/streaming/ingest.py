@@ -37,6 +37,7 @@ __all__ = [
     "stream_extract",
     "stream_extract_to_catalog",
     "stream_consolidate_to_catalog",
+    "consolidate_batch_sink",
 ]
 
 
@@ -161,38 +162,13 @@ def stream_consolidate_to_catalog(
     records table EQUALS the batch pipeline's output over the same input —
     the oracle contract (``streaming_consolidate``).
     """
-    from ..plans.pipeline import consolidate_stage
-
     extracted = extract_turns(_source(spark, input_path, max_files))
 
-    def bucket_of(col):
-        return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
-
     def sink(batch_df, batch_id: int) -> None:
-        landed = (
-            batch_df.withColumn("run_id", F.lit(run_id))
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .withColumn("bucket", bucket_of(F.col("conv_id")))
+        consolidate_batch_sink(
+            catalog, batch_df, batch_id, extracted_table, records_table,
+            run_id, buckets=buckets, long_doc_threshold=long_doc_threshold,
         )
-        catalog.overwrite_partitions(
-            landed, extracted_table, part_col=("run_id", "batch_id", "bucket")
-        )
-        touched = [
-            r["bucket"]
-            for r in batch_df.select(
-                bucket_of(F.col("conv_id")).alias("bucket")
-            ).distinct().collect()
-        ]
-        if not touched:
-            return
-        scope = catalog.read(extracted_table).filter(
-            F.col("bucket").isin(*touched)
-        )
-        records = consolidate_stage(
-            scope.drop("run_id", "batch_id", "bucket"),
-            long_doc_threshold=long_doc_threshold,
-        ).withColumn("bucket", bucket_of(F.col("conv_id")))
-        catalog.overwrite_partitions(records, records_table, part_col="bucket")
 
     writer = (
         extracted.writeStream.foreachBatch(sink)
@@ -201,3 +177,48 @@ def stream_consolidate_to_catalog(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def consolidate_batch_sink(
+    catalog,
+    batch_df,
+    batch_id: int,
+    extracted_table: str,
+    records_table: str,
+    run_id: str,
+    buckets: int = 32,
+    long_doc_threshold: int | None = None,
+) -> None:
+    """One micro-batch of the incremental consolidation (module-level so
+    the crash/replay fault-injection test can drive it directly —
+    foreachBatch may invoke this AGAIN with the same ``batch_id`` after a
+    mid-sink failure, and both writes must converge)."""
+    from ..plans.pipeline import consolidate_stage
+
+    def bucket_of(col):
+        return F.pmod(F.xxhash64(col), F.lit(buckets)).cast("int")
+
+    landed = (
+        batch_df.withColumn("run_id", F.lit(run_id))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .withColumn("bucket", bucket_of(F.col("conv_id")))
+    )
+    catalog.overwrite_partitions(
+        landed, extracted_table, part_col=("run_id", "batch_id", "bucket")
+    )
+    touched = [
+        r["bucket"]
+        for r in batch_df.select(
+            bucket_of(F.col("conv_id")).alias("bucket")
+        ).distinct().collect()
+    ]
+    if not touched:
+        return
+    scope = catalog.read(extracted_table).filter(
+        F.col("bucket").isin(*touched)
+    )
+    records = consolidate_stage(
+        scope.drop("run_id", "batch_id", "bucket"),
+        long_doc_threshold=long_doc_threshold,
+    ).withColumn("bucket", bucket_of(F.col("conv_id")))
+    catalog.overwrite_partitions(records, records_table, part_col="bucket")

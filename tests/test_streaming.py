@@ -380,3 +380,61 @@ def test_stream_consolidate_incremental_equals_batch(spark, tmp_path):
         repr(tuple(r)) for r in cat.read("rec_s").drop("bucket").collect()
     )
     assert again == snap
+
+
+def test_consolidate_sink_crash_mid_batch_then_replay_converges(
+    spark, tmp_path
+):
+    """At-least-once contract of the incremental consolidation sink: a
+    batch that crashes AFTER landing its extracted turns but BEFORE the
+    records overwrite is replayed by the engine with the same batch_id —
+    the replay must converge to exactly the clean-run state (no duplicate
+    extracted rows, records complete), because both writes are dynamic
+    partition overwrites of deterministic content."""
+    from poc_document_ocr_spark.operators.extraction import extract_turns
+    from poc_document_ocr_spark.plans.pipeline import consolidate_stage
+    from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+    from poc_document_ocr_spark.sources.catalog import Catalog
+    from poc_document_ocr_spark.sources.datagen import generate
+    from poc_document_ocr_spark.streaming.ingest import (
+        consolidate_batch_sink,
+    )
+
+    data = generate(n_convs=8, median_turns=5, seed=9, skew=False)
+    turns = spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+    batch = extract_turns(turns).localCheckpoint()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    class CrashAfterExtracted:
+        """Catalog proxy that dies on the SECOND write of a batch (the
+        records overwrite), simulating an executor/driver loss mid-sink."""
+
+        def __init__(self, inner):
+            self.inner, self.writes = inner, 0
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def overwrite_partitions(self, df, name, part_col):
+            self.writes += 1
+            if self.writes == 2:
+                raise RuntimeError("injected crash before records write")
+            self.inner.overwrite_partitions(df, name, part_col)
+
+    faulty = CrashAfterExtracted(cat)
+    try:
+        consolidate_batch_sink(faulty, batch, 0, "ex", "rec", "r1", buckets=4)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # extracted turns landed, records table missing — the torn state
+    assert cat.exists("ex") and not cat.exists("rec")
+
+    # the engine replays the SAME batch_id against the real catalog
+    consolidate_batch_sink(cat, batch, 0, "ex", "rec", "r1", buckets=4)
+    # no duplicated extracted rows from the pre-crash write
+    assert cat.read("ex").count() == batch.count()
+    got = cat.read("rec").drop("bucket")
+    expect = consolidate_stage(batch)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
