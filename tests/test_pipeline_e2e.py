@@ -317,3 +317,36 @@ def test_turn_range_filter_before_udf(spark, turns_df):
     assert udf_pos != -1 and filter_pos != -1
     # deeper in the tree (= later in the string) executes earlier
     assert filter_pos > udf_pos, "turn-range filter not below the UDF barrier"
+
+
+def test_catalog_compaction_preserves_content_and_merges_files(
+    spark, tmp_path
+):
+    """Small-file maintenance: many appends fragment a bucketed table;
+    compact() rewrites each leaf partition to one file with byte-identical
+    content and intact partition pruning."""
+    from pyspark.sql import functions as F
+
+    from poc_document_ocr_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # fragment: 6 appends x 3 shuffle files into bucket partitions
+    for i in range(6):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(4)).cast("int").alias("bucket"),
+            (F.col("id") * 2).alias("v"),
+        ).repartition(3)
+        df.write.mode("append").partitionBy("bucket").parquet(cat.path("t"))
+
+    before = sorted(tuple(r) for r in cat.read("t").collect())
+    stats = cat.compact("t")
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] == 4  # one file per bucket partition
+    after = sorted(tuple(r) for r in cat.read("t").collect())
+    assert after == before
+    # partition pruning still works on the compacted layout
+    one = cat.read("t").filter(F.col("bucket") == 2)
+    p = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in p
+    assert len(before) == 600
