@@ -133,7 +133,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
     # with four independent callers nobody owns that lifecycle and every
     # call leaked a cached table (round-3 ADVICE). The checkpoint blocks
     # are owned by the returned plan and freed by the ContextCleaner when
-    # the caller drops the result.
+    # the caller drops the result. Durability trade-off, eyes open:
+    # checkpoint blocks have no lineage, so losing an executor mid-job
+    # fails the job (re-run) instead of recomputing — acceptable for this
+    # job-scoped intermediate, and the convention connected_components
+    # already uses; preemptible-heavy clusters should prefer
+    # caller-managed persist with replication.
     bands = bands.localCheckpoint(eager=True)
     a = bands.select(
         F.col(id_col).alias("id_a"), F.col("band"), F.col("sig")

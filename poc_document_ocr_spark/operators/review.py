@@ -301,7 +301,12 @@ def resolve_lock_requests(
     def step(st: Column, r: Column) -> Column:
         same = F.lower(st["cob"]) == F.lower(r["reviewer"])
         held = st["cob"].isNotNull()
-        stale = (r["ts"] - st["coa"]) >= F.lit(ttl_seconds)
+        # coalesce: a malformed lock row (holder set, timestamp null) must
+        # DENY (granted false), not propagate NULL through the boolean —
+        # mirrors the oracle's coalesce(..., false)
+        stale = F.coalesce(
+            (r["ts"] - st["coa"]) >= F.lit(ttl_seconds), F.lit(False)
+        )
         is_checkout = r["action"] == "checkout"
         # checkout grants unless held by another, non-stale reviewer
         co_grant = ~held | same | stale

@@ -457,9 +457,12 @@ def curation_funnel(
     global aggregate, dedup keepers are one groupBy(fingerprint) over the
     survivors, and the dedup total + per-split finals come out of a single
     ROLLUP over the (small) keeper set. The ``flags`` projection —
-    ~tens of bytes/row — is materialized once (localCheckpoint), so both
-    union branches read it and the corpus text is scanned exactly ONCE;
-    checkpoint blocks are freed by the ContextCleaner with the result.
+    ~tens of bytes/row — is checkpointed LAZILY, so both union branches
+    read the one materialization and the corpus text is scanned exactly
+    ONCE per action, while merely CONSTRUCTING the DataFrame (plan
+    audits, explain, registration) costs nothing — an eager checkpoint
+    here would execute a full corpus pass at build time. Checkpoint
+    blocks are freed by the ContextCleaner with the result.
 
     Returns ``(stage, split, n_docs)`` — stages ``raw``/``quality``/
     ``blocklist``/``dedup`` with split ``'all'``, then ``final`` per
@@ -474,7 +477,7 @@ def curation_funnel(
         F.md5(norm).alias("_fp"),
         quality_keep(text).alias("_qk"),
         (quality_keep(text) & blocklist_keep(text)).alias("_sk"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     stages = (
         flags.agg(
             F.count(F.lit(1)).cast("long").alias("raw"),

@@ -67,17 +67,19 @@ def cosine_topk(
     it is a broadcast nested-loop doing |C|·|Q| cosine evaluations. The
     bound is enforced: more than ``max_queries`` query rows raises
     instead of silently degrading into a near-cartesian over the corpus
-    (use the LSH/IVF generators for large query sides). The guard count
-    is one cheap job over the (small, by contract) query side; the corpus
-    is never counted. Self-matches (same id) are excluded. Returns
+    (use the LSH/IVF generators for large query sides). The guard is a
+    CAPPED probe — ``limit(max_queries + 1).count()`` — so it scans at
+    most max_queries+1 query rows however expensive the query side's
+    lineage is (a full ``count()`` here would re-execute the entire query
+    subplan; the corpus is never touched). Self-matches (same id) are
+    excluded. Returns
     ``(q_id, n_id, rank)`` — ranks are deterministic: ties broken by
     neighbor id.
     """
-    n_q = queries.count()
-    if n_q > max_queries:
+    if queries.limit(max_queries + 1).count() > max_queries:
         raise ValueError(
-            f"cosine_topk is the exact small-query baseline: got {n_q} "
-            f"query vectors (> max_queries={max_queries}). Use lsh_topk "
+            "cosine_topk is the exact small-query baseline: more than "
+            f"max_queries={max_queries} query vectors. Use lsh_topk "
             "or the IVF path for corpus-sized query sides."
         )
     q = queries.select(

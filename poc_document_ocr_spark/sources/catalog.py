@@ -85,10 +85,10 @@ class Catalog:
             if d.startswith("bucket=")
         )
 
-    def compact(self, name: str, files_per_partition: int = 1) -> dict:
+    def compact(self, name: str) -> dict:
         """Small-file compaction: rewrite every leaf partition of a table
-        into ``files_per_partition`` files, content-identical (Iceberg
-        analog: ``rewrite_data_files`` / bin-pack maintenance).
+        into ONE file, content-identical (Iceberg analog:
+        ``rewrite_data_files`` / bin-pack maintenance).
 
         Why it exists: the incremental streaming sink lands one partition
         per ``(run_id, batch_id, bucket)`` — correct and replay-safe, but a
@@ -104,14 +104,27 @@ class Catalog:
         merge tasks, never split directories) — then the table flips to
         the new copy by rename. Iceberg analog: ``rewrite_data_files``
         commits a NEW snapshot and never mutates live files; the rename
-        pair is this adapter's snapshot flip (a crash leaves either the
-        old or the new complete table plus a leftover temp dir, never a
-        half-compacted mix). Returns ``{"files_before": n,
-        "files_after": m}``.
+        pair is this adapter's snapshot flip. Every crash window is
+        recoverable and recovery runs automatically on entry: a leftover
+        ``__compact_tmp`` (died mid-write) is discarded; a leftover
+        ``__compact_old`` WITH the table present (died before cleanup) is
+        discarded; ``__compact_old`` with the table ABSENT (died between
+        the two renames) is renamed back — so the table is never left
+        half-compacted or missing past the next call/read.
+        Returns ``{"files_before": n, "files_after": m}``.
         """
         import shutil
 
         path = self.path(name)
+        old = path.rstrip("/") + "__compact_old"
+        tmp = path.rstrip("/") + "__compact_tmp"
+        # crash recovery from a previous compaction attempt
+        if os.path.exists(old) and not os.path.exists(path):
+            os.rename(old, path)  # died between the two renames
+        if os.path.exists(old):
+            shutil.rmtree(old)  # died before cleanup; new table is live
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # died mid-write; tmp is incomplete
 
         def data_files(p: str) -> list[str]:
             out = []
@@ -131,13 +144,8 @@ class Catalog:
         for seg in os.path.relpath(probe, path).split(os.sep)[:-1]:
             if "=" in seg:
                 parts.append(seg.split("=", 1)[0])
-        tmp = path.rstrip("/") + "__compact_tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)  # stale leftover from a crashed compaction
         if parts:
-            n_parts = max(
-                df.select(*parts).distinct().count() * files_per_partition, 1
-            )
+            n_parts = max(df.select(*parts).distinct().count(), 1)
             (
                 df.repartition(n_parts, *[F.col(c) for c in parts])
                 .write.mode("overwrite")
@@ -145,10 +153,7 @@ class Catalog:
                 .parquet(tmp)
             )
         else:
-            df.coalesce(files_per_partition).write.mode("overwrite").parquet(
-                tmp
-            )
-        old = path.rstrip("/") + "__compact_old"
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

@@ -217,6 +217,23 @@ def consolidate_batch_sink(
     scope = catalog.read(extracted_table).filter(
         F.col("bucket").isin(*touched)
     )
+    # turn-grain first-wins dedup across runs (FR-019 transposed to the
+    # ingest layer): a later run started with a FRESH checkpoint re-lands
+    # the same turns under a new run_id — without this, the bucket re-fold
+    # would double-count every re-ingested turn (turn_count, provenance,
+    # multi-value concats all duplicate). The first (run_id, batch_id) to
+    # land a (conv_id, turn_idx) wins, deterministically at any
+    # parallelism; the window runs inside the pruned buckets only.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id", "turn_idx").orderBy(
+        "run_id", "batch_id"
+    )
+    scope = (
+        scope.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     records = consolidate_stage(
         scope.drop("run_id", "batch_id", "bucket"),
         long_doc_threshold=long_doc_threshold,

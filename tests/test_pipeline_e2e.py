@@ -350,3 +350,39 @@ def test_catalog_compaction_preserves_content_and_merges_files(
     p = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in p
     assert len(before) == 600
+
+
+def test_catalog_compaction_recovers_from_crash_windows(spark, tmp_path):
+    """Every compaction crash window self-heals on the next call: stale
+    tmp is discarded, stale old-with-live-table is discarded, and
+    old-without-live-table (died between the two renames) is restored."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from poc_document_ocr_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"),
+            F.pmod(F.col("id"), F.lit(2)).cast("int").alias("bucket"),
+        ).write.mode("append").partitionBy("bucket").parquet(cat.path("t"))
+    before = sorted(r["id"] for r in cat.read("t").collect())
+
+    # window 1: died between the renames — table gone, old present
+    path = cat.path("t")
+    os.rename(path, path + "__compact_old")
+    stats = cat.compact("t")  # must restore then compact
+    assert sorted(r["id"] for r in cat.read("t").collect()) == before
+    assert stats["files_after"] == 2
+    assert not os.path.exists(path + "__compact_old")
+
+    # window 2: died before cleanup — both table and old present
+    shutil.copytree(path, path + "__compact_old")
+    os.makedirs(path + "__compact_tmp")
+    cat.compact("t")
+    assert sorted(r["id"] for r in cat.read("t").collect()) == before
+    assert not os.path.exists(path + "__compact_old")
+    assert not os.path.exists(path + "__compact_tmp")

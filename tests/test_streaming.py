@@ -438,3 +438,36 @@ def test_consolidate_sink_crash_mid_batch_then_replay_converges(
     expect = consolidate_stage(batch)
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_consolidate_sink_reingest_under_new_run_id_does_not_double_count(
+    spark, tmp_path
+):
+    """Review finding: a job restarted with a FRESH checkpoint re-lands the
+    same turns under a new run_id; the bucket re-fold must first-wins dedup
+    at turn grain or every re-ingested turn double-counts in the records."""
+    from poc_document_ocr_spark.operators.extraction import extract_turns
+    from poc_document_ocr_spark.plans.pipeline import consolidate_stage
+    from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+    from poc_document_ocr_spark.sources.catalog import Catalog
+    from poc_document_ocr_spark.sources.datagen import generate
+    from poc_document_ocr_spark.streaming.ingest import (
+        consolidate_batch_sink,
+    )
+
+    data = generate(n_convs=6, median_turns=5, seed=3, skew=False)
+    turns = spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+    batch = extract_turns(turns).localCheckpoint()
+    cat = Catalog(spark, str(tmp_path / "wh"))
+
+    consolidate_batch_sink(cat, batch, 0, "ex", "rec", "runA", buckets=4)
+    # fresh checkpoint: batch numbering restarts, same input, new run id
+    consolidate_batch_sink(cat, batch, 0, "ex", "rec", "runB", buckets=4)
+
+    # both copies are retained in the extracted table (lineage)...
+    assert cat.read("ex").count() == 2 * batch.count()
+    # ...but the records fold counts each turn exactly once
+    got = cat.read("rec").drop("bucket")
+    expect = consolidate_stage(batch)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0

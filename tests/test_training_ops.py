@@ -1401,3 +1401,39 @@ def test_apply_mixture_downsamples_only_overrepresented(spark):
     assert {k: v["n_docs_kept"] for k, v in out.items()} == {
         k: v["n_docs_kept"] for k, v in out2.items()
     }
+
+
+def test_cosine_topk_large_query_side_raises_with_capped_probe(spark):
+    """The small-query contract raises past max_queries, and the guard is
+    a capped probe (limit(max+1)) — it must not re-execute the full query
+    lineage just to count it."""
+    rows = [(i, [1.0, float(i)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(df, df, k=2, max_queries=10)
+    # at the bound it still runs
+    out = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=2,
+                      max_queries=3).collect()
+    assert len(out) == 6
+
+
+def test_lock_checkout_malformed_hold_denies_not_null(spark):
+    """A lock row with a holder but a NULL timestamp must DENY a stranger's
+    checkout with granted=false — not propagate NULL through the staleness
+    arithmetic (review finding: boolean consumers filtering granted=false
+    would silently miss the row)."""
+    from poc_document_ocr_spark.operators.review import resolve_lock_requests
+
+    locks = spark.createDataFrame(
+        [("d1", "other@x", None, None, None)],
+        "doc_key string, checked_out_by string, checked_out_at long, "
+        "last_checked_in_by string, last_checked_in_at long",
+    )
+    requests = spark.createDataFrame(
+        [("d1", 1, "me@x", "checkout", 1000)],
+        "doc_key string, seq int, reviewer string, action string, "
+        "req_ts long",
+    )
+    r = resolve_lock_requests(locks, requests).collect()[0]
+    assert r["granted"] is False and r["reason"] == "held"
+    assert r["held_by"] == "other@x"
