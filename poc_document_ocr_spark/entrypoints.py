@@ -1460,6 +1460,56 @@ GROUP BY conv_id
 """)
 
 
+def q_turn_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-turn latency profile: exact p50/p90/p99 of the seconds
+    between consecutive turns, grouped by the RESPONDING role — the
+    agent-telemetry number (how long do assistant/tool turns take to
+    arrive) a transcript-quality pass thresholds on. One lag window under
+    the conversation partitioning feeding the skew-safe histogram
+    quantile operator (dominant role ≈ dominant language: the two-pass
+    histogram shape is what keeps p99-of-assistant from funneling through
+    one task at corpus scale)."""
+    from pyspark.sql import Window as W
+
+    from .operators.sampling import group_quantiles
+
+    t = spark_transcripts(spark, sf_dir)
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    delta = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    lat = t.select("role", delta.alias("delta_s")).filter(
+        F.col("delta_s").isNotNull()
+    )
+    return group_quantiles(
+        lat, group_col="role", value_col="delta_s", qs=(0.5, 0.9, 0.99)
+    )
+
+
+# ts is Spark-side (epoch = doc_id·60 + 1704067200, sources/derive.py);
+# the oracle recomputes the same epoch directly from doc_id — pure BIGINT.
+_O_TURN_LATENCY = oracle_cte("""
+SELECT r.role, CAST(t.q AS INT) AS q, CAST(r.v AS BIGINT) AS value
+FROM (
+  SELECT role, v,
+         row_number() OVER (PARTITION BY role ORDER BY v) - 1 AS rn
+  FROM (SELECT role,
+          doc_id * 60 + 1704067200
+            - lag(doc_id * 60 + 1704067200) OVER
+                (PARTITION BY conv_id ORDER BY turn_idx) AS v
+        FROM t) d
+  WHERE v IS NOT NULL) r
+JOIN (
+  SELECT role, u.q AS q, CAST(floor(u.qf * (n - 1)) AS BIGINT) AS idx
+  FROM (SELECT role, count(*) AS n
+        FROM (SELECT role,
+                lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                  AS p
+              FROM t) z
+        WHERE p IS NOT NULL GROUP BY role) c,
+       (VALUES (500, 0.5), (900, 0.9), (990, 0.99)) AS u(q, qf)
+) t ON r.role = t.role AND r.rn = t.idx
+""")
+
+
 def q_session_size_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-size distribution: exact discrete quantiles (p50/p90/p99)
     of events-per-session over the gap-sessionized log — the composition
@@ -3796,6 +3846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_apply": q_mix_apply,
     "lock_checkout": q_lock_checkout,
     "streaming_consolidate": q_streaming_consolidate,
+    "turn_latency": q_turn_latency,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
@@ -3962,6 +4013,7 @@ ORACLES: dict[str, str] = {
     "emb_quant": _O_EMB_QUANT,
     "turn_transitions": _O_TURN_TRANSITIONS,
     "turn_lint": _O_TURN_LINT,
+    "turn_latency": _O_TURN_LATENCY,
     "ann_topk": _O_ANN_TOPK,
     "ann_lsh": _O_ANN_LSH,
     "ann_recall": _O_ANN_RECALL,
