@@ -1135,6 +1135,32 @@ def test_kmeans_lloyd_recovers_clusters_and_is_partitioning_invariant(
     }
 
 
+def test_kmeans_arrow_assignment_equals_unrolled(spark, monkeypatch):
+    """The large-k Arrow matmul path must produce the EXACT (cell, dist)
+    the unrolled-literal path produces — same int64 arithmetic, same
+    lowest-index tie-break — so the formulation switch can never change
+    a k-means result."""
+    import poc_document_ocr_spark.operators.similarity as S
+
+    rows = [
+        (i, [((i * 37 + d * 11) % 101) / 50.0 - 1.0 for d in range(16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    unrolled = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in S.kmeans_lloyd(df, k=5, iters=2).collect()
+    }
+    monkeypatch.setattr(S, "_UNROLL_MAX_TERMS", 0)
+    arrow = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in S.kmeans_lloyd(df, k=5, iters=2).collect()
+    }
+    assert unrolled == arrow
+    assert len({c for c, _ in unrolled.values()}) > 1
+
+
 def test_kmeans_lloyd_empty_cell_keeps_seed(spark):
     from poc_document_ocr_spark.operators.similarity import kmeans_lloyd
 
