@@ -3835,7 +3835,151 @@ GROUP BY 1, 2
 # recorded lead here; the extraction/consolidate/streaming core — already
 # driver-green in rounds 1-3 AND pinned by the pytest e2e suite — sits in
 # the tail.
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example construction: each assistant turn packed with its
+    preceding 3 turns as `role: text` context lines — the supervised
+    fine-tuning example shape, built with one bounded-frame window under
+    the conversation partitioning (state O(k) per row regardless of
+    conversation length)."""
+    from .operators.examples import sft_pack_examples
+
+    return sft_pack_examples(spark_transcripts(spark, sf_dir))
+
+
+_O_SFT_EXAMPLES = oracle_cte("""
+SELECT conv_id, turn_idx,
+  CAST(n_context_turns AS BIGINT) AS n_context_turns,
+  CAST(length(context_text) AS BIGINT) AS context_chars,
+  CAST(length(text) AS BIGINT) AS target_chars,
+  context_text
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+    count(*) OVER w AS n_context_turns,
+    string_agg(role || ': ' || text, chr(10)) OVER w AS context_text
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+) x
+WHERE role = 'assistant' AND n_context_turns > 0
+""")
+
+
+def q_extractiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Response copy-ratio: fraction of each assistant turn's distinct
+    tokens already present in the preceding turn — the extractiveness /
+    echo-response signal. One lag window + map-only array arithmetic;
+    the ratio is one division of exact BIGINTs."""
+    from .operators.examples import extractiveness
+
+    return extractiveness(spark_transcripts(spark, sf_dir))
+
+
+_O_EXTRACTIVENESS = oracle_cte("""
+, tok AS (
+  SELECT conv_id, turn_idx, role,
+         unnest(list_distinct(string_split_regex(lower(text),
+                '[^a-z0-9]+'))) AS w
+  FROM t
+),
+tok2 AS (SELECT * FROM tok WHERE w <> ''),
+base AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(list_distinct(string_split_regex(lower(text),
+         '[^a-z0-9]+')), x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM t WHERE role = 'assistant' AND turn_idx > 1
+),
+shared AS (
+  SELECT c.conv_id, c.turn_idx, CAST(count(*) AS BIGINT) AS n_shared
+  FROM (SELECT * FROM tok2 WHERE role = 'assistant' AND turn_idx > 1) c
+  JOIN tok2 p
+    ON p.conv_id = c.conv_id AND p.turn_idx = c.turn_idx - 1
+   AND p.w = c.w
+  GROUP BY 1, 2
+)
+SELECT b.conv_id, b.turn_idx, b.n_tokens,
+  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+  CASE WHEN b.n_tokens > 0
+       THEN CAST(coalesce(s.n_shared, 0) AS DOUBLE) / b.n_tokens
+  END AS copy_ratio
+FROM base b LEFT JOIN shared s
+  ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
+""")
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fit, one merge round: top-20 adjacent character pairs
+    by corpus frequency (Sennrich BPE). The explode runs over the
+    vocabulary, never the corpus — the corpus collapses to word
+    frequencies first."""
+    from .operators.textstats import bpe_merge_candidates
+
+    return bpe_merge_candidates(_docs(spark, sf_dir))
+
+
+_O_BPE_MERGES = """
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents) x
+  WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, n
+  FROM (SELECT w, n, unnest(range(1, length(w))) AS i FROM wf) y
+),
+counts AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT merge_rank, pair, n_occurrences FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair)
+         AS INT) AS merge_rank, pair, n_occurrences
+  FROM counts) z
+WHERE merge_rank <= 20
+"""
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection weights: hashed-unigram bucket counts
+    for the target domain (source = src0) vs the raw corpus, summed per
+    document — the importance-resampling score for domain-targeted
+    mixes. The 256-row bucket model is a broadcast-class artifact; the
+    corpus aggregates under one doc-grain shuffle."""
+    from .operators.textstats import dsir_affinity
+
+    return dsir_affinity(_docs(spark, sf_dir), F.col("source") == "src0")
+
+
+_O_DSIR_WEIGHTS = """
+WITH g AS (
+  SELECT doc_id, is_t, substr(md5(w), 1, 2) AS b FROM (
+    SELECT doc_id, source = 'src0' AS is_t,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents) x
+  WHERE length(w) >= 2
+),
+model AS (
+  SELECT b,
+    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+    CAST(count(*) AS BIGINT) AS n_raw
+  FROM g GROUP BY b
+)
+SELECT g.doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(m.n_target) AS BIGINT) AS sum_target,
+  CAST(sum(m.n_raw) AS BIGINT) AS sum_raw,
+  CAST(sum(m.n_target) AS DOUBLE) / sum(m.n_raw) AS affinity
+FROM g JOIN model m ON g.b = m.b
+GROUP BY g.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 4, session 2 ---
+    "sft_examples": q_sft_examples,
+    "extractiveness": q_extractiveness,
+    "bpe_merges": q_bpe_merges,
+    "dsir_weights": q_dsir_weights,
     # --- new in round 4 ---
     "streaming_flush": q_streaming_flush,
     "semantic_dedup": q_semantic_dedup,
@@ -3933,6 +4077,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "sft_examples": _O_SFT_EXAMPLES,
+    "extractiveness": _O_EXTRACTIVENESS,
+    "bpe_merges": _O_BPE_MERGES,
+    "dsir_weights": _O_DSIR_WEIGHTS,
     "extract_plain": _O_EXTRACT_PLAIN,
     "extract_html": _O_EXTRACT_HTML,
     "extract_layout": _O_EXTRACT_LAYOUT,

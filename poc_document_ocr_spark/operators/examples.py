@@ -1,0 +1,127 @@
+"""Training-example construction over transcripts: SFT context packing
+and response-extractiveness scoring.
+
+Both operators consume the north-rule transcript shape
+``(conv_id, turn_idx, role, text, ...)`` and run under the SAME
+conversation partitioning the extraction pipeline already shuffles on —
+composing them after extraction adds zero Exchanges.
+
+Reference analog: the reference assembles page-ordered document payloads
+for review (``DocumentAggregatorService.cs:26-76``); here the same
+ordered-window machinery assembles turn-ordered *training context* —
+the supervised-fine-tuning example shape (context turns → assistant
+target) every post-training pipeline emits.
+
+Scale notes (10¹² turns):
+* ``sft_pack_examples`` — one window under partitionBy(conv_id); the
+  context frame is BOUNDED (``context_turns`` preceding rows), so state
+  per row is O(k·turn_len) regardless of conversation length — the same
+  bounded-buffer argument as the consolidation fold's long-conversation
+  guard.
+* ``extractiveness`` — one ``lag`` window + map-only array arithmetic;
+  the token sets live per-row, never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["sft_pack_examples", "extractiveness"]
+
+#: token pattern shared by extractiveness and its oracle: lowercase
+#: alphanumeric runs (dialect-neutral regex)
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def sft_pack_examples(
+    t: DataFrame, context_turns: int = 3, target_role: str = "assistant"
+) -> DataFrame:
+    """Pack each ``target_role`` turn into a supervised training example:
+    the previous ``context_turns`` turns rendered as ``role: text`` lines
+    become the context, the turn's own text the target.
+
+    One bounded-frame window (ROWS BETWEEN k PRECEDING AND 1 PRECEDING)
+    ordered by ``turn_idx`` — the frame order makes the collected list
+    deterministic, and the bound keeps per-row state O(k) however long
+    the conversation runs.
+
+    Returns ``(conv_id, turn_idx, n_context_turns, context_chars,
+    target_chars, context_text)``.
+    """
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-context_turns, -1)
+    )
+    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    ctx = F.concat_ws("\n", F.collect_list(line).over(w))
+    n_ctx = F.count(F.lit(1)).over(w).cast("long")
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            n_ctx.alias("n_context_turns"),
+            ctx.alias("context_text"),
+        )
+        .filter((F.col("role") == target_role) & (F.col("n_context_turns") > 0))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_context_turns",
+            F.length("context_text").cast("long").alias("context_chars"),
+            F.length("text").cast("long").alias("target_chars"),
+            "context_text",
+        )
+    )
+
+
+def extractiveness(t: DataFrame, target_role: str = "assistant") -> DataFrame:
+    """Response copy-ratio: what fraction of a ``target_role`` turn's
+    distinct tokens already appear in the immediately preceding turn —
+    high values flag extractive/echo responses a curation pass
+    down-weights (the abstractive-vs-extractive axis of summarization
+    quality, cf. Grusky et al. NEWSROOM 1804.11283's coverage metric).
+
+    One ``lag`` window carries the previous turn's text; token sets are
+    per-row ``array_distinct`` over a shared dialect-neutral split, the
+    overlap a map-only ``array_intersect``. Counts are BIGINT; the ratio
+    is ONE division of exact integers (IEEE-identical cross-engine).
+
+    Returns ``(conv_id, turn_idx, n_tokens, n_shared, copy_ratio)`` for
+    ``target_role`` turns that have a preceding turn.
+    """
+    toks = lambda c: F.array_remove(
+        F.array_distinct(F.split(F.lower(c), TOKEN_SPLIT)), ""
+    )
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    cur = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        toks(F.col("text")).alias("cur_toks"),
+        F.lag(F.col("text")).over(w).alias("prev_text"),
+    )
+    return (
+        cur.filter(
+            (F.col("role") == target_role) & F.col("prev_text").isNotNull()
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.size("cur_toks").cast("long").alias("n_tokens"),
+            F.size(
+                F.array_intersect("cur_toks", toks(F.col("prev_text")))
+            ).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "copy_ratio",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_shared").cast("double") / F.col("n_tokens"),
+            ),
+        )
+    )

@@ -36,6 +36,8 @@ __all__ = [
     "blocklist_hits",
     "zipf_stats",
     "bigram_familiarity",
+    "bpe_merge_candidates",
+    "dsir_affinity",
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
     "BLOCKLIST",
@@ -845,5 +847,115 @@ def bigram_familiarity(
             lang_col,
             "n_bigrams",
             F.expr("_num div n_bigrams").alias("familiarity_ppm"),
+        )
+    )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    top_n: int = 20,
+    text_col: str = "text",
+    min_word_len: int = 2,
+) -> DataFrame:
+    """One round of BPE merge learning: rank adjacent character pairs by
+    corpus frequency — the pair the tokenizer-fit loop would merge next
+    (Sennrich et al. 1508.07909 §3.1, run over word-frequency counts
+    exactly as the reference algorithm prescribes).
+
+    Two-stage shape that keeps the expensive explode off the corpus
+    grain: the corpus collapses to VOCABULARY-sized word frequencies
+    first (one shuffle with map-side combine), then character pairs
+    explode per DISTINCT word — at 100 TB the pair stage's input is the
+    vocabulary (millions of rows), not the corpus (trillions of words).
+
+    Returns ``(merge_rank, pair, n_occurrences)`` — top ``top_n`` by
+    (count DESC, pair ASC), deterministic.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= min_word_len)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("n").alias("n_occurrences")
+    )
+    return (
+        counts.withColumn(
+            "merge_rank",
+            F.expr(
+                "row_number() OVER (ORDER BY n_occurrences DESC, pair)"
+            ).cast("int"),
+        )
+        .filter(F.col("merge_rank") <= top_n)
+        .select("merge_rank", "pair", "n_occurrences")
+    )
+
+
+def dsir_affinity(
+    docs: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_chars: int = 2,
+) -> DataFrame:
+    """Data-selection affinity weights via hashed unigram features — the
+    DSIR recipe (Xie et al. 2302.03169): featurize every document into
+    hashed n-gram buckets, model the TARGET domain and the RAW corpus as
+    bucket-count distributions, and score each document by how target-
+    like its buckets are. Scores feed importance resampling for
+    domain-targeted pretraining mixes.
+
+    Integer-exact variant for the cross-engine gate: per-document output
+    is the exact BIGINT sums of target / raw bucket counts over the
+    document's token occurrences, and ``affinity`` is ONE division of
+    those integers (IEEE-identical in any engine) — a monotone proxy of
+    the paper's log-likelihood-ratio for fixed document length. The
+    bucket key is the first ``bucket_chars`` hex chars of md5(token) —
+    the same engine-neutral hashing trick the hash-split carve uses
+    (:func:`~poc_document_ocr_spark.operators.sampling.hash_split`).
+
+    Scale: the bucket model is BOUNDED (16^bucket_chars rows — 256 at
+    the default), i.e. a legitimate broadcast-class model artifact like
+    the bigram LM; the corpus side aggregates per document under one
+    doc-grain shuffle with map-side combine. Never a corpus-cardinality
+    broadcast.
+
+    Returns ``(id, n_grams, sum_target, sum_raw, affinity)``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+        ).alias("w"),
+    ).filter(F.length("w") >= 2)
+    grams = toks.select(
+        id_col, "_is_target", F.substring(F.md5("w"), 1, bucket_chars).alias("b")
+    )
+    model = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_target"),
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+    )
+    return (
+        grams.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("n_target").cast("long").alias("sum_target"),
+            F.sum("n_raw").cast("long").alias("sum_raw"),
+        )
+        .withColumn(
+            "affinity",
+            F.col("sum_target").cast("double") / F.col("sum_raw"),
         )
     )

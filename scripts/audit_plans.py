@@ -577,6 +577,48 @@ def audit(spark, sf_dir: str):
         "Union present; no cartesian/hint",
     )
 
+    # sft_examples / extractiveness: ONE Exchange — the bounded context
+    # window (resp. the lag window) runs under hash(conv_id) and nothing
+    # downstream regroups; all token/array arithmetic is map-only
+    for qname in ("sft_examples", "extractiveness"):
+        q = ep.QUERIES[qname](spark, sf_dir)
+        p = plan_of(q)
+        n_ex = len(re.findall(r"\bExchange\b", p))
+        check(
+            f"{qname}: ONE shuffle (conv window), no Python eval",
+            n_ex == 1 and "EvalPython" not in p,
+            f"Exchange nodes = {n_ex}",
+        )
+    # bpe_merges: the pair explode must run on the VOCABULARY grain, not
+    # the corpus — i.e. an aggregate sits between the two Generate
+    # (explode) nodes: corpus→words explode, groupBy(w), THEN pairs
+    # explode per distinct word. Plan text is root-first, so the order is
+    # Generate(pairs) … HashAggregate(w) … Generate(words).
+    bm = ep.QUERIES["bpe_merges"](spark, sf_dir)
+    p = plan_of(bm)
+    gens = [m.start() for m in re.finditer(r"\bGenerate\b", p)]
+    aggs = [m.start() for m in re.finditer(r"\bHashAggregate\b", p)]
+    vocab_grain = (
+        len(gens) == 2 and any(gens[0] < a < gens[1] for a in aggs)
+    )
+    check(
+        "bpe_merges: pair explode on the vocabulary grain (aggregate"
+        " between the two explodes)",
+        vocab_grain,
+        f"Generate positions = {len(gens)}, agg-between = {vocab_grain}",
+    )
+    # dsir_weights: the 16^2-row bucket model is a bounded MODEL artifact
+    # → BroadcastHashJoin on the bucket key; the doc-grain sum carries
+    # map-side partial aggregation
+    dw = ep.QUERIES["dsir_weights"](spark, sf_dir)
+    p = plan_of(dw)
+    check(
+        "dsir_weights: bounded bucket model broadcast; doc-grain agg has"
+        " map-side partials",
+        bool(re.search(r"BroadcastHashJoin \[b", p)) and "partial_sum" in p,
+        next((l.strip()[:90] for l in p.splitlines() if "Join" in l), "?"),
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
