@@ -3974,8 +3974,220 @@ GROUP BY g.doc_id
 """
 
 
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source for n=1..3 — the template-spam /
+    Self-BLEU-family corpus-health profile. One corpus pass; the exact
+    distinct count shuffles on (source, n, gram) with map-side partials,
+    so a dominant source spreads by gram."""
+    from .operators.textstats import ngram_diversity
+
+    return ngram_diversity(_docs(spark, sf_dir))
+
+
+_O_NGRAM_DIVERSITY = """
+WITH toks AS (
+  SELECT source, list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
+         ) AS tk
+  FROM documents
+),
+grams AS (
+  SELECT source, n,
+    unnest(list_transform(range(1, len(tk) - n + 2),
+      i -> array_to_string(list_slice(tk, CAST(i AS INT),
+                                      CAST(i AS INT) + n - 1), ' '))
+    ) AS gram
+  FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) ns
+)
+SELECT source AS grp, CAST(n AS INT) AS n,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+  CAST((count(DISTINCT gram) * 1000000) // count(*) AS BIGINT)
+    AS diversity_ppm
+FROM grams GROUP BY 1, 2
+"""
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve over doc_id order in 10
+    buckets — cumulative distinct terms vs cumulative token occurrences,
+    the crawl-saturation signal. Terms bucket at their FIRST occurrence
+    (min doc_id, map-side combinable); cumulative sums run over the
+    10-row result only."""
+    from .operators.textstats import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir))
+
+
+_O_HEAPS_LAW = """
+WITH words AS (
+  SELECT doc_id AS _id,
+    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS w
+  FROM documents
+),
+mx AS (SELECT max(doc_id) AS m FROM documents),
+tokb AS (
+  SELECT CAST((_id * 10) // (m + 1) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM words, mx GROUP BY 1
+),
+firsts AS (SELECT w, min(_id) AS _id FROM words GROUP BY 1),
+newb AS (
+  SELECT CAST((_id * 10) // (m + 1) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_new_terms
+  FROM firsts, mx GROUP BY 1
+),
+j AS (
+  SELECT bucket,
+    CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+    CAST(coalesce(n_new_terms, 0) AS BIGINT) AS n_new_terms
+  FROM tokb FULL JOIN newb USING (bucket)
+)
+SELECT bucket, n_tokens, n_new_terms,
+  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+  CAST(sum(n_new_terms) OVER (ORDER BY bucket) AS BIGINT) AS cum_terms
+FROM j
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and chars per token, from exact BIGINT sums — the tokenizer-
+    equity report. Map-only per-doc counts, one bounded groupBy(lang)."""
+    from .operators.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def _o_tokenizer_fertility() -> str:
+    from .operators.textstats import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""
+WITH s AS (
+  SELECT lang,
+    len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws,
+    len(regexp_extract_all(text, '{pat}')) AS bpe,
+    length(text) AS ch
+  FROM documents
+)
+SELECT lang AS grp,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS n_words,
+  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(ch) AS BIGINT) AS n_chars,
+  CAST(CASE WHEN sum(ws) > 0
+       THEN (sum(bpe) * 100) // sum(ws) END AS BIGINT) AS fertility_cpct,
+  CAST(CASE WHEN sum(bpe) > 0
+       THEN (sum(ch) * 100) // sum(bpe) END AS BIGINT)
+    AS chars_per_token_cpct
+FROM s GROUP BY lang
+"""
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release-risk profile over the (source, lang,
+    length-band) quasi-identifier: documents in QI-groups too small to
+    hide in. Two map-side-combinable aggregations."""
+    from .operators.sampling import k_anonymity
+
+    return k_anonymity(_docs(spark, sf_dir))
+
+
+_O_K_ANONYMITY = """
+WITH g AS (
+  SELECT source, lang, n_chars // 256 AS band,
+         CAST(count(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN k = 1 THEN 'unique' WHEN k < 5 THEN 'rare'
+            WHEN k < 10 THEN 'small' ELSE 'anonymous' END AS risk_band,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(k) AS BIGINT) AS n_docs
+FROM g GROUP BY 1
+"""
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with exact round-robin source interleaving:
+    per-source easiest-first rank via the skew-safe value-histogram
+    shape, global position CLOSED-FORM from broadcast per-source totals
+    — no global sort, no per-source full sort. curriculum_pos is a
+    permutation of 1..N."""
+    from .operators.sampling import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir))
+
+
+_O_CURRICULUM = """
+WITH below AS (
+  SELECT source, n_chars AS v,
+    CAST(coalesce(sum(count(*)) OVER (
+      PARTITION BY source ORDER BY n_chars
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS below
+  FROM documents GROUP BY source, n_chars
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+    CAST(b.below + row_number() OVER (
+      PARTITION BY d.source, d.n_chars ORDER BY d.doc_id) AS BIGINT)
+      AS src_rank
+  FROM documents d
+  JOIN below b ON b.source = d.source AND b.v = d.n_chars
+),
+cnts AS (SELECT source AS cs, CAST(count(*) AS BIGINT) AS cn
+         FROM documents GROUP BY 1)
+SELECT r.doc_id, r.source, r.src_rank,
+  CAST(1 + sum(least(c.cn, r.src_rank - 1)
+    + CASE WHEN c.cs < r.source AND c.cn >= r.src_rank
+           THEN 1 ELSE 0 END) AS BIGINT) AS curriculum_pos
+FROM ranked r CROSS JOIN cnts c
+GROUP BY r.doc_id, r.source, r.src_rank
+"""
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n / rejection-sampling selection: per conversation, the
+    assistant turn maximizing the lexicographic (distinct-token count,
+    char length, earliest-turn) reward proxy — ONE max(struct) aggregate,
+    map-side combinable, no window."""
+    from .operators.examples import best_of_n
+
+    return best_of_n(spark_transcripts(spark, sf_dir))
+
+
+_O_BEST_OF_N = oracle_cte("""
+, cand AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(list_distinct(
+      string_split_regex(lower(text), '[^a-z0-9]+')), x -> x <> ''))
+      AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM t WHERE role = 'assistant'
+),
+r AS (
+  SELECT conv_id, turn_idx, n_tok, n_chars,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY n_tok DESC, n_chars DESC, turn_idx) AS rn,
+    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_candidates
+  FROM cand
+)
+SELECT conv_id, n_candidates, CAST(turn_idx AS INT) AS turn_idx,
+  n_tok AS reward_tokens, n_chars AS target_chars
+FROM r WHERE rn = 1
+""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
+    "ngram_diversity": q_ngram_diversity,
+    "heaps_law": q_heaps_law,
+    "tokenizer_fertility": q_tokenizer_fertility,
+    "k_anonymity": q_k_anonymity,
+    "curriculum": q_curriculum,
+    "best_of_n": q_best_of_n,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
     "bpe_merges": q_bpe_merges,
@@ -4077,6 +4289,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "ngram_diversity": _O_NGRAM_DIVERSITY,
+    "heaps_law": _O_HEAPS_LAW,
+    "tokenizer_fertility": _o_tokenizer_fertility(),
+    "k_anonymity": _O_K_ANONYMITY,
+    "curriculum": _O_CURRICULUM,
+    "best_of_n": _O_BEST_OF_N,
     "sft_examples": _O_SFT_EXAMPLES,
     "extractiveness": _O_EXTRACTIVENESS,
     "bpe_merges": _O_BPE_MERGES,

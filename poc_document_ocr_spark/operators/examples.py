@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["sft_pack_examples", "extractiveness"]
+__all__ = ["sft_pack_examples", "extractiveness", "best_of_n"]
 
 #: token pattern shared by extractiveness and its oracle: lowercase
 #: alphanumeric runs (dialect-neutral regex)
@@ -123,5 +123,50 @@ def extractiveness(t: DataFrame, target_role: str = "assistant") -> DataFrame:
                 F.col("n_tokens") > 0,
                 F.col("n_shared").cast("double") / F.col("n_tokens"),
             ),
+        )
+    )
+
+
+def best_of_n(t: DataFrame, target_role: str = "assistant") -> DataFrame:
+    """Best-of-n selection: per conversation, pick the single
+    ``target_role`` turn that maximizes a deterministic reward proxy —
+    the rejection-sampling shape every RLHF-ish pipeline runs over
+    sampled candidates (best-of-n / rejection sampling, Stiennon et al.
+    2009.01325 §3; here the candidates are the conversation's own
+    assistant turns and the reward is lexicographic
+    (distinct-token count, char length, earliest turn)).
+
+    NO window: the winner is one ``max(struct(reward…, payload…))``
+    aggregate — map-side combinable, so a million-turn conversation
+    partially reduces inside every scan task before the single shuffle
+    on conv_id. The reward keys precede the payload fields in the struct
+    and ``turn_idx`` is unique per conversation, so comparison never
+    reaches the payload.
+
+    Returns ``(conv_id, n_candidates, turn_idx, reward_tokens,
+    target_chars)``.
+    """
+    toks = F.array_remove(
+        F.array_distinct(F.split(F.lower(F.col("text")), TOKEN_SPLIT)), ""
+    )
+    cand = t.filter(F.col("role") == target_role).select(
+        "conv_id",
+        F.size(toks).cast("long").alias("_r_tok"),
+        F.length("text").cast("long").alias("_r_chars"),
+        (-F.col("turn_idx")).cast("long").alias("_r_turn"),
+        F.col("turn_idx").cast("int").alias("_turn_idx"),
+    )
+    best = F.max(
+        F.struct("_r_tok", "_r_chars", "_r_turn", "_turn_idx")
+    ).alias("_best")
+    return (
+        cand.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"), best)
+        .select(
+            "conv_id",
+            "n_candidates",
+            F.col("_best._turn_idx").alias("turn_idx"),
+            F.col("_best._r_tok").alias("reward_tokens"),
+            F.col("_best._r_chars").alias("target_chars"),
         )
     )

@@ -37,6 +37,8 @@ __all__ = [
     "apply_mixture",
     "curation_funnel",
     "length_trim",
+    "k_anonymity",
+    "curriculum_order",
 ]
 
 #: width of the hex prefix compared against split thresholds (8 hex chars
@@ -562,5 +564,130 @@ def length_trim(
             "keep",
             (F.col("value") >= F.col("lo_v"))
             & (F.col("value") <= F.col("hi_v")),
+        )
+    )
+
+
+def k_anonymity(
+    docs: DataFrame,
+    qi_cols: tuple[str, ...] = ("source", "lang"),
+    band_width: int = 256,
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """k-anonymity risk profile over quasi-identifier combinations: how
+    many documents sit in QI-groups too small to hide in (Sweeney 2002's
+    k-anonymity, applied as a release-risk report for training corpora —
+    a doc whose (source, lang, length-band) combination is unique is
+    re-identifiable from metadata alone even with the text redacted).
+
+    The QI is the given columns plus an integer length band
+    (``len DIV band_width``). Two aggregations, both map-side
+    combinable: QI-grain sizes, then a 4-row risk-band rollup
+    (``unique`` k=1, ``rare`` k<5, ``small`` k<10, ``anonymous``).
+
+    Returns ``(risk_band, n_groups, n_docs)``.
+    """
+    qi = [F.col(c) for c in qi_cols] + [
+        F.expr(f"{len_col} DIV {band_width}").alias("_band")
+    ]
+    groups = docs.groupBy(*qi).agg(
+        F.count(F.lit(1)).cast("long").alias("_k")
+    )
+    band = (
+        F.when(F.col("_k") == 1, "unique")
+        .when(F.col("_k") < 5, "rare")
+        .when(F.col("_k") < 10, "small")
+        .otherwise("anonymous")
+    )
+    return (
+        groups.groupBy(band.alias("risk_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("_k").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def curriculum_order(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Curriculum ordering with exact source interleaving — each source's
+    documents ranked easiest-first (ascending ``value_col``, doc-id
+    tie-break), then the per-source streams interleaved round-robin into
+    ONE global training order (curriculum learning, Bengio et al. 2009;
+    interleaving prevents the order from front-loading a single source).
+
+    The whole point of this formulation is that the EXACT global position
+    is computed with no global sort and no per-source full sort — the two
+    shapes that funnel a 100 TB corpus through single tasks:
+
+    * per-source rank rides the skew-safe value-HISTOGRAM shape of
+      :func:`group_quantiles` (round-3 fix): cumulative counts run over
+      the bounded distinct-value domain, and the only row-grain window
+      partitions by (source, value) — tie groups, not sources.
+    * the interleave position is CLOSED-FORM given the per-source totals:
+      ``pos(r, s) = Σ_{s'} min(cnt_{s'}, r−1) + |{s' < s : cnt_{s'} ≥ r}|
+      + 1`` — the totals are a bounded model artifact (one row per
+      source) carried as a one-row broadcast array and folded map-side.
+
+    Returns ``(id, source, src_rank, curriculum_pos)`` where
+    ``curriculum_pos`` is a permutation of 1..N (pinned by a unit test).
+    """
+    v = F.col(value_col).cast("long")
+    hist = docs.groupBy(
+        F.col(source_col).alias("_s"), v.alias("_v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    wb = (
+        W.partitionBy("_s").orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    below = hist.select(
+        "_s", "_v",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_below"),
+    )
+    wt = W.partitionBy(source_col, value_col).orderBy(id_col)
+    ranked = (
+        docs.select(id_col, source_col, value_col)
+        .join(
+            below,
+            (F.col(source_col) == F.col("_s")) & (v == F.col("_v")),
+        )
+        .select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            (F.col("_below") + F.row_number().over(wt))
+            .cast("long")
+            .alias("src_rank"),
+        )
+    )
+    cnts = docs.groupBy(F.col(source_col).alias("_cs")).agg(
+        F.count(F.lit(1)).cast("long").alias("_cn")
+    )
+    cnt_row = cnts.agg(
+        F.sort_array(
+            F.collect_list(F.struct("_cs", "_cn"))
+        ).alias("_cnts")
+    )
+    r1 = F.col("src_rank") - 1
+    pos = F.aggregate(
+        "_cnts",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.least(x["_cn"], r1)
+        + F.when(
+            (x["_cs"] < F.col("source")) & (x["_cn"] >= F.col("src_rank")),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cnt_row))
+        .select(
+            id_col,
+            "source",
+            "src_rank",
+            (pos + 1).cast("long").alias("curriculum_pos"),
         )
     )

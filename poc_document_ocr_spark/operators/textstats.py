@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 __all__ = [
     "STOPWORDS",
@@ -38,6 +39,9 @@ __all__ = [
     "bigram_familiarity",
     "bpe_merge_candidates",
     "dsir_affinity",
+    "ngram_diversity",
+    "heaps_law",
+    "tokenizer_fertility",
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
     "BLOCKLIST",
@@ -957,5 +961,169 @@ def dsir_affinity(
         .withColumn(
             "affinity",
             F.col("sum_target").cast("double") / F.col("sum_raw"),
+        )
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (1, 2, 3),
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct-n diversity profile: per group and n-gram order, the
+    share of n-gram OCCURRENCES that are distinct — the corpus-health
+    metric behind "is this source template spam?" (distinct-n / Self-BLEU
+    family, Zhu et al. 1802.01886 §4.1; a boilerplate-heavy source shows
+    a collapsing distinct-bigram ratio long before exact dedup fires).
+
+    One corpus pass: tokens → per-doc n-gram arrays (map-only HOF slices)
+    → one ``groupBy(group, n)`` with an exact ``count_distinct`` — the
+    distinct count shuffles on (group, n, gram) under partial
+    aggregation, so a dominant source spreads by gram, never funneling
+    one task. All counts BIGINT; ``diversity_ppm`` is the integer ratio
+    ``(n_distinct * 1e6) DIV n_total`` — exact cross-engine.
+
+    Returns ``(grp, n, n_total, n_distinct, diversity_ppm)``.
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+    )
+    branches = []
+    for n in ns:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+        )
+        branches.append(
+            docs.select(F.col(group_col).alias("grp"),
+                        toks.alias("_toks"))
+            .filter(F.size("_toks") >= n)
+            .select(
+                "grp",
+                F.lit(n).cast("int").alias("n"),
+                F.explode(grams).alias("gram"),
+            )
+        )
+    all_grams = branches[0]
+    for b in branches[1:]:
+        all_grams = all_grams.unionAll(b)
+    return (
+        all_grams.groupBy("grp", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count_distinct("gram").cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "diversity_ppm", F.expr("(n_distinct * 1000000) DIV n_total")
+        )
+    )
+
+
+def heaps_law(
+    docs: DataFrame,
+    buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-growth (Heaps' law) curve: cumulative distinct terms vs
+    cumulative token occurrences over the corpus in ``doc_id`` order,
+    reported at ``buckets`` checkpoints. The curve's flattening rate is
+    the dedup-health / crawl-saturation signal (Heaps 1978; a corpus
+    whose vocab stops growing is re-crawling itself).
+
+    Skew-safe shape: a term contributes to the bucket of its FIRST
+    occurrence (``min(doc_id)`` per term — map-side combinable), token
+    totals aggregate per bucket directly, and the cumulative sums run
+    over the ``buckets``-row result, never the corpus. The max-doc-id
+    scalar joins in as a one-row broadcast, not a collect.
+
+    Returns ``(bucket, n_tokens, n_new_terms, cum_tokens, cum_terms)``.
+    """
+    toks = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+    )
+    words = docs.select(F.col(id_col).alias("_id"),
+                        F.explode(toks).alias("w"))
+    maxid = docs.agg(F.max(id_col).cast("long").alias("_maxid"))
+    bucket = F.expr(f"(_id * {buckets}) DIV (_maxid + 1)").cast("int")
+
+    tok_per_bucket = (
+        words.crossJoin(F.broadcast(maxid))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    )
+    first_seen = words.groupBy("w").agg(F.min("_id").alias("_id"))
+    new_per_bucket = (
+        first_seen.crossJoin(F.broadcast(maxid))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_terms"))
+    )
+    w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        tok_per_bucket.join(new_per_bucket, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new_terms", F.lit(0)).alias("n_new_terms"),
+        )
+        .select(
+            "*",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum("n_new_terms").over(w).cast("long").alias("cum_terms"),
+        )
+    )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the standard tokenizer-equity report
+    (a language with fertility ≫ the corpus median pays more context
+    window per word; cf. the fertility tables in XLM-R 1911.02116 §5).
+
+    Map-only per-doc counts under the shared ``BPE_TOKEN_PATTERN`` (the
+    same engine-neutral regex ``bpe_tokens`` is oracle-checked on), one
+    bounded ``groupBy(lang)`` with map-side partials. Ratios are single
+    divisions of exact BIGINT sums (IEEE-identical cross-engine), scaled
+    to integer per-centi units.
+
+    Returns ``(grp, n_docs, n_words, n_bpe_tokens, n_chars,
+    fertility_cpct, chars_per_token_cpct)`` — both ratios ×100.
+    """
+    ws = F.size(
+        F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    ).cast("long")
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN)).cast(
+        "long"
+    )
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        ws.alias("_w"),
+        bpe.alias("_b"),
+        F.length(text_col).cast("long").alias("_c"),
+    )
+    return (
+        per_doc.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_b").cast("long").alias("n_bpe_tokens"),
+            F.sum("_c").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "fertility_cpct",
+            F.when(
+                F.col("n_words") > 0,
+                F.expr("(n_bpe_tokens * 100) DIV n_words"),
+            ).cast("long"),
+        )
+        .withColumn(
+            "chars_per_token_cpct",
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.expr("(n_chars * 100) DIV n_bpe_tokens"),
+            ).cast("long"),
         )
     )

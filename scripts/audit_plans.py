@@ -619,6 +619,76 @@ def audit(spark, sf_dir: str):
         next((l.strip()[:90] for l in p.splitlines() if "Join" in l), "?"),
     )
 
+    # curriculum: the only row-grain window must partition by BOTH
+    # (source, value) — tie groups, never whole sources (the round-3
+    # group_quantiles skew rule); the per-source totals ride a one-row
+    # broadcast, and every aggregate partial-aggregates map-side
+    cu = ep.QUERIES["curriculum"](spark, sf_dir)
+    p = plan_of(cu)
+    rn_line = next(
+        (l for l in p.splitlines() if "row_number" in l), ""
+    )
+    check(
+        "curriculum: row_number window partitions by (source, value) tie"
+        " groups, not whole sources",
+        "source" in rn_line and "n_chars" in rn_line,
+        rn_line.strip()[:110] or "row_number window absent",
+    )
+    check(
+        "curriculum: closed-form interleave (no global sort/window, no"
+        " cartesian; totals fold is a 1-row broadcast)",
+        "CartesianProduct" not in p
+        and "partial_count" in p,
+        f"BNLJ(1-row totals) = {'BroadcastNestedLoopJoin' in p}",
+    )
+    # best_of_n: NO window — the argmax is one max(struct) aggregate with
+    # map-side combine under a single conv_id shuffle
+    bo = ep.QUERIES["best_of_n"](spark, sf_dir)
+    p = plan_of(bo)
+    check(
+        "best_of_n: windowless max(struct) argmax, ONE shuffle, map-side"
+        " partials",
+        "Window" not in p
+        and len(re.findall(r"\bExchange\b", p)) == 1
+        and "partial_max" in p,
+        f"Window absent; Exchange = "
+        f"{len(re.findall(r'Exchange', p))}",
+    )
+    # ngram_diversity: exact distinct shuffles on (grp, n, gram) with
+    # partial aggregation — the dominant source spreads by gram
+    nd = ep.QUERIES["ngram_diversity"](spark, sf_dir)
+    p = plan_of(nd)
+    check(
+        "ngram_diversity: distinct-count partial-aggregates on the gram"
+        " grain, no window, no cartesian",
+        "partial_count" in p and "Window" not in p
+        and "CartesianProduct" not in p,
+        "two-level distinct agg present",
+    )
+    # heaps_law: first-seen is min(doc_id) per term (map-side partials);
+    # the max-id scalar joins as a one-row broadcast, not a collect
+    hl = ep.QUERIES["heaps_law"](spark, sf_dir)
+    p = plan_of(hl)
+    check(
+        "heaps_law: map-side partial min/max (first-seen + scalar maxid"
+        " broadcast), no cartesian",
+        "partial_min" in p and "partial_max" in p
+        and "CartesianProduct" not in p,
+        "partials present",
+    )
+    # tokenizer_fertility / k_anonymity: bounded groupBys with map-side
+    # partials, no Python eval
+    for qname, nex in (("tokenizer_fertility", 1), ("k_anonymity", 2)):
+        q = ep.QUERIES[qname](spark, sf_dir)
+        p = plan_of(q)
+        check(
+            f"{qname}: {nex} shuffle(s), map-side partials, no Python",
+            len(re.findall(r"\bExchange\b", p)) == nex
+            and ("partial_sum" in p or "partial_count" in p)
+            and "EvalPython" not in p,
+            f"Exchange = {len(re.findall(r'Exchange', p))}",
+        )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -1463,3 +1463,97 @@ def test_lock_checkout_malformed_hold_denies_not_null(spark):
     r = resolve_lock_requests(locks, requests).collect()[0]
     assert r["granted"] is False and r["reason"] == "held"
     assert r["held_by"] == "other@x"
+
+
+def test_curriculum_order_is_exact_interleaved_permutation(spark):
+    """curriculum_pos must be a permutation of 1..N equal to the rank of
+    (src_rank, source) in lexicographic order — the closed-form interleave
+    must match the order-by it replaces."""
+    from poc_document_ocr_spark.operators.sampling import curriculum_order
+
+    rows = [
+        (i, f"src{i % 3}", (i * 7919) % 40 + (1 if i % 3 == 0 else 0))
+        for i in range(60)
+    ]
+    # skewed source: src0 gets 20 extra docs
+    rows += [(100 + i, "src0", (i * 31) % 40) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+    out = curriculum_order(df).collect()
+    n = len(rows)
+    assert sorted(r["curriculum_pos"] for r in out) == list(range(1, n + 1))
+    # closed form == explicit sort by (src_rank, source)
+    explicit = sorted(out, key=lambda r: (r["src_rank"], r["source"]))
+    for pos, r in enumerate(explicit, start=1):
+        assert r["curriculum_pos"] == pos
+    # per-source ranks are dense 1..cnt
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["src_rank"])
+    for s, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), s
+
+
+def test_best_of_n_lexicographic_reward_and_candidate_count(spark):
+    from poc_document_ocr_spark.operators.examples import best_of_n
+
+    rows = [
+        # conv a: turn 2 has more distinct tokens -> wins
+        ("a", 1, "user", "question"),
+        ("a", 2, "assistant", "alpha beta gamma"),
+        ("a", 4, "assistant", "alpha alpha alpha alpha alpha"),
+        # conv b: tie on tokens (2 distinct), longer text wins
+        ("b", 1, "assistant", "aa bb"),
+        ("b", 2, "assistant", "cccc dddd"),
+        # conv c: full tie on (tokens, chars) -> earliest turn wins
+        ("c", 5, "assistant", "xx yy"),
+        ("c", 3, "assistant", "zz ww"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in best_of_n(df).collect()}
+    assert out["a"]["turn_idx"] == 2 and out["a"]["n_candidates"] == 2
+    assert out["a"]["reward_tokens"] == 3
+    assert out["b"]["turn_idx"] == 2 and out["b"]["target_chars"] == 9
+    assert out["c"]["turn_idx"] == 3
+
+
+def test_heaps_law_cumulatives_and_totals(spark):
+    from poc_document_ocr_spark.operators.textstats import heaps_law
+
+    rows = [
+        (0, "aa bb"),
+        (3, "aa cc"),
+        (7, "dd dd aa"),
+        (9, "ee"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(heaps_law(df).collect(), key=lambda r: r["bucket"])
+    # buckets: (id*10) DIV 10 = id -> docs land at buckets 0,3,7,9
+    assert [r["bucket"] for r in out] == [0, 3, 7, 9]
+    assert [r["n_tokens"] for r in out] == [2, 2, 3, 1]
+    assert [r["n_new_terms"] for r in out] == [2, 1, 1, 1]
+    assert out[-1]["cum_tokens"] == 8
+    assert out[-1]["cum_terms"] == 5  # aa bb cc dd ee
+    cums = [r["cum_terms"] for r in out]
+    assert cums == sorted(cums)
+
+
+def test_k_anonymity_bands(spark):
+    from poc_document_ocr_spark.operators.sampling import k_anonymity
+
+    rows = (
+        [(i, "s1", "en", 10) for i in range(12)]  # one group of 12
+        + [(100, "s2", "en", 10)]  # unique
+        + [(200 + i, "s3", "fr", 10) for i in range(3)]  # rare (3)
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, n_chars long"
+    )
+    out = {r["risk_band"]: r for r in k_anonymity(df).collect()}
+    assert out["anonymous"]["n_groups"] == 1
+    assert out["anonymous"]["n_docs"] == 12
+    assert out["unique"]["n_docs"] == 1
+    assert out["rare"]["n_docs"] == 3
