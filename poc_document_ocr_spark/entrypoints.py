@@ -4028,13 +4028,13 @@ WITH words AS (
 ),
 mx AS (SELECT max(doc_id) AS m FROM documents),
 tokb AS (
-  SELECT CAST((_id * 10) // (m + 1) AS INT) AS bucket,
+  SELECT CAST(_id // ((m // 10) + 1) AS INT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_tokens
   FROM words, mx GROUP BY 1
 ),
 firsts AS (SELECT w, min(_id) AS _id FROM words GROUP BY 1),
 newb AS (
-  SELECT CAST((_id * 10) // (m + 1) AS INT) AS bucket,
+  SELECT CAST(_id // ((m // 10) + 1) AS INT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_new_terms
   FROM firsts, mx GROUP BY 1
 ),

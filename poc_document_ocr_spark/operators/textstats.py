@@ -1038,6 +1038,13 @@ def heaps_law(
     over the ``buckets``-row result, never the corpus. The max-doc-id
     scalar joins in as a one-row broadcast, not a collect.
 
+    Ids must be NON-NEGATIVE corpus positions. Bucketing divides first
+    (``id DIV (maxid DIV buckets + 1)``) — a multiply-first formulation
+    overflows BIGINT under ANSI mode once ids approach 2⁶³/buckets (the
+    same overflow class the round-3 advisory found in mixture_weights),
+    while the divide-first width is exact for the full non-negative
+    64-bit domain.
+
     Returns ``(bucket, n_tokens, n_new_terms, cum_tokens, cum_terms)``.
     """
     toks = F.array_remove(
@@ -1046,7 +1053,9 @@ def heaps_law(
     words = docs.select(F.col(id_col).alias("_id"),
                         F.explode(toks).alias("w"))
     maxid = docs.agg(F.max(id_col).cast("long").alias("_maxid"))
-    bucket = F.expr(f"(_id * {buckets}) DIV (_maxid + 1)").cast("int")
+    bucket = F.expr(
+        f"_id DIV ((_maxid DIV {buckets}) + 1)"
+    ).cast("int")
 
     tok_per_bucket = (
         words.crossJoin(F.broadcast(maxid))

@@ -1,0 +1,129 @@
+"""Scale points for the round-4 SESSION-2 operators (sft/extractiveness/
+best_of_n over 1.88M turns; bpe/dsir/diversity/heaps/fertility/
+k-anonymity/curriculum over 1.88M docs).
+
+Same harness as bench_r4_scale.py: deterministic inputs derived from the
+sf0.1 bench corpus, one timed run per op after warm-up, per-window
+hypervisor-steal share sampled (>2% = soft number). Run after bench.py
+populated ``.bench_cache``::
+
+    python scripts/bench_s2_scale.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from poc_document_ocr_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _steal_sample() -> tuple[int, int]:
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 1
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        "bench_s2_scale", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
+    )
+    from poc_document_ocr_spark.operators.examples import (
+        best_of_n,
+        extractiveness,
+        sft_pack_examples,
+    )
+    from poc_document_ocr_spark.operators.sampling import (
+        curriculum_order,
+        k_anonymity,
+    )
+    from poc_document_ocr_spark.operators.textstats import (
+        bpe_merge_candidates,
+        dsir_affinity,
+        heaps_law,
+        ngram_diversity,
+        tokenizer_fertility,
+    )
+
+    extracted = spark.read.parquet(
+        os.path.join(REPO, ".bench_cache", "extracted_0.1.parquet")
+    )
+    turns = spark.read.parquet(
+        os.path.join(REPO, ".bench_cache", "transcripts_0.1_v2.parquet")
+    )
+    # 1.88M-doc corpus with deterministic source/lang/n_chars metadata
+    # non-negative 62-bit ids (heaps_law's corpus-position contract;
+    # also exercises the divide-first bucket width far above 32 bits)
+    docs = extracted.select(
+        F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(2**62))
+        .alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+        F.concat(
+            F.lit("lang"), F.pmod(F.xxhash64("conv_id"), F.lit(5))
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"), F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(20))
+        ).alias("source"),
+        F.length("extracted_text").cast("long").alias("n_chars"),
+    )
+
+    def agg_count(df):
+        return df.agg(F.count(F.lit(1))).collect()
+
+    jobs = {
+        "sft_examples": lambda: agg_count(sft_pack_examples(turns)),
+        "extractiveness": lambda: agg_count(extractiveness(turns)),
+        "best_of_n": lambda: agg_count(best_of_n(turns)),
+        "bpe_merges": lambda: bpe_merge_candidates(docs).collect(),
+        "dsir_weights": lambda: agg_count(
+            dsir_affinity(docs, F.col("source") == "src0")
+        ),
+        "ngram_diversity": lambda: ngram_diversity(docs).collect(),
+        "heaps_law": lambda: heaps_law(docs).collect(),
+        "tokenizer_fertility": lambda: tokenizer_fertility(docs).collect(),
+        "k_anonymity": lambda: k_anonymity(docs).collect(),
+        "curriculum": lambda: agg_count(curriculum_order(docs)),
+    }
+
+    # warm-up on small slices
+    small_t = turns.limit(5000).localCheckpoint()
+    small_d = docs.limit(5000).localCheckpoint()
+    sft_pack_examples(small_t).count()
+    extractiveness(small_t).count()
+    best_of_n(small_t).count()
+    bpe_merge_candidates(small_d).count()
+    dsir_affinity(small_d, F.col("source") == "src0").count()
+    ngram_diversity(small_d).count()
+    heaps_law(small_d).count()
+    tokenizer_fertility(small_d).count()
+    k_anonymity(small_d).count()
+    curriculum_order(small_d).count()
+
+    timings, steal = {}, {}
+    for name, fn in jobs.items():
+        spark.catalog.clearCache()
+        s0, j0 = _steal_sample()
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 2)
+        s1, j1 = _steal_sample()
+        steal[name] = round((s1 - s0) / max(j1 - j0, 1), 4)
+
+    print(json.dumps({"timings": timings, "steal": steal}))
+
+
+if __name__ == "__main__":
+    main()

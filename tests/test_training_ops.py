@@ -1531,7 +1531,7 @@ def test_heaps_law_cumulatives_and_totals(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = sorted(heaps_law(df).collect(), key=lambda r: r["bucket"])
-    # buckets: (id*10) DIV 10 = id -> docs land at buckets 0,3,7,9
+    # width = (9 DIV 10) + 1 = 1 -> bucket = id: docs land at 0,3,7,9
     assert [r["bucket"] for r in out] == [0, 3, 7, 9]
     assert [r["n_tokens"] for r in out] == [2, 2, 3, 1]
     assert [r["n_new_terms"] for r in out] == [2, 1, 1, 1]
@@ -1557,3 +1557,17 @@ def test_k_anonymity_bands(spark):
     assert out["anonymous"]["n_docs"] == 12
     assert out["unique"]["n_docs"] == 1
     assert out["rare"]["n_docs"] == 3
+
+
+def test_heaps_law_no_overflow_on_large_ids(spark):
+    """Bucketing must divide first: multiply-first overflows BIGINT under
+    ANSI mode once ids approach 2^63/buckets (the mixture_weights
+    overflow class from the round-3 advisory)."""
+    from poc_document_ocr_spark.operators.textstats import heaps_law
+
+    big = 2**62
+    rows = [(big - 3, "aa bb"), (big + 100, "aa cc"), (17, "dd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = heaps_law(df).collect()
+    assert sum(r["n_new_terms"] for r in out) == 4
+    assert max(r["cum_tokens"] for r in out) == 5
