@@ -3875,34 +3875,26 @@ def q_extractiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _O_EXTRACTIVENESS = oracle_cte("""
-, tok AS (
-  SELECT conv_id, turn_idx, role,
-         unnest(list_distinct(string_split_regex(lower(text),
-                '[^a-z0-9]+'))) AS w
+, lagd AS (
+  SELECT conv_id, turn_idx, role, text,
+    lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_text
   FROM t
 ),
-tok2 AS (SELECT * FROM tok WHERE w <> ''),
-base AS (
+toksets AS (
   SELECT conv_id, turn_idx,
-    CAST(len(list_filter(list_distinct(string_split_regex(lower(text),
-         '[^a-z0-9]+')), x -> x <> '')) AS BIGINT) AS n_tokens
-  FROM t WHERE role = 'assistant' AND turn_idx > 1
-),
-shared AS (
-  SELECT c.conv_id, c.turn_idx, CAST(count(*) AS BIGINT) AS n_shared
-  FROM (SELECT * FROM tok2 WHERE role = 'assistant' AND turn_idx > 1) c
-  JOIN tok2 p
-    ON p.conv_id = c.conv_id AND p.turn_idx = c.turn_idx - 1
-   AND p.w = c.w
-  GROUP BY 1, 2
+    list_filter(list_distinct(string_split_regex(lower(text),
+                '[^a-z0-9]+')), x -> x <> '') AS ct,
+    list_filter(list_distinct(string_split_regex(lower(prev_text),
+                '[^a-z0-9]+')), x -> x <> '') AS pt
+  FROM lagd WHERE role = 'assistant' AND prev_text IS NOT NULL
 )
-SELECT b.conv_id, b.turn_idx, b.n_tokens,
-  CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
-  CASE WHEN b.n_tokens > 0
-       THEN CAST(coalesce(s.n_shared, 0) AS DOUBLE) / b.n_tokens
+SELECT conv_id, turn_idx,
+  CAST(len(ct) AS BIGINT) AS n_tokens,
+  CAST(len(list_intersect(ct, pt)) AS BIGINT) AS n_shared,
+  CASE WHEN len(ct) > 0
+       THEN CAST(len(list_intersect(ct, pt)) AS DOUBLE) / len(ct)
   END AS copy_ratio
-FROM base b LEFT JOIN shared s
-  ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
+FROM toksets
 """)
 
 

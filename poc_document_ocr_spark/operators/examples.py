@@ -28,11 +28,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["sft_pack_examples", "extractiveness", "best_of_n"]
+from .textstats import TOKEN_SPLIT
 
-#: token pattern shared by extractiveness and its oracle: lowercase
-#: alphanumeric runs (dialect-neutral regex)
-TOKEN_SPLIT = "[^a-z0-9]+"
+__all__ = ["sft_pack_examples", "extractiveness", "best_of_n"]
 
 
 def sft_pack_examples(

@@ -42,10 +42,16 @@ __all__ = [
     "ngram_diversity",
     "heaps_law",
     "tokenizer_fertility",
+    "TOKEN_SPLIT",
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
     "BLOCKLIST",
 ]
+
+#: dialect-neutral token split shared by the curation operators AND their
+#: DuckDB oracles (lowercase alphanumeric runs) — one definition so a
+#: tweak cannot drift between the four consumers
+TOKEN_SPLIT = "[^a-z0-9]+"
 
 #: small closed stopword list for quality scoring (shared with the oracle)
 STOPWORDS: tuple[str, ...] = (
@@ -938,7 +944,7 @@ def dsir_affinity(
         F.col(id_col),
         target_filter.alias("_is_target"),
         F.explode(
-            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)
         ).alias("w"),
     ).filter(F.length("w") >= 2)
     grams = toks.select(
@@ -977,37 +983,52 @@ def ngram_diversity(
     family, Zhu et al. 1802.01886 §4.1; a boilerplate-heavy source shows
     a collapsing distinct-bigram ratio long before exact dedup fires).
 
-    One corpus pass: tokens → per-doc n-gram arrays (map-only HOF slices)
-    → one ``groupBy(group, n)`` with an exact ``count_distinct`` — the
-    distinct count shuffles on (group, n, gram) under partial
-    aggregation, so a dominant source spreads by gram, never funneling
-    one task. All counts BIGINT; ``diversity_ppm`` is the integer ratio
-    ``(n_distinct * 1e6) DIV n_total`` — exact cross-engine.
+    ONE corpus pass (audited: a single FileScan): each doc tokenizes
+    once and builds the gram lists for EVERY n in one map-side
+    projection — a flattened array of (n, gram) structs through a single
+    explode — then one ``groupBy(group, n)`` with an exact
+    ``count_distinct``. The distinct count shuffles on (group, n, gram)
+    under partial aggregation, so a dominant source spreads by gram,
+    never funneling one task. All counts BIGINT; ``diversity_ppm`` is
+    the integer ratio ``(n_distinct * 1e6) DIV n_total`` — exact
+    cross-engine. (A per-n union formulation re-scans and re-tokenizes
+    the corpus once per order — 3× the scan volume at 100 TB; the
+    combined-explode shape was the round-4 self-review fix.)
 
     Returns ``(grp, n, n_total, n_distinct, diversity_ppm)``.
     """
     toks = F.array_remove(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), ""
     )
-    branches = []
-    for n in ns:
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
-            lambda i: F.array_join(F.slice("_toks", i, n), " "),
+
+    def grams_of(n: int):
+        # sequence(1, 0) DESCENDS in Spark, so short docs need an
+        # explicit empty branch rather than a clamped upper bound
+        return F.when(
+            F.size("_toks") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).cast("int").alias("n"),
+                    F.array_join(F.slice("_toks", i, n), " ").alias(
+                        "gram"
+                    ),
+                ),
+            ),
+        ).otherwise(
+            F.expr("CAST(array() AS array<struct<n:int,gram:string>>)")
         )
-        branches.append(
-            docs.select(F.col(group_col).alias("grp"),
-                        toks.alias("_toks"))
-            .filter(F.size("_toks") >= n)
-            .select(
-                "grp",
-                F.lit(n).cast("int").alias("n"),
-                F.explode(grams).alias("gram"),
-            )
+
+    all_grams = (
+        docs.select(F.col(group_col).alias("grp"), toks.alias("_toks"))
+        .select(
+            "grp",
+            F.explode(
+                F.flatten(F.array(*[grams_of(n) for n in ns]))
+            ).alias("_g"),
         )
-    all_grams = branches[0]
-    for b in branches[1:]:
-        all_grams = all_grams.unionAll(b)
+        .select("grp", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+    )
     return (
         all_grams.groupBy("grp", "n")
         .agg(
@@ -1048,7 +1069,7 @@ def heaps_law(
     Returns ``(bucket, n_tokens, n_new_terms, cum_tokens, cum_terms)``.
     """
     toks = F.array_remove(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), ""
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), ""
     )
     words = docs.select(F.col(id_col).alias("_id"),
                         F.explode(toks).alias("w"))

@@ -634,12 +634,25 @@ def audit(spark, sf_dir: str):
         "source" in rn_line and "n_chars" in rn_line,
         rn_line.strip()[:110] or "row_number window absent",
     )
+    # every Window node must carry a partition spec (a GLOBAL window's
+    # spec has no partition columns before the first ordering direction),
+    # the totals fold must actually be the broadcast nested-loop of the
+    # 1-row counts array, and both aggregates partial-aggregate map-side
+    win_lines = [l for l in p.splitlines() if re.search(r"\bWindow\b", l)]
+    global_windows = [
+        l for l in win_lines
+        if re.search(r"windowspecdefinition\([^,)]*(ASC|DESC)", l)
+    ]
     check(
         "curriculum: closed-form interleave (no global sort/window, no"
         " cartesian; totals fold is a 1-row broadcast)",
         "CartesianProduct" not in p
-        and "partial_count" in p,
-        f"BNLJ(1-row totals) = {'BroadcastNestedLoopJoin' in p}",
+        and "partial_count" in p
+        and "BroadcastNestedLoopJoin" in p
+        and len(win_lines) == 2
+        and not global_windows,
+        f"windows = {len(win_lines)}, global = {len(global_windows)},"
+        f" BNLJ = {'BroadcastNestedLoopJoin' in p}",
     )
     # best_of_n: NO window — the argmax is one max(struct) aggregate with
     # map-side combine under a single conv_id shuffle
@@ -654,16 +667,21 @@ def audit(spark, sf_dir: str):
         f"Window absent; Exchange = "
         f"{len(re.findall(r'Exchange', p))}",
     )
-    # ngram_diversity: exact distinct shuffles on (grp, n, gram) with
-    # partial aggregation — the dominant source spreads by gram
+    # ngram_diversity: ONE corpus scan (the per-n union shape re-reads
+    # and re-tokenizes the corpus once per order — the round-4
+    # self-review finding), distinct agg on the gram grain with partial
+    # aggregation, no window
     nd = ep.QUERIES["ngram_diversity"](spark, sf_dir)
     p = plan_of(nd)
+    n_scans = len(re.findall(r"Scan parquet|FileScan", p))
     check(
-        "ngram_diversity: distinct-count partial-aggregates on the gram"
-        " grain, no window, no cartesian",
-        "partial_count" in p and "Window" not in p
+        "ngram_diversity: ONE corpus scan (combined (n, gram) explode),"
+        " distinct partial-aggregates on the gram grain, no window",
+        n_scans == 1
+        and "partial_count" in p
+        and "Window" not in p
         and "CartesianProduct" not in p,
-        "two-level distinct agg present",
+        f"parquet scans = {n_scans}",
     )
     # heaps_law: first-seen is min(doc_id) per term (map-side partials);
     # the max-id scalar joins as a one-row broadcast, not a collect

@@ -32,17 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from poc_document_ocr_spark.session import get_spark
+from scripts._bench_common import steal_sample as _steal_sample
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _steal_sample() -> tuple[int, int]:
-    try:
-        with open("/proc/stat") as f:
-            vals = [int(x) for x in f.readline().split()[1:]]
-        return (vals[7] if len(vals) > 7 else 0), sum(vals)
-    except Exception:
-        return 0, 1
 
 
 def winnow_overlap(docs):
