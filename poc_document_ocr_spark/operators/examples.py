@@ -30,7 +30,8 @@ from pyspark.sql.window import Window as W
 
 from .textstats import TOKEN_SPLIT
 
-__all__ = ["sft_pack_examples", "extractiveness", "best_of_n"]
+__all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
+           "preference_pairs"]
 
 
 def sft_pack_examples(
@@ -166,5 +167,57 @@ def best_of_n(t: DataFrame, target_role: str = "assistant") -> DataFrame:
             F.col("_best._turn_idx").alias("turn_idx"),
             F.col("_best._r_tok").alias("reward_tokens"),
             F.col("_best._r_chars").alias("target_chars"),
+        )
+    )
+
+
+def preference_pairs(
+    t: DataFrame, target_role: str = "assistant"
+) -> DataFrame:
+    """Preference-pair construction: per conversation, the (chosen,
+    rejected) pair of ``target_role`` turns under the deterministic
+    reward proxy — the RLHF/DPO training-pair shape (Rafailov et al.
+    2305.18290 consume exactly this (prompt, chosen, rejected) layout).
+    Chosen = the :func:`best_of_n` winner; rejected = the lexicographic
+    minimum (ties to the LATEST turn, mirroring the winner's
+    earliest-turn rule). Conversations with fewer than two candidate
+    turns emit nothing — a pair needs two distinct members, guaranteed
+    because ``turn_idx`` is unique per conversation.
+
+    Same scale shape as ``best_of_n``: ONE groupBy with max(struct) AND
+    min(struct) — both map-side combinable, no window, one shuffle.
+
+    Returns ``(conv_id, n_candidates, chosen_turn, rejected_turn,
+    chosen_tokens, rejected_tokens, reward_gap_tokens)``.
+    """
+    toks = F.array_remove(
+        F.array_distinct(F.split(F.lower(F.col("text")), TOKEN_SPLIT)), ""
+    )
+    cand = t.filter(F.col("role") == target_role).select(
+        "conv_id",
+        F.size(toks).cast("long").alias("_r_tok"),
+        F.length("text").cast("long").alias("_r_chars"),
+        (-F.col("turn_idx")).cast("long").alias("_r_turn"),
+        F.col("turn_idx").cast("int").alias("_turn_idx"),
+    )
+    key = F.struct("_r_tok", "_r_chars", "_r_turn", "_turn_idx")
+    return (
+        cand.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.max(key).alias("_hi"),
+            F.min(key).alias("_lo"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+        .select(
+            "conv_id",
+            "n_candidates",
+            F.col("_hi._turn_idx").alias("chosen_turn"),
+            F.col("_lo._turn_idx").alias("rejected_turn"),
+            F.col("_hi._r_tok").alias("chosen_tokens"),
+            F.col("_lo._r_tok").alias("rejected_tokens"),
+            (F.col("_hi._r_tok") - F.col("_lo._r_tok")).alias(
+                "reward_gap_tokens"
+            ),
         )
     )

@@ -667,6 +667,18 @@ def audit(spark, sf_dir: str):
         f"Window absent; Exchange = "
         f"{len(re.findall(r'Exchange', p))}",
     )
+    # pref_pairs: same windowless shape as best_of_n — max+min struct in
+    # one aggregate, one shuffle, map-side partials
+    pp = ep.QUERIES["pref_pairs"](spark, sf_dir)
+    p = plan_of(pp)
+    check(
+        "pref_pairs: windowless max+min struct argmax/argmin, ONE"
+        " shuffle, map-side partials",
+        "Window" not in p
+        and len(re.findall(r"\bExchange\b", p)) == 1
+        and "partial_max" in p and "partial_min" in p,
+        f"Exchange = {len(re.findall(r'Exchange', p))}",
+    )
     # ngram_diversity: ONE corpus scan (the per-n union shape re-reads
     # and re-tokenizes the corpus once per order — the round-4
     # self-review finding), distinct agg on the gram grain with partial

@@ -31,6 +31,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # corpus scale: "0.1" = 1.88M rows (default), "1" = 18.8M rows
+    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
+    only = set(sys.argv[1:])  # optional op-name filter
     spark = get_spark(
         "bench_s2_scale", cpus=cpus, shuffle_partitions=cpus,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
@@ -53,10 +56,10 @@ def main() -> None:
     )
 
     extracted = spark.read.parquet(
-        os.path.join(REPO, ".bench_cache", "extracted_0.1.parquet")
+        os.path.join(REPO, ".bench_cache", f"extracted_{scale}.parquet")
     )
     turns = spark.read.parquet(
-        os.path.join(REPO, ".bench_cache", "transcripts_0.1_v2.parquet")
+        os.path.join(REPO, ".bench_cache", f"transcripts_{scale}_v2.parquet")
     )
     # 1.88M-doc corpus with deterministic source/lang/n_chars metadata
     # non-negative 62-bit ids (heaps_law's corpus-position contract;
@@ -108,6 +111,8 @@ def main() -> None:
 
     timings, steal = {}, {}
     for name, fn in jobs.items():
+        if only and name not in only:
+            continue
         spark.catalog.clearCache()
         s0, j0 = _steal_sample()
         t0 = time.monotonic()
@@ -116,7 +121,7 @@ def main() -> None:
         s1, j1 = _steal_sample()
         steal[name] = round((s1 - s0) / max(j1 - j0, 1), 4)
 
-    print(json.dumps({"timings": timings, "steal": steal}))
+    print(json.dumps({"scale": scale, "timings": timings, "steal": steal}))
 
 
 if __name__ == "__main__":

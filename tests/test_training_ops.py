@@ -1571,3 +1571,30 @@ def test_heaps_law_no_overflow_on_large_ids(spark):
     out = heaps_law(df).collect()
     assert sum(r["n_new_terms"] for r in out) == 4
     assert max(r["cum_tokens"] for r in out) == 5
+
+
+def test_preference_pairs_chosen_rejected_and_tie_rules(spark):
+    from poc_document_ocr_spark.operators.examples import preference_pairs
+
+    rows = [
+        # conv a: clear best (3 tokens) and worst (1 token)
+        ("a", 1, "assistant", "alpha beta gamma"),
+        ("a", 2, "assistant", "alpha alpha"),
+        ("a", 3, "assistant", "solo"),
+        # conv b: full tie -> chosen = earliest, rejected = latest
+        ("b", 2, "assistant", "xx yy"),
+        ("b", 5, "assistant", "zz ww"),
+        # conv c: single candidate -> no pair
+        ("c", 1, "assistant", "only one here"),
+        # conv d: no assistant turns -> no pair
+        ("d", 1, "user", "hello"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in preference_pairs(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["chosen_turn"] == 1 and out["a"]["rejected_turn"] == 3
+    assert out["a"]["reward_gap_tokens"] == 2
+    assert out["b"]["chosen_turn"] == 2 and out["b"]["rejected_turn"] == 5
+    assert out["b"]["reward_gap_tokens"] == 0
