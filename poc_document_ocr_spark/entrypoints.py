@@ -4172,6 +4172,64 @@ FROM r WHERE rn = 1
 """)
 
 
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization with exact attrition accounting: control-char
+    strip, whitespace-run collapse, trim — map-only, explicit regex
+    classes replayed identically by the oracle."""
+    from .operators.textstats import normalize_text
+
+    return normalize_text(_docs(spark, sf_dir))
+
+
+_O_NORMALIZE = r"""
+WITH c AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text_clean,
+    length(text) AS raw_len
+  FROM documents
+)
+SELECT doc_id,
+  CAST(raw_len AS BIGINT) AS n_chars_raw,
+  CAST(length(text_clean) AS BIGINT) AS n_chars_clean,
+  CAST(raw_len - length(text_clean) AS BIGINT) AS n_removed,
+  text_clean
+FROM c
+"""
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, top-5 nearest neighbors
+    with a DIFFERENT label — the contrastive-training negatives a
+    dual-encoder needs (DPR 2004.04906). Exact small-query baseline;
+    the corpus path is lsh_topk with the label filter in the bucket
+    join."""
+    from .operators.similarity import hard_negatives
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+_O_HARD_NEGATIVES = """
+WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                  CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+        list_dot_product(q.qv, CAST(e.embedding AS DOUBLE[])) /
+        (sqrt(list_dot_product(q.qv, q.qv)) *
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))) AS cos
+      FROM q, embeddings e WHERE e.label <> q.q_label),
+r AS (SELECT q_id, q_label, n_id, n_label,
+        CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+          AS INT) AS rank
+      FROM s)
+SELECT q_id, q_label, n_id, n_label, rank FROM r WHERE rank <= 5
+"""
+
+
 def q_pref_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair (chosen, rejected) construction per conversation
     under the deterministic reward proxy — the RLHF/DPO training-pair
@@ -4221,6 +4279,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curriculum": q_curriculum,
     "best_of_n": q_best_of_n,
     "pref_pairs": q_pref_pairs,
+    "hard_negatives": q_hard_negatives,
+    "normalize": q_normalize,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
     "bpe_merges": q_bpe_merges,
@@ -4331,6 +4391,8 @@ ORACLES: dict[str, str] = {
     "curriculum": _O_CURRICULUM,
     "best_of_n": _O_BEST_OF_N,
     "pref_pairs": _O_PREF_PAIRS,
+    "hard_negatives": _O_HARD_NEGATIVES,
+    "normalize": _O_NORMALIZE,
     "sft_examples": _O_SFT_EXAMPLES,
     "extractiveness": _O_EXTRACTIVENESS,
     "bpe_merges": _O_BPE_MERGES,

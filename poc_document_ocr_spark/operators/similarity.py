@@ -26,6 +26,7 @@ __all__ = [
     "dot",
     "norm",
     "cosine_topk",
+    "hard_negatives",
     "signlsh_buckets",
     "lsh_topk",
     "ivf_assign",
@@ -483,4 +484,60 @@ def lsh_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "bucket", "rank")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per query
+    vector, the top-``k`` nearest neighbors whose LABEL DIFFERS from the
+    query's — the near-but-wrong examples a dual-encoder trains against
+    (in-batch negatives are too easy; mined hard negatives are the
+    standard fix, cf. DPR, Karpukhin et al. 2004.04906 §3.2).
+
+    Same contract and shape as :func:`cosine_topk` (this is the exact
+    small-query baseline; the corpus-sized path composes ``lsh_topk``
+    with the label filter inside the bucket join): bounded query side
+    enforced by a capped probe, broadcast nested-loop with the
+    different-label predicate in the join condition (so same-label pairs
+    are dropped BEFORE any cosine arithmetic), per-query top-k via
+    WindowGroupLimit. Ties break by neighbor id.
+
+    Returns ``(q_id, q_label, n_id, n_label, rank)``.
+    """
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            "hard_negatives is the exact small-query baseline: more than "
+            f"max_queries={max_queries} query vectors. Compose lsh_topk "
+            "with the label filter for corpus-sized query sides."
+        )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    sims = c.join(
+        F.broadcast(q), F.col("q_label") != F.col("n_label")
+    ).withColumn(
+        "cos",
+        dot(F.col("q_vec"), F.col("n_vec"))
+        / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "q_label", "n_id", "n_label", "rank")
     )

@@ -42,6 +42,7 @@ __all__ = [
     "ngram_diversity",
     "heaps_law",
     "tokenizer_fertility",
+    "normalize_text",
     "TOKEN_SPLIT",
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
@@ -1156,4 +1157,44 @@ def tokenizer_fertility(
                 F.expr("(n_chars * 100) DIV n_bpe_tokens"),
             ).cast("long"),
         )
+    )
+
+
+#: explicit whitespace class shared with the oracle — Java's ``\\s`` and
+#: RE2's ``\\s`` disagree on vertical tab, so neither side uses ``\\s``
+_WS_RUN = "[ \\t\\n\\r\\f\\x0B]+"
+#: C0 control characters (minus the whitespace the run-collapse owns,
+#: including vertical tab) + DEL — the bytes a curation pass strips
+#: before tokenization
+_CTRL = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Text normalization — the universal first stage of every corpus
+    pipeline: strip control characters, collapse whitespace runs to a
+    single space, trim. Emits the cleaned text plus exact BIGINT
+    before/after character counts so the attrition is auditable (a
+    source whose text shrinks 30% under normalization is telling you
+    something about its extractor).
+
+    Map-only column expressions; the regex classes are explicit (no
+    ``\\s`` — Java and RE2 disagree on vertical tab) so the DuckDB
+    oracle replays the identical transform.
+
+    Returns ``(id, n_chars_raw, n_chars_clean, n_removed, text_clean)``.
+    """
+    raw = F.col(text_col)
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(raw, _CTRL, ""), _WS_RUN, " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+        (F.length(raw) - F.length(clean)).cast("long").alias("n_removed"),
+        clean.alias("text_clean"),
     )

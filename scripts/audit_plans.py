@@ -667,6 +667,28 @@ def audit(spark, sf_dir: str):
         f"Window absent; Exchange = "
         f"{len(re.findall(r'Exchange', p))}",
     )
+    # normalize: map-only (one pruned scan, zero shuffles)
+    nz = ep.QUERIES["normalize"](spark, sf_dir)
+    p = plan_of(nz)
+    check(
+        "normalize: map-only (zero shuffles), no Python",
+        "Exchange" not in p and "EvalPython" not in p,
+        "no Exchange in plan",
+    )
+    # hard_negatives: the small query side broadcasts (the exact
+    # baseline's BNLJ contract), the different-label predicate sits in
+    # the join condition, and WindowGroupLimit prunes per-query top-k
+    hn = ep.QUERIES["hard_negatives"](spark, sf_dir)
+    p = plan_of(hn)
+    check(
+        "hard_negatives: broadcast small-Q nested loop with the label"
+        " predicate in the join; WindowGroupLimit prunes top-k",
+        "BroadcastNestedLoopJoin" in p
+        and "WindowGroupLimit" in p,
+        next(
+            (l.strip()[:100] for l in p.splitlines() if "Join" in l), "?"
+        ),
+    )
     # pref_pairs: same windowless shape as best_of_n — max+min struct in
     # one aggregate, one shuffle, map-side partials
     pp = ep.QUERIES["pref_pairs"](spark, sf_dir)

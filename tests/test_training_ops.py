@@ -1598,3 +1598,38 @@ def test_preference_pairs_chosen_rejected_and_tie_rules(spark):
     assert out["a"]["reward_gap_tokens"] == 2
     assert out["b"]["chosen_turn"] == 2 and out["b"]["rejected_turn"] == 5
     assert out["b"]["reward_gap_tokens"] == 0
+
+
+def test_normalize_text_controls_whitespace_trim(spark):
+    from poc_document_ocr_spark.operators.textstats import normalize_text
+
+    rows = [
+        (1, "  a\t\tb\n\nc  "),          # runs + trim
+        (2, "x\x00y\x07z\x7f"),           # control chars stripped
+        (3, "k\x0bm"),                     # vertical tab is a WS run char
+        (4, "clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_clean"] == "a b c"
+    assert out[1]["n_removed"] == out[1]["n_chars_raw"] - 5
+    assert out[2]["text_clean"] == "xyz"
+    assert out[2]["n_removed"] == 3
+    assert out[3]["text_clean"] == "k m"
+    assert out[4]["n_removed"] == 0
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from poc_document_ocr_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),   # same label as q0 -> never a negative
+        (2, [0.9, 0.4], 1),    # closest different-label
+        (3, [0.0, 1.0], 1),    # orthogonal different-label
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    got = sorted((r["rank"], r["n_id"], r["n_label"]) for r in out)
+    assert got == [(1, 2, 1), (2, 3, 1)]
+    assert all(r["q_label"] == 0 for r in out)
