@@ -4172,6 +4172,56 @@ FROM r WHERE rn = 1
 """)
 
 
+def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup loss weights: every doc kept, weight_ppm = 1e6 DIV
+    exact-dup cluster size — repeated content contributes one document's
+    gradient in total. Fingerprint sizes join back under AQE (both sides
+    corpus-cardinality, no forced broadcast)."""
+    from .operators.dedup import dedup_weights
+
+    return dedup_weights(_docs(spark, sf_dir))
+
+
+_O_DEDUP_WEIGHTS = """
+WITH sizes AS (
+  SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, s.n_copies,
+  CAST(1000000 // s.n_copies AS BIGINT) AS weight_ppm
+FROM documents d JOIN sizes s ON md5(d.text) = s.fp
+"""
+
+
+def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation: keep each conversation's largest
+    suffix of turns fitting a 256-token budget (drop earliest first) —
+    one running-sum window ordered turn_idx DESC under the conversation
+    partitioning."""
+    from .operators.examples import context_window_fit
+
+    return context_window_fit(spark_transcripts(spark, sf_dir))
+
+
+_O_CONTEXT_FIT = oracle_cte("""
+, toks AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS BIGINT) AS n_tokens
+  FROM t
+),
+cum AS (
+  SELECT conv_id, turn_idx, n_tokens,
+    CAST(sum(n_tokens) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_tokens_from_end
+  FROM toks
+)
+SELECT conv_id, turn_idx, n_tokens, cum_tokens_from_end
+FROM cum WHERE cum_tokens_from_end <= 256
+""")
+
+
 def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization with exact attrition accounting: control-char
     strip, whitespace-run collapse, trim — map-only, explicit regex
@@ -4281,6 +4331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pref_pairs": q_pref_pairs,
     "hard_negatives": q_hard_negatives,
     "normalize": q_normalize,
+    "dedup_weights": q_dedup_weights,
+    "context_fit": q_context_fit,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
     "bpe_merges": q_bpe_merges,
@@ -4393,6 +4445,8 @@ ORACLES: dict[str, str] = {
     "pref_pairs": _O_PREF_PAIRS,
     "hard_negatives": _O_HARD_NEGATIVES,
     "normalize": _O_NORMALIZE,
+    "dedup_weights": _O_DEDUP_WEIGHTS,
+    "context_fit": _O_CONTEXT_FIT,
     "sft_examples": _O_SFT_EXAMPLES,
     "extractiveness": _O_EXTRACTIVENESS,
     "bpe_merges": _O_BPE_MERGES,

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup_groups",
+    "dedup_weights",
     "word_shingles",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -757,5 +758,35 @@ def segment_dedup(
                 - F.coalesce("n_kept", F.lit(0))
             ).cast("int").alias("n_dropped"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def dedup_weights(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Soft-dedup loss weights: every document keeps its row but carries
+    ``weight_ppm = 10⁶ DIV n_copies`` — repeated content contributes one
+    document's worth of gradient in total instead of being dropped (the
+    down-weighting alternative to hard dedup; data-constrained scaling
+    shows repeated data has sharply diminishing value, Muennighoff et
+    al. 2305.16264).
+
+    Shape: :func:`exact_dedup_groups` sizes (map-side combinable) joined
+    back on the fingerprint — both sides corpus-cardinality, so the join
+    strategy is LEFT TO AQE (never a forced broadcast). Integer ppm
+    keeps the gate exact.
+
+    Returns ``(id, n_copies, weight_ppm)``.
+    """
+    sizes = exact_dedup_groups(df, id_col=id_col, text_col=text_col)
+    return (
+        df.select(
+            F.col(id_col), F.md5(F.col(text_col)).alias("fingerprint")
+        )
+        .join(sizes.select("fingerprint", "n_copies"), "fingerprint")
+        .select(
+            id_col,
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.expr("1000000 DIV n_copies").cast("long").alias("weight_ppm"),
         )
     )

@@ -31,7 +31,7 @@ from pyspark.sql.window import Window as W
 from .textstats import TOKEN_SPLIT
 
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
-           "preference_pairs"]
+           "preference_pairs", "context_window_fit"]
 
 
 def sft_pack_examples(
@@ -220,4 +220,42 @@ def preference_pairs(
                 "reward_gap_tokens"
             ),
         )
+    )
+
+
+def context_window_fit(t: DataFrame, budget_tokens: int = 256) -> DataFrame:
+    """Context-budget truncation: keep the SUFFIX of each conversation
+    whose cumulative whitespace-token count fits ``budget_tokens`` —
+    drop-earliest-turns-first, the standard way a post-training pipeline
+    fits a long conversation into a model's context window (latest turns
+    carry the target; earliest context is the cheapest to lose).
+
+    One window under the conversation partitioning: a running token sum
+    ordered ``turn_idx`` DESCENDING, then a filter — a turn is kept iff
+    ``cum ≤ budget``, i.e. the whole suffix starting at it fits. The rule
+    is strict: a final turn that alone exceeds the budget drops its
+    conversation entirely (the caller sizes the budget; the oracle pins
+    the same rule).
+
+    Returns kept turns: ``(conv_id, turn_idx, n_tokens,
+    cum_tokens_from_end)``.
+    """
+    n_tok = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).cast("long")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_tokens_from_end", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens_from_end") <= budget_tokens)
     )

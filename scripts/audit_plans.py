@@ -667,6 +667,27 @@ def audit(spark, sf_dir: str):
         f"Window absent; Exchange = "
         f"{len(re.findall(r'Exchange', p))}",
     )
+    # dedup_weights: both join sides are corpus-cardinality — strategy
+    # left to AQE (no ResolvedHint), sizes agg partial-aggregates
+    dwq = ep.QUERIES["dedup_weights"](spark, sf_dir)
+    p = plan_of(dwq)
+    check(
+        "dedup_weights: no forced broadcast (both sides corpus-sized),"
+        " sizes agg partial-aggregates map-side",
+        "ResolvedHint" not in dwq._jdf.queryExecution().analyzed().toString()
+        and "partial_count" in p
+        and "CartesianProduct" not in p,
+        "AQE-decided join; partials present",
+    )
+    # context_fit: ONE shuffle (the conversation window), no Python
+    cf = ep.QUERIES["context_fit"](spark, sf_dir)
+    p = plan_of(cf)
+    check(
+        "context_fit: ONE shuffle (conv window running suffix sum), no"
+        " Python eval",
+        len(re.findall(r"\bExchange\b", p)) == 1 and "EvalPython" not in p,
+        f"Exchange = {len(re.findall(r'Exchange', p))}",
+    )
     # normalize: map-only (one pruned scan, zero shuffles)
     nz = ep.QUERIES["normalize"](spark, sf_dir)
     p = plan_of(nz)

@@ -1633,3 +1633,37 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
     got = sorted((r["rank"], r["n_id"], r["n_label"]) for r in out)
     assert got == [(1, 2, 1), (2, 3, 1)]
     assert all(r["q_label"] == 0 for r in out)
+
+
+def test_context_window_fit_suffix_rule(spark):
+    from poc_document_ocr_spark.operators.examples import context_window_fit
+
+    rows = [
+        ("a", 1, "user", "one two three"),            # 3 tokens
+        ("a", 2, "assistant", "four five"),           # 2
+        ("a", 3, "user", "six"),                      # 1
+        ("b", 1, "user", " ".join(["w"] * 10)),       # 10 > budget alone
+        ("c", 1, "user", "exact fit here ok"),        # 4 == budget
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = sorted(
+        ((r["conv_id"], r["turn_idx"], r["cum_tokens_from_end"])
+         for r in context_window_fit(df, budget_tokens=4).collect())
+    )
+    # conv a: suffix (2,3) = 3 tokens fits; adding turn 1 -> 6 > 4
+    # conv b: single 10-token turn exceeds the budget -> dropped
+    # conv c: exact fit kept
+    assert out == [("a", 2, 3), ("a", 3, 1), ("c", 1, 4)]
+
+
+def test_dedup_weights_inverse_cluster_size(spark):
+    from poc_document_ocr_spark.operators.dedup import dedup_weights
+
+    rows = [(1, "same"), (2, "same"), (3, "same"), (4, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_weights(df).collect()}
+    assert len(out) == 4  # every row kept
+    assert out[1]["weight_ppm"] == 333333 and out[1]["n_copies"] == 3
+    assert out[4]["weight_ppm"] == 1000000 and out[4]["n_copies"] == 1
