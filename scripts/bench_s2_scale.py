@@ -38,11 +38,15 @@ def main() -> None:
         "bench_s2_scale", cpus=cpus, shuffle_partitions=cpus,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
+    from poc_document_ocr_spark.operators.dedup import dedup_weights
     from poc_document_ocr_spark.operators.examples import (
         best_of_n,
+        context_window_fit,
         extractiveness,
+        preference_pairs,
         sft_pack_examples,
     )
+    from poc_document_ocr_spark.operators.textstats import normalize_text
     from poc_document_ocr_spark.operators.sampling import (
         curriculum_order,
         k_anonymity,
@@ -93,6 +97,10 @@ def main() -> None:
         "tokenizer_fertility": lambda: tokenizer_fertility(docs).collect(),
         "k_anonymity": lambda: k_anonymity(docs).collect(),
         "curriculum": lambda: agg_count(curriculum_order(docs)),
+        "pref_pairs": lambda: agg_count(preference_pairs(turns)),
+        "context_fit": lambda: agg_count(context_window_fit(turns)),
+        "normalize": lambda: agg_count(normalize_text(docs)),
+        "dedup_weights": lambda: agg_count(dedup_weights(docs)),
     }
 
     # warm-up on small slices
@@ -108,6 +116,10 @@ def main() -> None:
     tokenizer_fertility(small_d).count()
     k_anonymity(small_d).count()
     curriculum_order(small_d).count()
+    preference_pairs(small_t).count()
+    context_window_fit(small_t).count()
+    normalize_text(small_d).count()
+    dedup_weights(small_d).count()
 
     timings, steal = {}, {}
     for name, fn in jobs.items():
