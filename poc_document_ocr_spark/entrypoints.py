@@ -3850,12 +3850,13 @@ _O_SFT_EXAMPLES = oracle_cte("""
 SELECT conv_id, turn_idx,
   CAST(n_context_turns AS BIGINT) AS n_context_turns,
   CAST(length(context_text) AS BIGINT) AS context_chars,
-  CAST(length(text) AS BIGINT) AS target_chars,
+  CAST(length(coalesce(text, '')) AS BIGINT) AS target_chars,
   context_text
 FROM (
   SELECT conv_id, turn_idx, role, text,
     count(*) OVER w AS n_context_turns,
-    string_agg(role || ': ' || text, chr(10)) OVER w AS context_text
+    string_agg(role || ': ' || coalesce(text, ''), chr(10)) OVER w
+      AS context_text
   FROM t
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
@@ -3882,7 +3883,7 @@ _O_EXTRACTIVENESS = oracle_cte("""
 ),
 toksets AS (
   SELECT conv_id, turn_idx,
-    list_filter(list_distinct(string_split_regex(lower(text),
+    list_filter(list_distinct(string_split_regex(lower(coalesce(text, '')),
                 '[^a-z0-9]+')), x -> x <> '') AS ct,
     list_filter(list_distinct(string_split_regex(lower(prev_text),
                 '[^a-z0-9]+')), x -> x <> '') AS pt
@@ -4020,13 +4021,17 @@ WITH words AS (
 ),
 mx AS (SELECT max(doc_id) AS m FROM documents),
 tokb AS (
-  SELECT CAST(_id // ((m // 10) + 1) AS INT) AS bucket,
+  SELECT CAST(CASE WHEN m <= 922337203685477580
+              THEN (_id * 10) // (m + 1)
+              ELSE _id // ((m // 10) + 1) END AS INT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_tokens
   FROM words, mx GROUP BY 1
 ),
 firsts AS (SELECT w, min(_id) AS _id FROM words GROUP BY 1),
 newb AS (
-  SELECT CAST(_id // ((m // 10) + 1) AS INT) AS bucket,
+  SELECT CAST(CASE WHEN m <= 922337203685477580
+              THEN (_id * 10) // (m + 1)
+              ELSE _id // ((m // 10) + 1) END AS INT) AS bucket,
          CAST(count(*) AS BIGINT) AS n_new_terms
   FROM firsts, mx GROUP BY 1
 ),
@@ -4154,9 +4159,9 @@ _O_BEST_OF_N = oracle_cte("""
 , cand AS (
   SELECT conv_id, turn_idx,
     CAST(len(list_filter(list_distinct(
-      string_split_regex(lower(text), '[^a-z0-9]+')), x -> x <> ''))
-      AS BIGINT) AS n_tok,
-    CAST(length(text) AS BIGINT) AS n_chars
+      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')),
+      x -> x <> '')) AS BIGINT) AS n_tok,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
   FROM t WHERE role = 'assistant'
 ),
 r AS (
@@ -4184,12 +4189,12 @@ def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_DEDUP_WEIGHTS = """
 WITH sizes AS (
-  SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS n_copies
+  SELECT md5(coalesce(text, '')) AS fp, CAST(count(*) AS BIGINT) AS n_copies
   FROM documents GROUP BY 1
 )
 SELECT d.doc_id, s.n_copies,
   CAST(1000000 // s.n_copies AS BIGINT) AS weight_ppm
-FROM documents d JOIN sizes s ON md5(d.text) = s.fp
+FROM documents d JOIN sizes s ON md5(coalesce(d.text, '')) = s.fp
 """
 
 
@@ -4206,8 +4211,8 @@ def q_context_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 _O_CONTEXT_FIT = oracle_cte("""
 , toks AS (
   SELECT conv_id, turn_idx,
-    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
-      AS BIGINT) AS n_tokens
+    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+      x -> x <> '')) AS BIGINT) AS n_tokens
   FROM t
 ),
 cum AS (
@@ -4294,9 +4299,9 @@ _O_PREF_PAIRS = oracle_cte("""
 , cand AS (
   SELECT conv_id, turn_idx,
     CAST(len(list_filter(list_distinct(
-      string_split_regex(lower(text), '[^a-z0-9]+')), x -> x <> ''))
-      AS BIGINT) AS n_tok,
-    CAST(length(text) AS BIGINT) AS n_chars
+      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')),
+      x -> x <> '')) AS BIGINT) AS n_tok,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
   FROM t WHERE role = 'assistant'
 ),
 r AS (

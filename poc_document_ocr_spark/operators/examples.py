@@ -30,6 +30,14 @@ from pyspark.sql.window import Window as W
 
 from .textstats import TOKEN_SPLIT
 
+#: NULL-text rule shared by every operator here AND its oracle: a NULL
+#: turn text is treated as the EMPTY STRING. Without this, Spark and SQL
+#: engines disagree on NULL ordering inside struct min/max (Spark structs
+#: sort NULL fields first; DuckDB ORDER BY defaults NULLS LAST) and on
+#: NULL propagation through concat — the round-4 review reproduced a
+#: preference_pairs rejected-turn flip on a NULL-text turn.
+_TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
+
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
            "preference_pairs", "context_window_fit"]
 
@@ -54,7 +62,7 @@ def sft_pack_examples(
         .orderBy("turn_idx")
         .rowsBetween(-context_turns, -1)
     )
-    line = F.concat_ws(": ", F.col("role"), F.col("text"))
+    line = F.concat_ws(": ", F.col("role"), _TEXT())
     ctx = F.concat_ws("\n", F.collect_list(line).over(w))
     n_ctx = F.count(F.lit(1)).over(w).cast("long")
     return (
@@ -72,7 +80,7 @@ def sft_pack_examples(
             "turn_idx",
             "n_context_turns",
             F.length("context_text").cast("long").alias("context_chars"),
-            F.length("text").cast("long").alias("target_chars"),
+            F.length(_TEXT()).cast("long").alias("target_chars"),
             "context_text",
         )
     )
@@ -101,7 +109,7 @@ def extractiveness(t: DataFrame, target_role: str = "assistant") -> DataFrame:
         "conv_id",
         "turn_idx",
         "role",
-        toks(F.col("text")).alias("cur_toks"),
+        toks(_TEXT()).alias("cur_toks"),
         F.lag(F.col("text")).over(w).alias("prev_text"),
     )
     return (
@@ -146,12 +154,12 @@ def best_of_n(t: DataFrame, target_role: str = "assistant") -> DataFrame:
     target_chars)``.
     """
     toks = F.array_remove(
-        F.array_distinct(F.split(F.lower(F.col("text")), TOKEN_SPLIT)), ""
+        F.array_distinct(F.split(F.lower(_TEXT()), TOKEN_SPLIT)), ""
     )
     cand = t.filter(F.col("role") == target_role).select(
         "conv_id",
         F.size(toks).cast("long").alias("_r_tok"),
-        F.length("text").cast("long").alias("_r_chars"),
+        F.length(_TEXT()).cast("long").alias("_r_chars"),
         (-F.col("turn_idx")).cast("long").alias("_r_turn"),
         F.col("turn_idx").cast("int").alias("_turn_idx"),
     )
@@ -191,12 +199,12 @@ def preference_pairs(
     chosen_tokens, rejected_tokens, reward_gap_tokens)``.
     """
     toks = F.array_remove(
-        F.array_distinct(F.split(F.lower(F.col("text")), TOKEN_SPLIT)), ""
+        F.array_distinct(F.split(F.lower(_TEXT()), TOKEN_SPLIT)), ""
     )
     cand = t.filter(F.col("role") == target_role).select(
         "conv_id",
         F.size(toks).cast("long").alias("_r_tok"),
-        F.length("text").cast("long").alias("_r_chars"),
+        F.length(_TEXT()).cast("long").alias("_r_chars"),
         (-F.col("turn_idx")).cast("long").alias("_r_turn"),
         F.col("turn_idx").cast("int").alias("_turn_idx"),
     )
@@ -241,7 +249,7 @@ def context_window_fit(t: DataFrame, budget_tokens: int = 256) -> DataFrame:
     cum_tokens_from_end)``.
     """
     n_tok = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        F.filter(F.split(_TEXT(), " "), lambda x: x != "")
     ).cast("long")
     w = (
         W.partitionBy("conv_id")

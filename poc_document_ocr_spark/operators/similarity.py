@@ -55,6 +55,41 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def _exact_topk(
+    c: DataFrame,
+    q: DataFrame,
+    join_pred: Column,
+    out_cols: tuple[str, ...],
+    k: int,
+    max_queries: int,
+    err: str,
+) -> DataFrame:
+    """Shared exact-top-k skeleton for the small-query baselines
+    (:func:`cosine_topk`, :func:`hard_negatives`): capped-probe guard on
+    the query side, broadcast nested-loop with the caller's predicate in
+    the join condition, cosine ranking with the (cos DESC, n_id) tie
+    rule, WindowGroupLimit top-k. One definition so the guard, cosine
+    expression, and tie-break cannot drift between callers.
+
+    ``q`` must project ``(q_id, q_vec, …)`` and ``c`` ``(n_id, n_vec,
+    …)``; the guard's ``limit(max_queries+1).count()`` scans at most
+    max_queries+1 query rows however expensive the query lineage is.
+    """
+    if q.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(err)
+    sims = c.join(F.broadcast(q), join_pred).withColumn(
+        "cos",
+        dot(F.col("q_vec"), F.col("n_vec"))
+        / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -79,31 +114,18 @@ def cosine_topk(
     ``(q_id, n_id, rank)`` — ranks are deterministic: ties broken by
     neighbor id.
     """
-    if queries.limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            "cosine_topk is the exact small-query baseline: more than "
-            f"max_queries={max_queries} query vectors. Use lsh_topk "
-            "or the IVF path for corpus-sized query sides."
-        )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     c = corpus.select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     )
-    sims = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cos",
-            dot(F.col("q_vec"), F.col("n_vec"))
-            / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
-        )
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "rank")
+    return _exact_topk(
+        c, q, F.col("q_id") != F.col("n_id"),
+        ("q_id", "n_id", "rank"), k, max_queries,
+        "cosine_topk is the exact small-query baseline: more than "
+        f"max_queries={max_queries} query vectors. Use lsh_topk "
+        "or the IVF path for corpus-sized query sides.",
     )
 
 
@@ -512,12 +534,6 @@ def hard_negatives(
 
     Returns ``(q_id, q_label, n_id, n_label, rank)``.
     """
-    if queries.limit(max_queries + 1).count() > max_queries:
-        raise ValueError(
-            "hard_negatives is the exact small-query baseline: more than "
-            f"max_queries={max_queries} query vectors. Compose lsh_topk "
-            "with the label filter for corpus-sized query sides."
-        )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -528,16 +544,10 @@ def hard_negatives(
         F.col(vec_col).alias("n_vec"),
         F.col(label_col).alias("n_label"),
     )
-    sims = c.join(
-        F.broadcast(q), F.col("q_label") != F.col("n_label")
-    ).withColumn(
-        "cos",
-        dot(F.col("q_vec"), F.col("n_vec"))
-        / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "q_label", "n_id", "n_label", "rank")
+    return _exact_topk(
+        c, q, F.col("q_label") != F.col("n_label"),
+        ("q_id", "q_label", "n_id", "n_label", "rank"), k, max_queries,
+        "hard_negatives is the exact small-query baseline: more than "
+        f"max_queries={max_queries} query vectors. Compose lsh_topk "
+        "with the label filter for corpus-sized query sides.",
     )

@@ -1060,12 +1060,15 @@ def heaps_law(
     over the ``buckets``-row result, never the corpus. The max-doc-id
     scalar joins in as a one-row broadcast, not a collect.
 
-    Ids must be NON-NEGATIVE corpus positions. Bucketing divides first
-    (``id DIV (maxid DIV buckets + 1)``) — a multiply-first formulation
-    overflows BIGINT under ANSI mode once ids approach 2⁶³/buckets (the
-    same overflow class the round-3 advisory found in mixture_weights),
-    while the divide-first width is exact for the full non-negative
-    64-bit domain.
+    Ids must be NON-NEGATIVE corpus positions. Bucketing is hybrid:
+    the even multiply-first form ``(id·buckets) DIV (maxid+1)`` while
+    ``maxid ≤ 2⁶³/buckets`` (every realistic corpus), switching to the
+    overflow-safe divide-first width ``id DIV (maxid DIV buckets + 1)``
+    beyond it — multiply-first overflows BIGINT under ANSI mode near
+    2⁶³/buckets (the round-3 mixture_weights overflow class), while
+    divide-first alone quantizes the width and can emit fewer than
+    ``buckets`` checkpoints on small id domains. The CASE is on the
+    scalar ``maxid``, replayed identically by the oracle.
 
     Returns ``(bucket, n_tokens, n_new_terms, cum_tokens, cum_terms)``.
     """
@@ -1075,8 +1078,10 @@ def heaps_law(
     words = docs.select(F.col(id_col).alias("_id"),
                         F.explode(toks).alias("w"))
     maxid = docs.agg(F.max(id_col).cast("long").alias("_maxid"))
+    safe = 9223372036854775807 // buckets
     bucket = F.expr(
-        f"_id DIV ((_maxid DIV {buckets}) + 1)"
+        f"CASE WHEN _maxid <= {safe} THEN (_id * {buckets}) DIV (_maxid + 1) "
+        f"ELSE _id DIV ((_maxid DIV {buckets}) + 1) END"
     ).cast("int")
 
     tok_per_bucket = (

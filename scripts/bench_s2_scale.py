@@ -103,28 +103,37 @@ def main() -> None:
         "dedup_weights": lambda: agg_count(dedup_weights(docs)),
     }
 
-    # warm-up on small slices
+    unknown = only - set(jobs)
+    if unknown:
+        raise SystemExit(f"unknown op name(s): {sorted(unknown)}; "
+                         f"choose from {sorted(jobs)}")
+    selected = {n: f for n, f in jobs.items() if not only or n in only}
+
+    # warm-up on small slices — selected ops only
     small_t = turns.limit(5000).localCheckpoint()
     small_d = docs.limit(5000).localCheckpoint()
-    sft_pack_examples(small_t).count()
-    extractiveness(small_t).count()
-    best_of_n(small_t).count()
-    bpe_merge_candidates(small_d).count()
-    dsir_affinity(small_d, F.col("source") == "src0").count()
-    ngram_diversity(small_d).count()
-    heaps_law(small_d).count()
-    tokenizer_fertility(small_d).count()
-    k_anonymity(small_d).count()
-    curriculum_order(small_d).count()
-    preference_pairs(small_t).count()
-    context_window_fit(small_t).count()
-    normalize_text(small_d).count()
-    dedup_weights(small_d).count()
+    warmups = {
+        "sft_examples": lambda: sft_pack_examples(small_t).count(),
+        "extractiveness": lambda: extractiveness(small_t).count(),
+        "best_of_n": lambda: best_of_n(small_t).count(),
+        "bpe_merges": lambda: bpe_merge_candidates(small_d).count(),
+        "dsir_weights": lambda: dsir_affinity(
+            small_d, F.col("source") == "src0").count(),
+        "ngram_diversity": lambda: ngram_diversity(small_d).count(),
+        "heaps_law": lambda: heaps_law(small_d).count(),
+        "tokenizer_fertility": lambda: tokenizer_fertility(small_d).count(),
+        "k_anonymity": lambda: k_anonymity(small_d).count(),
+        "curriculum": lambda: curriculum_order(small_d).count(),
+        "pref_pairs": lambda: preference_pairs(small_t).count(),
+        "context_fit": lambda: context_window_fit(small_t).count(),
+        "normalize": lambda: normalize_text(small_d).count(),
+        "dedup_weights": lambda: dedup_weights(small_d).count(),
+    }
+    for name in selected:
+        warmups[name]()
 
     timings, steal = {}, {}
-    for name, fn in jobs.items():
-        if only and name not in only:
-            continue
+    for name, fn in selected.items():
         spark.catalog.clearCache()
         s0, j0 = _steal_sample()
         t0 = time.monotonic()

@@ -1531,7 +1531,7 @@ def test_heaps_law_cumulatives_and_totals(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = sorted(heaps_law(df).collect(), key=lambda r: r["bucket"])
-    # width = (9 DIV 10) + 1 = 1 -> bucket = id: docs land at 0,3,7,9
+    # maxid=9 (small) -> multiply-first path: (id*10) DIV 10 = id
     assert [r["bucket"] for r in out] == [0, 3, 7, 9]
     assert [r["n_tokens"] for r in out] == [2, 2, 3, 1]
     assert [r["n_new_terms"] for r in out] == [2, 1, 1, 1]
@@ -1667,3 +1667,40 @@ def test_dedup_weights_inverse_cluster_size(spark):
     assert len(out) == 4  # every row kept
     assert out[1]["weight_ppm"] == 333333 and out[1]["n_copies"] == 3
     assert out[4]["weight_ppm"] == 1000000 and out[4]["n_copies"] == 1
+
+
+def test_preference_pairs_null_text_rule(spark):
+    """NULL text counts as the empty string (0 tokens, 0 chars) — the
+    rule that keeps Spark struct min/max and SQL NULLS-LAST ordering
+    from diverging (round-4 review reproduction)."""
+    from poc_document_ocr_spark.operators.examples import (
+        best_of_n,
+        preference_pairs,
+    )
+
+    rows = [
+        ("a", 1, "assistant", "alpha beta gamma"),
+        ("a", 2, "assistant", None),
+        ("a", 3, "assistant", "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    pp = preference_pairs(df).collect()[0]
+    # NULL turn = 0 tokens -> it is the rejected one, not turn 3
+    assert pp["chosen_turn"] == 1 and pp["rejected_turn"] == 2
+    assert pp["rejected_tokens"] == 0 and pp["reward_gap_tokens"] == 3
+    bo = best_of_n(df).collect()[0]
+    assert bo["turn_idx"] == 1 and bo["reward_tokens"] == 3
+
+
+def test_dedup_weights_keeps_null_text_rows(spark):
+    from poc_document_ocr_spark.operators.dedup import dedup_weights
+
+    rows = [(1, "x"), (2, None), (3, None), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_weights(df).collect()}
+    assert len(out) == 4  # NULL-text rows are kept
+    # NULL hashes as '' -> docs 2,3,4 form one cluster of 3
+    assert out[2]["n_copies"] == 3 and out[4]["n_copies"] == 3
+    assert out[1]["weight_ppm"] == 1000000
