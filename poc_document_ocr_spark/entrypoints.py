@@ -4177,6 +4177,124 @@ FROM r WHERE rn = 1
 """)
 
 
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE composed plan — the
+    answer to "do the operators actually compose?": normalize →
+    Gopher-quality gate → exact-dedup keepers → temperature-mixture
+    downsample → shard assignment → contiguous packing → pack manifest.
+
+    Scale shape of the composition: normalization/quality are map-only
+    expressions fused into the scan; dedup is one fingerprint aggregate
+    + an AQE-decided join (the skew-robust shape, see dedup_weights);
+    the mixture weights branch computes on the POST-QUALITY corpus
+    (``weights_from``) so it re-executes a map-only scan, not the dedup
+    subtree; the pack window partitions by shard and the manifest
+    groupBy(shard, pack_id) REUSES that partitioning (subset rule — no
+    extra Exchange, same argument as consolidate's fold). Documents
+    parquet is scanned 3×, each a pruned (doc_id, lang, text)
+    projection; an audit check pins the scan count and Exchange budget.
+
+    Returns ``(shard, pack_id, n_docs, n_tokens)``.
+    """
+    from .operators.sampling import (
+        mixture_kept,
+        pack_contiguous,
+        shard_assign,
+    )
+    from .operators.textstats import normalize_text, quality_keep
+
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(docs, keep=("lang",)).select(
+        "doc_id", "lang", F.col("text_clean").alias("text")
+    )
+    qual = norm.filter(quality_keep(F.col("text")))
+    hashed = qual.withColumn("_fp", F.md5("text"))
+    keepers = hashed.groupBy("_fp").agg(F.min("doc_id").alias("_keeper"))
+    deduped = (
+        hashed.join(keepers, "_fp")
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .select("doc_id", "lang", "text")
+    )
+    final = mixture_kept(deduped, weights_from=qual).filter(
+        F.col("kept") == 1
+    )
+    sized = final.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_contiguous(shard_assign(sized, n_shards=8), budget=1000)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+_O_CURATE_PIPELINE = r"""
+WITH norm AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(
+      regexp_replace(text, '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+      '[ \t\n\r\f\x0B]+', ' ', 'g')) AS text
+  FROM documents
+),
+q AS (
+  SELECT * FROM norm WHERE
+    len(string_split(text, ' ')) BETWEEN 5 AND 100000
+    AND length(replace(text, ' ', ''))
+        / len(string_split(text, ' ')) BETWEEN 2.0 AND 12.0
+    AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+        / length(text) <= 0.30
+    AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+        / length(text) <= 0.50
+),
+kp AS (SELECT md5(text) AS fp, min(doc_id) AS keeper FROM q GROUP BY 1),
+d AS (SELECT q.* FROM q JOIN kp ON md5(q.text) = kp.fp
+      WHERE q.doc_id = kp.keeper),
+pl AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         AS n_tokens FROM q GROUP BY 1),
+k2 AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+         AS BIGINT) AS s FROM pl),
+tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         CAST(sum(s) AS BIGINT) AS tot_s FROM k2),
+mw AS (SELECT lang,
+         CASE WHEN p_ppm > 0 THEN CAST(w_ppm * 1000 // p_ppm AS BIGINT)
+         END AS up_x1000
+       FROM (SELECT lang,
+               CAST(CAST(n_tokens AS HUGEINT) * 1000000 // tot_tokens
+                 AS BIGINT) AS p_ppm,
+               CAST(CAST(s AS HUGEINT) * 1000000 // tot_s AS BIGINT)
+                 AS w_ppm
+             FROM k2, tt) z),
+thr AS (SELECT lang,
+          CASE WHEN least(coalesce(up_x1000, 1000), 1000) >= 1000 THEN 'g'
+               ELSE printf('%08x',
+                 least(coalesce(up_x1000, 1000), 1000)
+                   * 4294967296 // 1000)
+          END AS t
+        FROM mw),
+fin AS (
+  SELECT d.doc_id,
+    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+    substr(md5(CAST(d.doc_id AS VARCHAR) || ':0'), 1, 2) AS h2
+  FROM d JOIN thr ON d.lang = thr.lang
+  WHERE substr(md5(CAST(d.doc_id AS STRING) || ':0'), 1, 8) < thr.t
+),
+sh AS (SELECT doc_id, n_tokens,
+    CAST((ascii(substr(h2, 1, 1)) * 256 + ascii(substr(h2, 2, 1))) % 8
+      AS INT) AS shard
+  FROM fin),
+p AS (SELECT shard, doc_id, n_tokens,
+    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) / 1000.0) AS BIGINT) AS pack_id
+  FROM sh)
+SELECT shard, pack_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM p GROUP BY 1, 2
+"""
+
+
 def q_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft-dedup loss weights: every doc kept, weight_ppm = 1e6 DIV
     exact-dup cluster size — repeated content contributes one document's
@@ -4338,6 +4456,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize": q_normalize,
     "dedup_weights": q_dedup_weights,
     "context_fit": q_context_fit,
+    "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
     "bpe_merges": q_bpe_merges,
@@ -4452,6 +4571,7 @@ ORACLES: dict[str, str] = {
     "normalize": _O_NORMALIZE,
     "dedup_weights": _O_DEDUP_WEIGHTS,
     "context_fit": _O_CONTEXT_FIT,
+    "curate_pipeline": _O_CURATE_PIPELINE,
     "sft_examples": _O_SFT_EXAMPLES,
     "extractiveness": _O_EXTRACTIVENESS,
     "bpe_merges": _O_BPE_MERGES,

@@ -35,6 +35,7 @@ __all__ = [
     "group_quantiles_approx",
     "mixture_weights",
     "apply_mixture",
+    "mixture_kept",
     "curation_funnel",
     "length_trim",
     "k_anonymity",
@@ -418,23 +419,55 @@ def apply_mixture(
     ``(lang, up_x1000, n_docs_in, n_docs_kept, n_tokens_kept)``; filter
     composition on the kept flag gives the sampled corpus itself.
     """
-    mw = mixture_weights(df, lang_col=lang_col, text_col=text_col).select(
-        lang_col, "up_x1000"
+    keyed = mixture_kept(
+        df, lang_col=lang_col, text_col=text_col, id_col=id_col, seed=seed
     )
+    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+    return keyed.groupBy(lang_col, "up_x1000").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.sum("kept").cast("long").alias("n_docs_kept"),
+        F.sum(F.when(F.col("kept") == 1, n_toks).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+
+
+def mixture_kept(
+    df: DataFrame,
+    weights_from: DataFrame | None = None,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """The mixture sampler's row-level core: ``df``'s rows with their
+    ``up_x1000`` weight and an integer ``kept`` flag (1 = survives the
+    temperature downsample). :func:`apply_mixture` is the per-language
+    rollup of this; composed pipelines filter ``kept = 1`` directly.
+
+    ``weights_from`` optionally computes the language shares on a
+    DIFFERENT (usually upstream, cheaper-to-rescan) corpus than the one
+    being flagged — e.g. the post-quality corpus instead of the
+    post-dedup one, so a composed pipeline's weights branch re-executes
+    a map-only scan instead of the whole dedup subtree. The weights
+    table is #languages rows — a bounded broadcast-class artifact.
+    """
+    mw = mixture_weights(
+        df if weights_from is None else weights_from,
+        lang_col=lang_col, text_col=text_col,
+    ).select(lang_col, "up_x1000")
     thr_n = F.expr(
         "least(coalesce(up_x1000, 1000), 1000) * 4294967296 div 1000"
     )
     thr_hex = F.when(thr_n >= F.lit(4294967296), F.lit("g")).otherwise(
         F.format_string("%08x", thr_n)
     )
-    keyed = df.join(F.broadcast(mw.withColumn("_thr", thr_hex)), lang_col)
-    kept = F.when(split_key(F.col(id_col), seed) < F.col("_thr"), 1).otherwise(0)
-    n_toks = F.size(F.split(F.col(text_col), " ")).cast("long")
-    return keyed.groupBy(lang_col, "up_x1000").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
-        F.sum(kept).cast("long").alias("n_docs_kept"),
-        F.sum(F.when(kept == 1, n_toks).otherwise(0)).cast("long").alias(
-            "n_tokens_kept"
+    return df.join(
+        F.broadcast(mw.withColumn("_thr", thr_hex)), lang_col
+    ).withColumn(
+        "kept",
+        F.when(split_key(F.col(id_col), seed) < F.col("_thr"), 1).otherwise(
+            0
         ),
     )
 

@@ -1175,7 +1175,8 @@ _CTRL = "[\\x00-\\x08\\x0E-\\x1F\\x7F]"
 
 
 def normalize_text(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Text normalization — the universal first stage of every corpus
     pipeline: strip control characters, collapse whitespace runs to a
@@ -1186,9 +1187,11 @@ def normalize_text(
 
     Map-only column expressions; the regex classes are explicit (no
     ``\\s`` — Java and RE2 disagree on vertical tab) so the DuckDB
-    oracle replays the identical transform.
+    oracle replays the identical transform. ``keep`` passes metadata
+    columns through so composed pipelines stay in one projection.
 
-    Returns ``(id, n_chars_raw, n_chars_clean, n_removed, text_clean)``.
+    Returns ``(id, *keep, n_chars_raw, n_chars_clean, n_removed,
+    text_clean)``.
     """
     raw = F.col(text_col)
     clean = F.trim(
@@ -1198,6 +1201,7 @@ def normalize_text(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.length(raw).cast("long").alias("n_chars_raw"),
         F.length(clean).cast("long").alias("n_chars_clean"),
         (F.length(raw) - F.length(clean)).cast("long").alias("n_removed"),
