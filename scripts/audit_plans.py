@@ -667,11 +667,14 @@ def audit(spark, sf_dir: str):
         f"Window absent; Exchange = "
         f"{len(re.findall(r'Exchange', p))}",
     )
-    # curate_pipeline: the composed end-to-end plan — 5 Exchanges total
-    # (dedup agg + join pair + weights lang agg + pack window shuffle;
-    # the manifest groupBy REUSES the pack window's shard partitioning),
-    # 4 pruned corpus scans (hashed probe + keeper agg + the weights
-    # branch's per-lang agg and totals), ONE partitioned window
+    # curate_pipeline: the composed end-to-end plan. The normalized+
+    # quality projection is a LAZY checkpoint consumed by four branches
+    # (dedup probe, keeper agg, weights per-lang agg + totals) — so the
+    # downstream plan must contain ZERO parquet re-scans (the regex
+    # normalization runs ONCE); 5 Exchanges total (dedup agg + join pair
+    # + weights lang agg + pack window shuffle; the manifest groupBy
+    # REUSES the pack window's shard partitioning), ONE partitioned
+    # window
     cpq = ep.QUERIES["curate_pipeline"](spark, sf_dir)
     p = plan_of(cpq)
     n_ex = len(re.findall(r"\bExchange\b", p))
@@ -679,11 +682,12 @@ def audit(spark, sf_dir: str):
     n_win = len(re.findall(r"\bWindow\b", p))
     check(
         "curate_pipeline: composed plan stays bounded — ≤6 Exchanges,"
-        " ≤4 pruned scans, 1 shard-partitioned window, no cartesian,"
-        " manifest groupBy reuses pack partitioning",
-        n_ex <= 6 and n_scan <= 4 and n_win == 1
+        " ZERO parquet re-scans (normalize runs once into the lazy"
+        " checkpoint), 1 shard-partitioned window, no cartesian",
+        n_ex <= 6 and n_scan == 0 and n_win == 1
         and "CartesianProduct" not in p and "EvalPython" not in p,
-        f"Exchanges = {n_ex}, scans = {n_scan}, windows = {n_win}",
+        f"Exchanges = {n_ex}, parquet scans = {n_scan},"
+        f" windows = {n_win}",
     )
     # dedup_weights: both join sides are corpus-cardinality — strategy
     # left to AQE (no ResolvedHint), sizes agg partial-aggregates

@@ -81,26 +81,32 @@ def main() -> None:
         F.length("extracted_text").cast("long").alias("n_chars"),
     )
 
-    def agg_count(df):
-        return df.agg(F.count(F.lit(1))).collect()
+    def consume(df):
+        """Force EVERY output column: a count-only probe lets Catalyst
+        prune computed columns (collect_list contexts, array intersects,
+        regex normalization, max-struct aggregates) right out of the
+        measured plan — the timing then flatters the op. xxhash64 over
+        all columns defeats pruning at negligible cost."""
+        cols = [F.col(c) for c in df.columns]
+        return df.agg(F.sum(F.xxhash64(*cols))).collect()
 
     jobs = {
-        "sft_examples": lambda: agg_count(sft_pack_examples(turns)),
-        "extractiveness": lambda: agg_count(extractiveness(turns)),
-        "best_of_n": lambda: agg_count(best_of_n(turns)),
+        "sft_examples": lambda: consume(sft_pack_examples(turns)),
+        "extractiveness": lambda: consume(extractiveness(turns)),
+        "best_of_n": lambda: consume(best_of_n(turns)),
         "bpe_merges": lambda: bpe_merge_candidates(docs).collect(),
-        "dsir_weights": lambda: agg_count(
+        "dsir_weights": lambda: consume(
             dsir_affinity(docs, F.col("source") == "src0")
         ),
         "ngram_diversity": lambda: ngram_diversity(docs).collect(),
         "heaps_law": lambda: heaps_law(docs).collect(),
         "tokenizer_fertility": lambda: tokenizer_fertility(docs).collect(),
         "k_anonymity": lambda: k_anonymity(docs).collect(),
-        "curriculum": lambda: agg_count(curriculum_order(docs)),
-        "pref_pairs": lambda: agg_count(preference_pairs(turns)),
-        "context_fit": lambda: agg_count(context_window_fit(turns)),
-        "normalize": lambda: agg_count(normalize_text(docs)),
-        "dedup_weights": lambda: agg_count(dedup_weights(docs)),
+        "curriculum": lambda: consume(curriculum_order(docs)),
+        "pref_pairs": lambda: consume(preference_pairs(turns)),
+        "context_fit": lambda: consume(context_window_fit(turns)),
+        "normalize": lambda: consume(normalize_text(docs)),
+        "dedup_weights": lambda: consume(dedup_weights(docs)),
     }
 
     unknown = only - set(jobs)
@@ -113,21 +119,21 @@ def main() -> None:
     small_t = turns.limit(5000).localCheckpoint()
     small_d = docs.limit(5000).localCheckpoint()
     warmups = {
-        "sft_examples": lambda: sft_pack_examples(small_t).count(),
-        "extractiveness": lambda: extractiveness(small_t).count(),
-        "best_of_n": lambda: best_of_n(small_t).count(),
+        "sft_examples": lambda: consume(sft_pack_examples(small_t)),
+        "extractiveness": lambda: consume(extractiveness(small_t)),
+        "best_of_n": lambda: consume(best_of_n(small_t)),
         "bpe_merges": lambda: bpe_merge_candidates(small_d).count(),
-        "dsir_weights": lambda: dsir_affinity(
-            small_d, F.col("source") == "src0").count(),
+        "dsir_weights": lambda: consume(dsir_affinity(
+            small_d, F.col("source") == "src0")),
         "ngram_diversity": lambda: ngram_diversity(small_d).count(),
         "heaps_law": lambda: heaps_law(small_d).count(),
         "tokenizer_fertility": lambda: tokenizer_fertility(small_d).count(),
         "k_anonymity": lambda: k_anonymity(small_d).count(),
-        "curriculum": lambda: curriculum_order(small_d).count(),
-        "pref_pairs": lambda: preference_pairs(small_t).count(),
-        "context_fit": lambda: context_window_fit(small_t).count(),
-        "normalize": lambda: normalize_text(small_d).count(),
-        "dedup_weights": lambda: dedup_weights(small_d).count(),
+        "curriculum": lambda: consume(curriculum_order(small_d)),
+        "pref_pairs": lambda: consume(preference_pairs(small_t)),
+        "context_fit": lambda: consume(context_window_fit(small_t)),
+        "normalize": lambda: consume(normalize_text(small_d)),
+        "dedup_weights": lambda: consume(dedup_weights(small_d)),
     }
     for name in selected:
         warmups[name]()
