@@ -86,9 +86,12 @@ def main() -> None:
         prune computed columns (collect_list contexts, array intersects,
         regex normalization, max-struct aggregates) right out of the
         measured plan — the timing then flatters the op. xxhash64 over
-        all columns defeats pruning at negligible cost."""
+        all columns defeats pruning at negligible cost (bit_xor, not
+        sum — summing 64-bit hashes overflows BIGINT under ANSI)."""
         cols = [F.col(c) for c in df.columns]
-        return df.agg(F.sum(F.xxhash64(*cols))).collect()
+        return df.select(F.xxhash64(*cols).alias("_h")).agg(
+            F.expr("bit_xor(_h)")
+        ).collect()
 
     jobs = {
         "sft_examples": lambda: consume(sft_pack_examples(turns)),
