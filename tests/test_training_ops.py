@@ -1704,3 +1704,36 @@ def test_dedup_weights_keeps_null_text_rows(spark):
     # NULL hashes as '' -> docs 2,3,4 form one cluster of 3
     assert out[2]["n_copies"] == 3 and out[4]["n_copies"] == 3
     assert out[1]["weight_ppm"] == 1000000
+
+
+def test_curriculum_closed_form_property(spark):
+    """Property check over randomized skew shapes: for ANY (source,
+    n_chars) distribution — including heavy duplicates and single-source
+    corpora — the closed-form interleave equals the rank of
+    (src_rank, source) under an explicit lexicographic sort."""
+    from hypothesis import given, settings, strategies as st
+
+    from poc_document_ocr_spark.operators.sampling import curriculum_order
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["a", "b", "c", "dd"]),
+                      st.integers(min_value=0, max_value=5)),
+            min_size=1, max_size=40,
+        )
+    )
+    def prop(pairs):
+        rows = [(i, src, n) for i, (src, n) in enumerate(pairs)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+        out = curriculum_order(df).collect()
+        assert sorted(r["curriculum_pos"] for r in out) == list(
+            range(1, len(rows) + 1)
+        )
+        explicit = sorted(out, key=lambda r: (r["src_rank"], r["source"]))
+        for pos, r in enumerate(explicit, start=1):
+            assert r["curriculum_pos"] == pos
+
+    prop()
