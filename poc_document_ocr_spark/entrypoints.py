@@ -4453,6 +4453,225 @@ WHERE hi.n_candidates >= 2
 """)
 
 
+def q_bt_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over the transcript corpus:
+    assistant turns carry a deterministic responder variant
+    (``'m' || doc_id % 3``); consecutive assistant turns in a
+    conversation form a match (longer response wins, ties to the
+    earlier turn), and two integer-exact MM updates fit one strength
+    per variant. One corpus shuffle (the match-count groupBy); the MM
+    iterations run on the bounded variant set only."""
+    from .operators.preference import assistant_matches, bt_strength
+
+    t = spark_transcripts(spark, sf_dir).withColumn(
+        "variant",
+        F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string")),
+    )
+    return bt_strength(assistant_matches(t), iters=2)
+
+
+def _o_bt_iter(prev_s: str, idx: int) -> str:
+    """One unrolled MM update (+ renormalization) in oracle SQL."""
+    return f"""
+d{idx} AS (SELECT p.i AS variant,
+         CAST(sum(CAST(p.n_ij AS HUGEINT) * 1000000 // (si.s + sj.s))
+           AS BIGINT) AS denom
+       FROM pairs p JOIN {prev_s} si ON si.variant = p.i
+                    JOIN {prev_s} sj ON sj.variant = p.j
+       GROUP BY 1),
+r{idx} AS (SELECT it.variant,
+         CAST(CAST(it.n_wins AS HUGEINT) * 1000000 //
+              greatest(d{idx}.denom, 1) AS BIGINT) AS s_raw
+       FROM items it JOIN d{idx} ON d{idx}.variant = it.variant),
+t{idx} AS (SELECT CAST(sum(s_raw) AS BIGINT) AS tot,
+              CAST(count(*) AS BIGINT) AS k FROM r{idx}),
+s{idx} AS (SELECT r{idx}.variant,
+         CAST(CAST(r{idx}.s_raw AS HUGEINT) * (t{idx}.k * 1000000)
+           // t{idx}.tot AS BIGINT) AS s
+       FROM r{idx}, t{idx})"""
+
+
+_O_BT_STRENGTH = oracle_cte(f"""
+, a AS (
+  SELECT conv_id, turn_idx,
+    'm' || CAST(doc_id % 3 AS STRING) AS v1,
+    length(coalesce(text, '')) AS l1
+  FROM t WHERE role = 'assistant'
+),
+nx AS (
+  SELECT v1, l1,
+    lead(v1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS v2,
+    lead(l1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS l2
+  FROM a
+),
+m AS (
+  SELECT CASE WHEN l1 >= l2 THEN v1 ELSE v2 END AS winner,
+         CASE WHEN l1 >= l2 THEN v2 ELSE v1 END AS loser
+  FROM nx WHERE v2 IS NOT NULL AND v1 <> v2
+),
+dm AS (SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+       FROM m GROUP BY 1, 2),
+pairs AS (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+    SELECT winner AS i, loser AS j, n FROM dm
+    UNION ALL
+    SELECT loser AS i, winner AS j, n FROM dm) u
+  GROUP BY 1, 2
+),
+wins AS (SELECT winner AS variant, CAST(sum(n) AS BIGINT) AS n_wins
+         FROM dm GROUP BY 1),
+im AS (SELECT i AS variant, CAST(sum(n_ij) AS BIGINT) AS n_matches
+       FROM pairs GROUP BY 1),
+items AS (
+  SELECT im.variant, im.n_matches,
+         CAST(coalesce(w.n_wins, 0) AS BIGINT) AS n_wins
+  FROM im LEFT JOIN wins w ON w.variant = im.variant
+),
+s0 AS (SELECT variant, CAST(1000000 AS BIGINT) AS s FROM items),
+{_o_bt_iter("s0", 1)},
+{_o_bt_iter("s1", 2)}
+SELECT it.variant, it.n_matches, it.n_wins, s2.s AS strength_ppm
+FROM items it JOIN s2 ON s2.variant = it.variant
+""")
+
+
+#: deterministic refusal-marker injection for the refusal_rate twin pair
+#: (the synthetic corpus contains no natural refusals; both engines
+#: prepend identical markers on identical modular conditions — the same
+#: construction style as the transcript field lines)
+_REFUSAL_PREFIX_SQL = """CASE WHEN doc_id % 13 = 2
+      THEN 'I cannot help with that. '
+      WHEN doc_id % 17 = 5
+      THEN 'I''m sorry, but I can''t assist with this request. '
+      ELSE '' END"""
+
+
+def q_refusal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal/deflection rate of assistant turns per conversation —
+    the transcript-quality gate that keeps deflection-heavy
+    conversations out of SFT. Map-only regex flag + one conv-grain
+    groupBy."""
+    from .operators.textstats import refusal_stats
+
+    t = spark_transcripts(spark, sf_dir).filter(
+        F.col("role") == "assistant"
+    )
+    aug = t.withColumn(
+        "text",
+        F.concat(
+            F.expr(_REFUSAL_PREFIX_SQL), F.coalesce("text", F.lit(""))
+        ),
+    )
+    return refusal_stats(aug, group_col="conv_id")
+
+
+_O_REFUSAL_RATE = oracle_cte(f"""
+, a AS (
+  SELECT conv_id,
+    {_REFUSAL_PREFIX_SQL} || coalesce(text, '') AS text
+  FROM t WHERE role = 'assistant'
+)
+SELECT conv_id AS grp,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN regexp_matches(lower(text),
+    'i cannot help|i can.t assist|i am unable to') THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_refusals,
+  CAST(sum(CASE WHEN regexp_matches(lower(text),
+    'i cannot help|i can.t assist|i am unable to') THEN 1 ELSE 0 END)
+    * 1000000 // count(*) AS BIGINT) AS refusal_ppm
+FROM a GROUP BY 1
+""")
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty of the non-reference corpus slice
+    against the reference slice (``doc_id % 10 = 0``) — how much of
+    each candidate document is genuinely new. Distinct gram hashes
+    map-side, one AQE-decided vocabulary join, doc-grain groupBy."""
+    from .operators.dedup import ngram_novelty
+
+    return ngram_novelty(
+        _docs(spark, sf_dir), F.col("doc_id") % 10 == 0, n=3
+    )
+
+
+_O_NGRAM_NOVELTY = """
+WITH g AS (
+  SELECT doc_id, is_ref,
+    unnest(list_distinct(list_transform(
+      range(1, len(tk) - 1),
+      i -> md5(array_to_string(
+             list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), ' '))
+    ))) AS gh
+  FROM (SELECT doc_id, (doc_id % 10 = 0) AS is_ref,
+          string_split(text, ' ') AS tk
+        FROM documents) x
+),
+ref AS (SELECT DISTINCT gh FROM g WHERE is_ref),
+c AS (
+  SELECT g.doc_id, CASE WHEN r.gh IS NULL THEN 1 ELSE 0 END AS unseen
+  FROM g LEFT JOIN ref r ON r.gh = g.gh
+  WHERE NOT g.is_ref
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_grams,
+  CAST(sum(unseen) AS BIGINT) AS n_unseen,
+  CAST((sum(unseen) * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+FROM c GROUP BY 1
+"""
+
+
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch sampling plan per language: whole epochs + fractional
+    remainder from the temperature-mixture up-sampling factor, priced in
+    tokens. Same bounded shape as mix_weights."""
+    from .operators.sampling import epoch_schedule
+
+    return epoch_schedule(_docs(spark, sf_dir))
+
+
+_O_EPOCH_SCHEDULE = f"""
+WITH mw AS ({_O_MIX_WEIGHTS})
+SELECT lang, n_docs, n_tokens,
+  CAST(coalesce(up_x1000, 1000) AS BIGINT) AS up_x1000,
+  CAST(coalesce(up_x1000, 1000) // 1000 AS BIGINT) AS full_epochs,
+  CAST(coalesce(up_x1000, 1000) % 1000 AS BIGINT) AS frac_x1000,
+  CAST(CAST(n_tokens AS HUGEINT) * coalesce(up_x1000, 1000) // 1000
+    AS BIGINT) AS planned_tokens
+FROM mw
+"""
+
+
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors within cosine
+    0.2 of any benchmark vector (``vec_id % 40 = 7``) inside shared
+    sign-LSH buckets — the semantic twin of the n-gram ``decontam``
+    scrub. Cross-set bucket equi-join only, never all-pairs."""
+    from .operators.similarity import cross_set_screen
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    bench = emb.filter(F.col("vec_id") % 40 == 7)
+    corpus = emb.filter(F.col("vec_id") % 40 != 7)
+    return cross_set_screen(corpus, bench, _ANN_PLANES, tau=0.2)
+
+
+_O_SEMANTIC_DECONTAM = f"""
+{_ANN_BUCKET_CTE},
+bench AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 40 = 7),
+corp AS (SELECT vec_id, v, bucket FROM b WHERE vec_id % 40 <> 7),
+hits AS (
+  SELECT c.vec_id
+  FROM corp c JOIN bench p ON c.bucket = p.bucket
+  WHERE list_dot_product(c.v, p.v) /
+        (sqrt(list_dot_product(c.v, c.v)) *
+         sqrt(list_dot_product(p.v, p.v))) >= 0.2
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_probe_hits
+FROM hits GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -4567,6 +4786,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_totals": q_streaming_totals,
     "streaming_enrich": q_streaming_enrich,
     "streaming_join": q_streaming_join,
+    # --- new in round 4, session 4 (past the driver's 50-entry window;
+    # verified via scripts/check_oracles.py like the round-3 tail) ---
+    "bt_strength": q_bt_strength,
+    "refusal_rate": q_refusal_rate,
+    "ngram_novelty": q_ngram_novelty,
+    "epoch_schedule": q_epoch_schedule,
+    "semantic_decontam": q_semantic_decontam,
 }
 
 ORACLES: dict[str, str] = {
@@ -4676,6 +4902,11 @@ ORACLES: dict[str, str] = {
     "cos_neardup": _O_COS_NEARDUP,
     "multimodal_meta": _O_MULTIMODAL_META,
     "multimodal_decode": _O_MULTIMODAL_DECODE,
+    "bt_strength": _O_BT_STRENGTH,
+    "refusal_rate": _O_REFUSAL_RATE,
+    "ngram_novelty": _O_NGRAM_NOVELTY,
+    "epoch_schedule": _O_EPOCH_SCHEDULE,
+    "semantic_decontam": _O_SEMANTIC_DECONTAM,
 }
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "cross_split_leakage",
     "duplicate_ngram_spans",
     "decontaminate",
+    "ngram_novelty",
     "segment_dedup",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
@@ -672,6 +673,66 @@ def decontaminate(
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    ref_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference slice: the share
+    of a document's DISTINCT word ``n``-grams that appear nowhere in the
+    ``ref_pred`` documents — the freshness/redundancy score a curation
+    pass uses to decide whether a new crawl adds anything beyond what
+    the held corpus already covers (the additive complement of the
+    decontamination overlap check above, which flags ANY collision; this
+    one measures HOW MUCH of each candidate is genuinely new).
+
+    Shape at 10¹² docs: both sides reduce map-side to DISTINCT
+    ``(doc, gram-md5)`` rows; the reference vocabulary is one DISTINCT
+    over the gram hash, and the novelty join is a gram-keyed equi-join
+    with NO forced broadcast (the reference side is corpus-cardinality —
+    AQE picks the strategy), followed by a doc-grain groupBy with
+    map-side partials. ``novelty_ppm`` is one integral division of exact
+    BIGINTs. Documents with fewer than ``n`` words have no grams and are
+    absent from the output (nothing to score), as are reference docs.
+
+    Returns ``(id, n_grams, n_unseen, novelty_ppm)``.
+    """
+    grams = F.when(
+        F.size(F.split(F.col(text_col), " ")) >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+                f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+            )
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    g = df.select(
+        F.col(id_col), ref_pred.alias("_is_ref"), F.explode(grams).alias("gh")
+    )
+    ref_vocab = (
+        g.filter(F.col("_is_ref"))
+        .select("gh")
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    return (
+        g.filter(~F.col("_is_ref"))
+        .join(ref_vocab, "gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unseen"),
+        )
+        .withColumn(
+            "novelty_ppm", F.expr("n_unseen * 1000000 div n_grams")
         )
     )
 

@@ -36,6 +36,7 @@ __all__ = [
     "mixture_weights",
     "apply_mixture",
     "mixture_kept",
+    "epoch_schedule",
     "curation_funnel",
     "length_trim",
     "k_anonymity",
@@ -469,6 +470,43 @@ def mixture_kept(
         F.when(split_key(F.col(id_col), seed) < F.col("_thr"), 1).otherwise(
             0
         ),
+    )
+
+
+def epoch_schedule(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Multi-epoch sampling plan from the temperature mixture: languages
+    the mixture UP-samples (``up_x1000 > 1000``) cannot be reached by
+    dropping rows — a sampler repeats them. This op decomposes each
+    language's factor into whole training epochs plus a fractional
+    remainder epoch (served by the deterministic hash sample
+    ``mixture_kept`` applies), and prices the plan in tokens — the
+    schedule a data-loading layer actually executes (the
+    "repeat low-resource languages, subsample high-resource ones"
+    recipe of multilingual pretraining, Conneau et al. 1911.02116).
+
+    Same shape as ``mixture_weights`` (one groupBy(lang), bounded
+    output); the extra columns are integer arithmetic on the per-lang
+    rows. ``planned_tokens = n_tokens · up_x1000 DIV 1000`` is
+    DECIMAL(38,0)-widened before the divide (BIGINT would overflow past
+    ~9.2e15 tokens under ANSI mode).
+
+    Returns ``(lang, n_docs, n_tokens, up_x1000, full_epochs,
+    frac_x1000, planned_tokens)``.
+    """
+    mw = mixture_weights(df, lang_col=lang_col, text_col=text_col)
+    return mw.select(
+        lang_col,
+        "n_docs",
+        "n_tokens",
+        F.expr("coalesce(up_x1000, 1000)").alias("up_x1000"),
+        F.expr("coalesce(up_x1000, 1000) div 1000").alias("full_epochs"),
+        F.expr("coalesce(up_x1000, 1000) % 1000").alias("frac_x1000"),
+        F.expr(
+            "CAST(CAST(n_tokens AS DECIMAL(38,0))"
+            " * coalesce(up_x1000, 1000) div 1000 AS BIGINT)"
+        ).alias("planned_tokens"),
     )
 
 

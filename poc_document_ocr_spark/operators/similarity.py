@@ -28,6 +28,7 @@ __all__ = [
     "cosine_topk",
     "hard_negatives",
     "signlsh_buckets",
+    "cross_set_screen",
     "lsh_topk",
     "ivf_assign",
     "ivf_topk",
@@ -147,6 +148,48 @@ def signlsh_buckets(
         bit = (dot(F.col(vec_col), arr) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def cross_set_screen(
+    corpus: DataFrame,
+    probes: DataFrame,
+    planes: list[list[float]],
+    tau: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination screen: flag corpus vectors whose
+    cosine to ANY probe (benchmark/eval) vector reaches ``tau``,
+    restricting candidate pairs to shared sign-LSH buckets — the
+    semantic complement of the n-gram ``decontaminate`` scrub (a
+    paraphrased eval question shares no 8-gram but sits next to the
+    benchmark in embedding space; SemDeDup-style screening, Abbas et
+    al. 2303.09540 applied cross-set).
+
+    Shape at 10⁹ vectors: a CROSS-SET bucket equi-join only (the
+    incremental-LSH ingest shape — corpus never pairs with itself),
+    exact cosine inside buckets, then one corpus-id groupBy with
+    map-side partials. No forced broadcast (the probe side is usually
+    small but unbounded in general — AQE decides); never all-pairs. As
+    with the ANN paths, recall is governed by the bucket bit count —
+    callers scale ``planes`` with corpus size.
+
+    Returns flagged corpus rows only: ``(id, n_probe_hits)``.
+    """
+    cb = signlsh_buckets(corpus, planes, id_col=id_col, vec_col=vec_col)
+    pb = signlsh_buckets(probes, planes, id_col=id_col, vec_col=vec_col)
+    c = cb.select(F.col(id_col), F.col(vec_col).alias("_vc"), "bucket")
+    p = pb.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_vp"),
+                  "bucket")
+    cos = dot(F.col("_vc"), F.col("_vp")) / (
+        norm(F.col("_vc")) * norm(F.col("_vp"))
+    )
+    return (
+        c.join(p, "bucket")
+        .filter(cos >= tau)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_probe_hits"))
+    )
 
 
 def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> list:

@@ -43,6 +43,8 @@ __all__ = [
     "heaps_law",
     "tokenizer_fertility",
     "normalize_text",
+    "refusal_stats",
+    "REFUSAL_RE",
     "TOKEN_SPLIT",
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
@@ -1206,4 +1208,44 @@ def normalize_text(
         F.length(clean).cast("long").alias("n_chars_clean"),
         (F.length(raw) - F.length(clean)).cast("long").alias("n_removed"),
         clean.alias("text_clean"),
+    )
+
+
+#: refusal/deflection markers (matched on lowercased text; `.` stands in
+#: for the apostrophe so quoting never drifts between engines). Shared
+#: verbatim with the DuckDB oracle — Java regex and RE2 agree on plain
+#: alternation + literal + `.`.
+REFUSAL_RE = "i cannot help|i can.t assist|i am unable to"
+
+
+def refusal_stats(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Refusal/deflection rate per group: how many rows' text opens into
+    a canned refusal pattern — the assistant-quality gate an agent-
+    transcript curation pass runs before admitting conversations to SFT
+    (a source whose assistant turns are one-third deflections teaches
+    the model to deflect). Detection is a single lowercased regex
+    alternation (``REFUSAL_RE``); NULL text counts as the empty string.
+
+    Map-only flag + ONE groupBy with map-side combine; ``refusal_ppm``
+    is one integral division of exact BIGINTs.
+
+    Returns ``(group, n_rows, n_refusals, refusal_ppm)``.
+    """
+    hit = F.when(
+        F.lower(F.coalesce(F.col(text_col), F.lit(""))).rlike(REFUSAL_RE),
+        1,
+    ).otherwise(0)
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(hit).cast("long").alias("n_refusals"),
+        )
+        .withColumn(
+            "refusal_ppm", F.expr("n_refusals * 1000000 div n_rows")
+        )
     )

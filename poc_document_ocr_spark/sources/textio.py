@@ -68,8 +68,11 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     materialize the parsed batch first, so the reader output is cached
     here. That bounds memory by the INGEST BATCH, which is how a 100 TB
     ingest runs anyway (per-partition/per-day batches through the
-    idempotent catalog sink, never one monolithic read); the caller owns
-    ``good.unpersist()`` timing via the returned lineage.
+    idempotent catalog sink, never one monolithic read). The cache is
+    marked on the DataFrame the caller passed in, so the caller releases
+    it by calling ``unpersist()`` on that same reader DataFrame once both
+    sides are written (unpersisting the returned ``good``/``bad`` views
+    would be a no-op — they are derived plans, not the cached one).
     """
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)

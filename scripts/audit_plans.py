@@ -784,6 +784,84 @@ def audit(spark, sf_dir: str):
             f"Exchange = {len(re.findall(r'Exchange', p))}",
         )
 
+    # bt_strength: the corpus leaves the plan at the checkpointed
+    # match-count table — the final iterated plan must contain ZERO
+    # parquet scans (before the lineage-truncation fix it re-scanned
+    # the corpus 85×), no cartesian, no Python; per-iteration strength
+    # checkpoints keep plan depth O(1) in the iteration count
+    bt = ep.QUERIES["bt_strength"](spark, sf_dir)
+    p = plan_of(bt)
+    n_scan = len(re.findall(r"Scan parquet|FileScan", p))
+    check(
+        "bt_strength: corpus isolated behind the bounded match-count"
+        " checkpoint (ZERO parquet re-scans in the iterated plan), no"
+        " cartesian, no Python eval",
+        n_scan == 0
+        and "CartesianProduct" not in p
+        and "EvalPython" not in p,
+        f"parquet scans = {n_scan},"
+        f" BNLJ = {len(re.findall('BroadcastNestedLoopJoin', p))}",
+    )
+    # refusal_rate: map-only regex flag + ONE conv-grain groupBy
+    rr = ep.QUERIES["refusal_rate"](spark, sf_dir)
+    p = plan_of(rr)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "refusal_rate: ONE shuffle (conv groupBy), map-side partials,"
+        " no Python eval",
+        n_ex == 1 and "partial_sum" in p and "EvalPython" not in p,
+        f"Exchange = {n_ex}",
+    )
+    # ngram_novelty: the reference vocabulary side is corpus-cardinality
+    # — strategy left to AQE (no ResolvedHint), doc-grain agg carries
+    # map-side partials, never all-pairs
+    nn = ep.QUERIES["ngram_novelty"](spark, sf_dir)
+    p = plan_of(nn)
+    check(
+        "ngram_novelty: no forced broadcast of the corpus-sized gram"
+        " vocabulary; doc-grain agg partial-aggregates; no cartesian",
+        "ResolvedHint" not in analyzed(nn)
+        and "partial_count" in p
+        and "CartesianProduct" not in p,
+        "AQE-decided vocabulary join",
+    )
+    # epoch_schedule: the per-lang arithmetic is a pure projection on
+    # mix_weights' bounded shape — identical Exchange/scan counts (the
+    # epoch decomposition must add NO plan structure)
+    es = ep.QUERIES["epoch_schedule"](spark, sf_dir)
+    p = plan_of(es)
+    p_mw = plan_of(mw)
+    counts = lambda s: (  # noqa: E731
+        len(re.findall(r"\bExchange\b", s)),
+        len(re.findall(r"Scan parquet|FileScan", s)),
+    )
+    check(
+        "epoch_schedule: identical plan shape to mix_weights (the epoch"
+        " columns are projection-only), 1-row totals broadcast, no"
+        " Python eval",
+        counts(p) == counts(p_mw)
+        and "BroadcastNestedLoopJoin" in p
+        and "partial_sum" in p
+        and "EvalPython" not in p,
+        f"(Exchange, scans): epoch_schedule = {counts(p)},"
+        f" mix_weights = {counts(p_mw)}",
+    )
+    # semantic_decontam: cross-set bucket EQUI-join only — no
+    # cartesian/nested-loop over the corpus, no forced broadcast (the
+    # probe side is unbounded in general), corpus-id agg partials
+    sd = ep.QUERIES["semantic_decontam"](spark, sf_dir)
+    p = plan_of(sd)
+    check(
+        "semantic_decontam: cross-set bucket equi-join (no cartesian /"
+        " BNLJ), no forced broadcast, map-side partials",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "ResolvedHint" not in analyzed(sd)
+        and "partial_count" in p,
+        "join line: "
+        + next((l.strip()[:100] for l in p.splitlines() if "Join" in l), "?"),
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

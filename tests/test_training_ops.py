@@ -1737,3 +1737,167 @@ def test_curriculum_closed_form_property(spark):
             assert r["curriculum_pos"] == pos
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# round-4 session-4 ops: Bradley-Terry, refusal, novelty, epochs, screen
+# ---------------------------------------------------------------------------
+
+
+def test_bt_strength_exact_integer_mm(spark):
+    """Pin the two MM updates against a pure-Python replay of the same
+    ppm integer arithmetic on a hand-sized match table: A beats B twice
+    and C once, B beats A once. Strengths must come out A > B > C with
+    the exact normalized ppm values."""
+    from poc_document_ocr_spark.operators.preference import bt_strength
+
+    matches = spark.createDataFrame(
+        [("A", "B"), ("A", "B"), ("B", "A"), ("A", "C")],
+        "winner string, loser string",
+    )
+    out = {r["variant"]: r for r in bt_strength(matches, iters=2).collect()}
+
+    n_ij = {("A", "B"): 3, ("B", "A"): 3, ("A", "C"): 1, ("C", "A"): 1}
+    wins = {"A": 3, "B": 1, "C": 0}
+    s = {"A": 1_000_000, "B": 1_000_000, "C": 1_000_000}
+    for _ in range(2):
+        denom = {
+            i: sum(
+                n * 1_000_000 // (s[i] + s[j])
+                for (pi, j), n in ((k, v) for k, v in n_ij.items())
+                if pi == i
+            )
+            for i in s
+        }
+        raw = {i: wins[i] * 1_000_000 // max(denom[i], 1) for i in s}
+        tot = sum(raw.values())
+        s = {i: raw[i] * (len(s) * 1_000_000) // tot for i in s}
+
+    assert out["A"]["n_matches"] == 4 and out["A"]["n_wins"] == 3
+    assert out["B"]["n_matches"] == 3 and out["B"]["n_wins"] == 1
+    assert out["C"]["n_matches"] == 1 and out["C"]["n_wins"] == 0
+    for v in ("A", "B", "C"):
+        assert out[v]["strength_ppm"] == s[v], v
+    assert (
+        out["A"]["strength_ppm"]
+        > out["B"]["strength_ppm"]
+        > out["C"]["strength_ppm"]
+    )
+
+
+def test_assistant_matches_pairing_and_ties(spark):
+    """Consecutive assistant turns pair within a conversation; longer
+    text wins, ties go to the earlier turn, same-variant pairs drop, and
+    NULL text counts as empty."""
+    from poc_document_ocr_spark.operators.preference import (
+        assistant_matches,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("c1", 1, "assistant", "m0", "longer text here"),
+            ("c1", 2, "user", "m1", "ignored"),
+            ("c1", 3, "assistant", "m1", "short"),
+            ("c1", 4, "assistant", "m1", "same variant -> no match"),
+            ("c1", 5, "assistant", "m2", None),
+            ("c2", 1, "assistant", "m0", "tie"),
+            ("c2", 2, "assistant", "m1", "tie"),
+        ],
+        "conv_id string, turn_idx int, role string, variant string,"
+        " text string",
+    )
+    got = sorted(
+        (r["winner"], r["loser"]) for r in assistant_matches(t).collect()
+    )
+    # c1: (m0 len16 vs m1 len5) -> m0; (m1 vs m1) dropped;
+    #     (m1 len25 vs m2 NULL->0) -> m1. c2: tie -> earlier (m0).
+    assert got == [("m0", "m1"), ("m0", "m1"), ("m1", "m2")]
+
+
+def test_refusal_stats_patterns_and_ppm(spark):
+    from poc_document_ocr_spark.operators.textstats import refusal_stats
+
+    df = spark.createDataFrame(
+        [
+            ("g1", "I CANNOT HELP with that request"),
+            ("g1", "Sure, here is the answer"),
+            ("g1", "i can't assist with this"),
+            ("g1", None),
+            ("g2", "all good"),
+        ],
+        "conv_id string, text string",
+    )
+    out = {r["grp"]: r for r in refusal_stats(df).collect()}
+    assert out["g1"]["n_rows"] == 4 and out["g1"]["n_refusals"] == 2
+    assert out["g1"]["refusal_ppm"] == 500_000
+    assert out["g2"]["n_refusals"] == 0 and out["g2"]["refusal_ppm"] == 0
+
+
+def test_ngram_novelty_distinct_grams_and_short_docs(spark):
+    from poc_document_ocr_spark.operators.dedup import ngram_novelty
+
+    df = _docs(
+        spark,
+        [
+            (10, "a b c d"),          # reference: grams {abc, bcd}
+            (1, "a b c x"),           # abc seen, bcx new -> 500000
+            (2, "a b c a b c"),       # distinct grams: abc, bca, cab
+            (3, "too short"),         # <3 words -> absent
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_novelty(df, F.col("doc_id") == 10).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 2 and out[1]["n_unseen"] == 1
+    assert out[1]["novelty_ppm"] == 500_000
+    # doc 2: 4 positional grams but 3 DISTINCT; only 'a b c' is seen
+    assert out[2]["n_grams"] == 3 and out[2]["n_unseen"] == 2
+
+
+def test_epoch_schedule_decomposition(spark):
+    from poc_document_ocr_spark.operators.sampling import (
+        epoch_schedule,
+        mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", "w " * 400), (2, "yo", "w " * 4)],
+        "doc_id long, lang string, text string",
+    )
+    mw = {r["lang"]: r for r in mixture_weights(df).collect()}
+    out = {r["lang"]: r for r in epoch_schedule(df).collect()}
+    for lang in ("en", "yo"):
+        up = mw[lang]["up_x1000"]
+        assert out[lang]["up_x1000"] == up
+        assert out[lang]["full_epochs"] == up // 1000
+        assert out[lang]["frac_x1000"] == up % 1000
+        assert (
+            out[lang]["planned_tokens"]
+            == mw[lang]["n_tokens"] * up // 1000
+        )
+    # sqrt temperature up-samples the low-resource language
+    assert out["yo"]["full_epochs"] >= 1 and out["en"]["up_x1000"] <= 1000
+
+
+def test_cross_set_screen_flags_planted_neighbor(spark):
+    from poc_document_ocr_spark.operators.similarity import (
+        cross_set_screen,
+    )
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    far = [0.0] * (dim - 1) + [1.0]
+    corpus = spark.createDataFrame(
+        [(1, base), (2, far)], "vec_id long, embedding array<float>"
+    )
+    probes = spark.createDataFrame(
+        [(100, base)], "vec_id long, embedding array<float>"
+    )
+    planes = [
+        [1.0] * dim,
+        [1.0] * (dim // 2) + [-1.0] * (dim // 2),
+    ]
+    out = cross_set_screen(corpus, probes, planes, tau=0.9).collect()
+    assert [(r["vec_id"], r["n_probe_hits"]) for r in out] == [(1, 1)]
