@@ -130,6 +130,28 @@ def cosine_topk(
     )
 
 
+def _literal_dot(vec_col: str, plane: list[float]) -> Column:
+    """Dot of a vector column with a LITERAL plane, unrolled to flat
+    codegen arithmetic (``v[0]*p0 + v[1]*p1 + …``) instead of a
+    zip_with/aggregate HOF closure — the same 2× lesson as the k-means
+    literal-centroid distances (a HOF lambda evaluates outside
+    whole-stage codegen per element). Terms add in index order, matching
+    the HOF left-fold and DuckDB's ``list_dot_product`` bit-for-bit;
+    exact-zero coefficients are skipped (adding ±0.0 never changes the
+    sum's value or the ``>= 0`` sign test)."""
+    terms = [
+        F.col(vec_col).getItem(j).cast("double") * F.lit(float(x))
+        for j, x in enumerate(plane)
+        if float(x) != 0.0
+    ]
+    if not terms:
+        return F.lit(0.0)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def signlsh_buckets(
     df: DataFrame,
     planes: list[list[float]],
@@ -140,12 +162,14 @@ def signlsh_buckets(
 
     ``planes`` are fixed (job-arg) hyperplanes — deterministic, no RNG in
     executors. Bucketed ANN = join corpus and queries on ``bucket`` then
-    exact cosine within the bucket.
+    exact cosine within the bucket. The per-plane dots are unrolled
+    literal arithmetic (:func:`_literal_dot`), not HOF closures — at
+    10⁹ vectors × b planes the bucket pass is the dominant map stage and
+    must stay inside whole-stage codegen.
     """
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(F.col(vec_col), arr) >= 0).cast("long")
+        bit = (_literal_dot(vec_col, p) >= 0).cast("long")
         bucket = bucket + F.shiftleft(bit, i)
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
