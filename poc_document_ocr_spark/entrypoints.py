@@ -4600,8 +4600,9 @@ WITH g AS (
   SELECT doc_id, is_ref,
     unnest(list_distinct(list_transform(
       range(1, len(tk) - 1),
-      i -> md5(array_to_string(
-             list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), ' '))
+      i -> CAST(('0x' || substring(md5(array_to_string(
+             list_slice(tk, CAST(i AS INT), CAST(i AS INT) + 2), ' ')),
+             1, 15)) AS BIGINT)
     ))) AS gh
   FROM (SELECT doc_id, (doc_id % 10 = 0) AS is_ref,
           string_split(text, ' ') AS tk
@@ -4669,6 +4670,74 @@ hits AS (
 )
 SELECT vec_id, CAST(count(*) AS BIGINT) AS n_probe_hits
 FROM hits GROUP BY 1
+"""
+
+
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template centrality over the near-dup candidate graph: two
+    integer-exact PageRank iterations on the LSH pair graph of the
+    near-dup corpus — high-rank nodes are the boilerplate templates the
+    crawl duplicated most (the hubs a keep-best election drops first).
+    Same pair generation as dedup_components; iterations are three
+    hash shuffles each over checkpointed corpus-cardinality tables."""
+    from .operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from .operators.graph import pagerank
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    return pagerank(corpus, pairs, iters=2)
+
+
+def _o_pr_iter(prev_s: str, idx: int, damping_ppm: int) -> str:
+    """One unrolled PageRank update in oracle SQL (ppm integers)."""
+    base = 1_000_000 - damping_ppm
+    return f"""
+in{idx} AS (SELECT e.dst, CAST(sum(s.s // e.deg) AS BIGINT) AS inflow
+        FROM e JOIN {prev_s} s ON s.node = e.src GROUP BY 1),
+s{idx} AS (SELECT n.node,
+         CAST({base} AS BIGINT)
+         + CAST(CAST(coalesce(i.inflow, 0) AS HUGEINT) * {damping_ppm}
+                // 1000000 AS BIGINT) AS s
+       FROM s0 n LEFT JOIN in{idx} i ON i.dst = n.node)"""
+
+
+_O_DUP_PAGERANK = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+        FROM edges GROUP BY 1),
+e AS (SELECT edges.src, edges.dst, deg.deg
+      FROM edges JOIN deg USING (src)),
+s0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS s FROM corpus),
+{_o_pr_iter("s0", 1, 850_000)},
+{_o_pr_iter("s1", 2, 850_000)}
+SELECT n.node AS doc_id,
+  CAST(coalesce(deg.deg, 0) AS BIGINT) AS n_neighbors,
+  s2.s AS rank_ppm
+FROM s0 n LEFT JOIN deg ON deg.src = n.node
+JOIN s2 ON s2.node = n.node
 """
 
 
@@ -4793,6 +4862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "epoch_schedule": q_epoch_schedule,
     "semantic_decontam": q_semantic_decontam,
+    "dup_pagerank": q_dup_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -4907,6 +4977,7 @@ ORACLES: dict[str, str] = {
     "ngram_novelty": _O_NGRAM_NOVELTY,
     "epoch_schedule": _O_EPOCH_SCHEDULE,
     "semantic_decontam": _O_SEMANTIC_DECONTAM,
+    "dup_pagerank": _O_DUP_PAGERANK,
 }
 
 

@@ -693,25 +693,39 @@ def ngram_novelty(
     one measures HOW MUCH of each candidate is genuinely new).
 
     Shape at 10¹² docs: both sides reduce map-side to DISTINCT
-    ``(doc, gram-md5)`` rows; the reference vocabulary is one DISTINCT
-    over the gram hash, and the novelty join is a gram-keyed equi-join
+    ``(doc, gram-key)`` rows; the reference vocabulary is one DISTINCT
+    over the gram key, and the novelty join is a gram-keyed equi-join
     with NO forced broadcast (the reference side is corpus-cardinality —
     AQE picks the strategy), followed by a doc-grain groupBy with
     map-side partials. ``novelty_ppm`` is one integral division of exact
     BIGINTs. Documents with fewer than ``n`` words have no grams and are
     absent from the output (nothing to score), as are reference docs.
 
+    The gram key is the first 60 bits of the gram's md5 as a BIGINT
+    (engine-portable via ``conv``/hex-literal cast) rather than the
+    32-char hex string — the gram table is the biggest shuffle in the
+    op (~100 gram rows per document) and the 8-byte key cuts its width
+    ~3× (measured 269s → 180s at 18.8M docs). Collision cost is a gram
+    falsely counted "seen": expected colliding pairs ≈ n²/2⁶¹, a
+    relative novelty error of n/2⁶¹ — ~4×10⁻⁸ even at 10¹¹ distinct
+    grams, far below the signal this score feeds.
+
     Returns ``(id, n_grams, n_unseen, novelty_ppm)``.
     """
+    gram_key = (
+        f"CAST(conv(substring(md5(concat_ws(' ',"
+        f" slice(split({text_col}, ' '), i, {n}))), 1, 15), 16, 10)"
+        f" AS BIGINT)"
+    )
     grams = F.when(
         F.size(F.split(F.col(text_col), " ")) >= n,
         F.array_distinct(
             F.expr(
                 f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
-                f" i -> md5(concat_ws(' ', slice(split({text_col}, ' '), i, {n}))))"
+                f" i -> {gram_key})"
             )
         ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
     g = df.select(
         F.col(id_col), ref_pred.alias("_is_ref"), F.explode(grams).alias("gh")
     )

@@ -1901,3 +1901,39 @@ def test_cross_set_screen_flags_planted_neighbor(spark):
     ]
     out = cross_set_screen(corpus, probes, planes, tau=0.9).collect()
     assert [(r["vec_id"], r["n_probe_hits"]) for r in out] == [(1, 1)]
+
+
+def test_pagerank_exact_integer_replay(spark):
+    """Pin the two unrolled PageRank updates against a pure-Python
+    replay of the same ppm integer arithmetic on a hand-sized graph:
+    a 3-star (hub 1 — leaves 2,3,4) plus an isolated node 5."""
+    from poc_document_ocr_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r for r in pagerank(nodes, pairs, iters=2).collect()
+    }
+
+    adj = {1: [2, 3, 4], 2: [1], 3: [1], 4: [1], 5: []}
+    d = 850_000
+    s = {i: 1_000_000 for i in adj}
+    for _ in range(2):
+        inflow = {
+            i: sum(s[j] // len(adj[j]) for j in adj[i]) for i in adj
+        }
+        s = {
+            i: (1_000_000 - d) + inflow[i] * d // 1_000_000 for i in adj
+        }
+
+    assert out[1]["n_neighbors"] == 3
+    assert out[2]["n_neighbors"] == 1 and out[5]["n_neighbors"] == 0
+    for i in adj:
+        assert out[i]["rank_ppm"] == s[i], i
+    # hub dominates, leaves tie, the isolated node holds the base rank
+    assert out[1]["rank_ppm"] > out[2]["rank_ppm"] > out[5]["rank_ppm"]
+    assert out[5]["rank_ppm"] == 150_000
