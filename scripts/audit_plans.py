@@ -862,6 +862,29 @@ def audit(spark, sf_dir: str):
         + next((l.strip()[:100] for l in p.splitlines() if "Join" in l), "?"),
     )
 
+    # dup_pagerank: the iterations must NOT drag the LSH pair generation
+    # or the corpus scan back into the output plan — the degree-annotated
+    # edge table, node set, and per-iteration ranks are localCheckpoint-ed,
+    # so the FINAL plan reads only ExistingRDD scans (O(1) depth in the
+    # iteration count, the connected_components lineage rule) and contains
+    # no cartesian or forced broadcast
+    pr = ep.QUERIES["dup_pagerank"](spark, sf_dir)
+    p = plan_of(pr)
+    check(
+        "dup_pagerank: lineage cut at checkpoints — final plan has NO"
+        " parquet scan / LSH banding, only ExistingRDD reads; no"
+        " cartesian, no forced broadcast",
+        "FileScan parquet" not in p
+        and "Scan ExistingRDD" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "ResolvedHint" not in analyzed(pr),
+        f"scans: ExistingRDD ×{len(re.findall('Scan ExistingRDD', p))},"
+        f" parquet ×{len(re.findall('FileScan parquet', p))};"
+        f" Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+    sections.append(("dup_pagerank", excerpt(p)))
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

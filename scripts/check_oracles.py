@@ -4,12 +4,18 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same sf dir, then compares row count, column names, and an
 order-insensitive value hash. Usage::
 
-    python scripts/check_oracles.py [sf_dir] [query ...]
+    python scripts/check_oracles.py [--json out.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a driver-format artifact (one object per
+query: rows/schema/hash match booleans, row counts, err) covering EVERY
+query run — the full-surface record for queries outside the driver's
+50-entry window.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import os
 import sys
@@ -51,8 +57,13 @@ def table_hash(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_path = None
+    if argv and argv[0] == "--json":
+        json_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check_oracles", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -64,21 +75,34 @@ def main() -> int:
 
     qs, os_ = se.queries(), se.oracle_sql()
     n_fail = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.monotonic()
+        ent = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        record[name] = ent
         try:
             df = fn(spark, sf_dir)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            ent["err"] = f"spark: {e}"
             n_fail += 1
             continue
+        ent["spark_rows"] = len(rows)
         sql = os_.get(name)
         if sql is None:
             print(f"SKIP {name}: no oracle ({len(rows)} rows)")
+            ent["err"] = "no oracle (rows-only check)"
             continue
         try:
             res = con.execute(sql)
@@ -86,11 +110,16 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            ent["err"] = f"duckdb: {e}"
             n_fail += 1
             continue
         sh, sn = table_hash(cols, rows)
         oh, on = table_hash(ocols, orows)
         dt = time.monotonic() - t0
+        ent["oracle_rows"] = on
+        ent["rows_match"] = sn == on
+        ent["schema_match"] = sorted(cols) == sorted(ocols)
+        ent["hash_match"] = sh == oh and ent["rows_match"] and ent["schema_match"]
         if sorted(cols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(cols)} vs {sorted(ocols)}")
             n_fail += 1
@@ -103,6 +132,10 @@ def main() -> int:
             n_fail += 1
         else:
             print(f"OK   {name}: {sn} rows, {dt:.1f}s")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(record, f, indent=2)
+        print("wrote", json_path)
     print("FAILURES:", n_fail)
     return 1 if n_fail else 0
 
