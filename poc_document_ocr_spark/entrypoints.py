@@ -4741,6 +4741,189 @@ JOIN s2 ON s2.node = n.node
 """
 
 
+def q_template_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-template mining: LSH pairs → connected components →
+    the 8-word segments shared by ≥60% of each cluster's members — the
+    literal template text the near-dup clusters keep re-emitting (the
+    extraction complement of dup_pagerank's hub ranking)."""
+    from .operators.dedup import connected_components, template_segments
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    comps = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    return template_segments(corpus, comps, n=8, tau_ppm=600_000)
+
+
+_O_TEMPLATE_MINE = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b AS src, id_a AS dst FROM prs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+cm AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+comps AS (SELECT c.doc_id,
+            coalesce(m.component, c.doc_id) AS component
+          FROM corpus c LEFT JOIN cm m ON m.node = c.doc_id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comps GROUP BY 1 HAVING count(*) >= 2),
+sg AS (SELECT doc_id, string_split(text, ' ') AS wd FROM corpus
+       WHERE len(string_split(text, ' ')) > 0),
+occ AS (SELECT DISTINCT cp.component, sg.doc_id,
+          array_to_string(
+            list_slice(wd, CAST(i * 8 + 1 AS BIGINT),
+                       CAST(i * 8 + 8 AS BIGINT)), ' ') AS segment
+        FROM sg
+        JOIN comps cp ON cp.doc_id = sg.doc_id,
+        UNNEST(range(0, CAST(ceil(len(wd) / 8.0) AS BIGINT))) AS u(i)),
+support AS (SELECT component, segment,
+              CAST(count(*) AS BIGINT) AS n_docs
+            FROM occ GROUP BY 1, 2)
+SELECT s.component, s.segment, s.n_docs, z.cluster_size,
+  CAST(CAST(s.n_docs AS HUGEINT) * 1000000 // z.cluster_size AS BIGINT)
+    AS support_ppm
+FROM support s JOIN sizes z USING (component)
+WHERE CAST(s.n_docs AS HUGEINT) * 1000000
+      >= CAST(z.cluster_size AS HUGEINT) * 600000
+"""
+
+
+def q_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractor-version regression audit over a mixed-format corpus:
+    the dispatcher (candidate release) vs a passthrough v0 extractor
+    (no boilerplate strip), per dispatched format — which formats
+    drifted, by how many characters, whether spans moved, plus units
+    each side dropped or invented. The north-rule per-turn
+    text-equality invariant as a distributed query instead of a
+    fixture diff."""
+    from .operators.extraction import extraction_diff
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    payload = (
+        F.when(d % 4 == 0, F.col("text"))
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_SUF)),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit(_LAY_HDR),
+                F.col("text"),
+                F.lit(_LAY_MID),
+                F.lit(_LAY_P2),
+                F.lit(_LAY_SUF),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    grp = (
+        F.when(d % 4 == 0, F.lit("plain"))
+        .when(d % 4 == 1, F.lit("html"))
+        .when(d % 4 == 2, F.lit("layout"))
+        .otherwise(F.lit("empty"))
+    )
+    mixed = docs.select("doc_id", grp.alias("fmt"), payload.alias("text"))
+    old = mixed.select(
+        "doc_id",
+        "fmt",
+        F.col("text").alias("extracted_text"),
+        F.lit(1).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("s0_start"),
+        F.length("text").cast("long").alias("s0_end"),
+    )
+    ex = extract_turns(mixed.filter(d % 50 != 49))
+    new = ex.select(
+        "doc_id",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        # get(), not [0]: the empty format has zero spans and ANSI mode
+        # makes [0] an error rather than NULL
+        F.get("spans", 0)["start"].cast("long").alias("s0_start"),
+        F.get("spans", 0)["end"].cast("long").alias("s0_end"),
+    ).unionAll(
+        docs.filter(d % 100 == 7).select(
+            (d + 500_000).alias("doc_id"),
+            F.lit("ghost unit").alias("extracted_text"),
+            F.lit(1).cast("long").alias("n_spans"),
+            F.lit(0).cast("long").alias("s0_start"),
+            F.lit(10).cast("long").alias("s0_end"),
+        )
+    )
+    return extraction_diff(old, new, group_col="fmt")
+
+
+_O_EXTRACT_DIFF = f"""
+WITH d AS (SELECT doc_id, text, CAST(doc_id % 4 AS INT) AS m,
+             (doc_id % 50 = 49) AS dropped
+           FROM documents),
+base AS (SELECT doc_id, m, dropped,
+    CASE m WHEN 0 THEN 'plain' WHEN 1 THEN 'html'
+           WHEN 2 THEN 'layout' ELSE 'empty' END AS grp,
+    CASE m WHEN 0 THEN length(text)
+           WHEN 1 THEN {len(_HTML_PRE)} + length(text) + {len(_HTML_SUF)}
+           WHEN 2 THEN {len(_LAY_HDR) + len(_LAY_MID) + len(_LAY_P2) + len(_LAY_SUF)} + length(text)
+           ELSE 0 END AS old_len,
+    CASE m WHEN 0 THEN length(text)
+           WHEN 1 THEN length(text)
+           WHEN 2 THEN length(text) + 1 + {len(_LAY_P2)}
+           ELSE 0 END AS new_len,
+    (m IN (0, 3)) AS text_eq,
+    (m = 0) AS span_eq
+  FROM d),
+grps AS (SELECT grp,
+    CAST(sum(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+    CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_only_old,
+    CAST(0 AS BIGINT) AS n_only_new,
+    CAST(sum(CASE WHEN text_eq AND NOT dropped THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_text_equal,
+    CAST(sum(CASE WHEN span_eq AND NOT dropped THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_span_equal,
+    CAST(sum(CASE WHEN NOT dropped THEN new_len - old_len ELSE 0 END)
+      AS BIGINT) AS sum_len_delta
+  FROM base GROUP BY 1),
+ghost AS (SELECT '(new-only)' AS grp, CAST(0 AS BIGINT) AS n_both,
+    CAST(0 AS BIGINT) AS n_only_old,
+    CAST(count(*) AS BIGINT) AS n_only_new,
+    CAST(0 AS BIGINT) AS n_text_equal, CAST(0 AS BIGINT) AS n_span_equal,
+    CAST(0 AS BIGINT) AS sum_len_delta
+  FROM documents WHERE doc_id % 100 = 7),
+u AS (SELECT * FROM grps UNION ALL SELECT * FROM ghost)
+SELECT grp, n_both, n_only_old, n_only_new, n_text_equal, n_span_equal,
+  CAST(CAST(n_text_equal AS HUGEINT) * 1000000
+       // greatest(n_both, 1) AS BIGINT) AS text_equal_ppm,
+  sum_len_delta
+FROM u
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -4863,6 +5046,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_schedule": q_epoch_schedule,
     "semantic_decontam": q_semantic_decontam,
     "dup_pagerank": q_dup_pagerank,
+    "template_mine": q_template_mine,
+    "extract_diff": q_extract_diff,
 }
 
 ORACLES: dict[str, str] = {
@@ -4978,6 +5163,8 @@ ORACLES: dict[str, str] = {
     "epoch_schedule": _O_EPOCH_SCHEDULE,
     "semantic_decontam": _O_SEMANTIC_DECONTAM,
     "dup_pagerank": _O_DUP_PAGERANK,
+    "template_mine": _O_TEMPLATE_MINE,
+    "extract_diff": _O_EXTRACT_DIFF,
 }
 
 

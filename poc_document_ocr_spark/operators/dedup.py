@@ -41,6 +41,7 @@ __all__ = [
     "decontaminate",
     "ngram_novelty",
     "segment_dedup",
+    "template_segments",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
     "SIMHASH_BLOCKS",
@@ -875,4 +876,87 @@ def dedup_weights(df: DataFrame, id_col: str = "doc_id",
         id_col,
         "n_copies",
         F.expr("1000000 DIV n_copies").cast("long").alias("weight_ppm"),
+    )
+
+
+def template_segments(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    comp_col: str = "component",
+    n: int = 8,
+    tau_ppm: int = 600_000,
+) -> DataFrame:
+    """Boilerplate-template mining over near-dup clusters: for every
+    component of the candidate graph (≥2 members), the ``n``-word
+    segments present in at least ``tau_ppm`` (ppm of members) of the
+    cluster's documents — the shared TEMPLATE the crawl kept
+    re-emitting. This is the extraction complement of the pairwise
+    dedup ladder: :func:`connected_components` groups the variants,
+    :func:`~..operators.graph.pagerank` ranks the hub documents, and
+    this op recovers the literal text they share, which is what a
+    boilerplate-strip rule or a keep-best election actually wants to
+    see (C4 and CCNet both hand-maintain such template lists; mining
+    them from the dup graph keeps the list current as the crawl
+    drifts).
+
+    Segmentation is the same non-overlapping ``n``-word window as
+    :func:`segment_dedup` (the corpus has no sentence punctuation);
+    membership is counted once per (component, document, segment) —
+    a document repeating a segment internally still contributes one.
+
+    Shape at 10¹² docs: segmentation is a map-side higher-order
+    explode; the doc-distinct pass and the (component, segment) count
+    are groupBys with map-side partials; cluster sizes are one count
+    over the (doc → component) table, joined back on the component key
+    (equi-join, AQE — NEVER broadcast: the size table has one row per
+    cluster, corpus-cardinality in the worst case). The support filter
+    runs before the join output widens, and ``support_ppm`` is one
+    integral division of DECIMAL(38,0)-widened BIGINTs (the ANSI
+    overflow rule). A pathological mega-cluster segment list is bounded
+    by the cluster's distinct segments, never by pair counts.
+
+    Returns ``(component, segment, n_docs, cluster_size,
+    support_ppm)`` for clusters of ≥2 documents.
+    """
+    comp = components.select(
+        F.col(id_col).alias("_cid"), F.col(comp_col).alias("component")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    ).filter(F.col("cluster_size") >= 2)
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / "
+        f"{n})) - 1), i -> concat_ws(' ', "
+        f"slice(split({text_col}, ' '), i * {n} + 1, {n})))"
+    )
+    occ = (
+        df.filter(F.size(F.split(F.col(text_col), " ")) > 0)
+        .select(F.col(id_col), F.explode(segs).alias("segment"))
+        .join(comp, F.col(id_col) == F.col("_cid"))
+        .select("component", F.col(id_col), "segment")
+        .distinct()
+    )
+    support = occ.groupBy("component", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        support.join(sizes, "component")
+        .filter(
+            F.expr(
+                f"CAST(n_docs AS DECIMAL(38,0)) * 1000000 >= "
+                f"CAST(cluster_size AS DECIMAL(38,0)) * {tau_ppm}"
+            )
+        )
+        .select(
+            "component",
+            "segment",
+            "n_docs",
+            "cluster_size",
+            F.expr(
+                "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+                " div cluster_size AS BIGINT)"
+            ).alias("support_ppm"),
+        )
     )

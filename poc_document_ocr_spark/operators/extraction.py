@@ -31,6 +31,7 @@ from ..schema import EXTRACTION_DDL, EXTRACTION_TYPE
 
 __all__ = [
     "extraction_col",
+    "extraction_diff",
     "extract_turns",
     "extract_turns_compact",
     "salted_repartition",
@@ -173,4 +174,98 @@ def extract_turns(df: DataFrame, text_col: str = "text", extract_fn=None) -> Dat
         .withColumn("rule", F.col("_ex.rule"))
         .withColumn("fmt", F.col("_ex.fmt"))
         .drop("_ex")
+    )
+
+
+def extraction_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "fmt",
+    text_col: str = "extracted_text",
+    span_cols: tuple[str, ...] = ("n_spans", "s0_start", "s0_end"),
+) -> DataFrame:
+    """Extractor-version regression audit: per group (normally the
+    dispatched format), how two extraction runs over the SAME units
+    differ — the corpus-scale gate a new extractor release must pass
+    before it replaces the old one. The north-rule invariant this engine
+    is built around is per-turn text equality under stable ordering
+    (reference parity: the golden-fixture pytest gate,
+    ``DocumentIntelligenceService.cs``-style output contracts); this
+    operator is that same invariant turned into a distributed query, so
+    a version bump reports exactly which formats drifted, by how many
+    characters, and whether span offsets moved — instead of a pass/fail
+    on a 500-row fixture.
+
+    ``old`` carries ``group_col`` (the dispatcher's verdict); ``new``
+    needs only ``(id, text, span cols)``. Units present on one side only
+    are counted per side under the old side's group (``'(new-only)'``
+    when the old row is absent — a new extractor inventing units is
+    itself a regression signal).
+
+    Equality is null-safe on every compared column (an empty-format unit
+    has NULL span fields on both sides — that's agreement, not drift).
+    ``text_equal_ppm`` is one integral division of exact BIGINTs;
+    ``sum_len_delta`` is an exact BIGINT sum of per-unit char deltas
+    (new − old), bounded by corpus chars — no overflow below ~9.2e18.
+
+    Shape at 10¹² turns: ONE full-outer equi-join on the unit id (both
+    sides corpus-cardinality — sort-merge under AQE, never broadcast;
+    unit ids are unique per side so the join cannot amplify), then one
+    groupBy(group) with map-side partials over a handful of formats.
+    Zero Python in the compare path.
+
+    Returns ``(grp, n_both, n_only_old, n_only_new, n_text_equal,
+    n_span_equal, text_equal_ppm, sum_len_delta)``.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        F.col(text_col).alias("_to"),
+        *[F.col(c).alias(f"_o_{c}") for c in span_cols],
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_tn"),
+        *[F.col(c).alias(f"_n_{c}") for c in span_cols],
+    )
+    # presence flags must not key on nullable payload columns — use a
+    # dedicated non-null marker per side
+    o = o.withColumn("_po", F.lit(1))
+    n = n.withColumn("_pn", F.lit(1))
+    j = o.join(n, "_id", "full_outer")
+    has_o = F.col("_po").isNotNull()
+    has_n = F.col("_pn").isNotNull()
+    both = has_o & has_n
+    span_eq = both
+    for c in span_cols:
+        span_eq = span_eq & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    text_eq = both & F.col("_to").eqNullSafe(F.col("_tn"))
+    return (
+        j.select(
+            F.coalesce("_grp", F.lit("(new-only)")).alias("grp"),
+            both.cast("long").alias("_b"),
+            (has_o & ~has_n).cast("long").alias("_oo"),
+            (has_n & ~has_o).cast("long").alias("_on"),
+            text_eq.cast("long").alias("_te"),
+            span_eq.cast("long").alias("_se"),
+            F.when(
+                both,
+                F.length(F.coalesce("_tn", F.lit("")))
+                - F.length(F.coalesce("_to", F.lit(""))),
+            ).otherwise(F.lit(0)).cast("long").alias("_ld"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("_b").alias("n_both"),
+            F.sum("_oo").alias("n_only_old"),
+            F.sum("_on").alias("n_only_new"),
+            F.sum("_te").alias("n_text_equal"),
+            F.sum("_se").alias("n_span_equal"),
+            F.expr(
+                "CAST(CAST(sum(_te) AS DECIMAL(38,0)) * 1000000"
+                " div greatest(sum(_b), 1) AS BIGINT)"
+            ).alias("text_equal_ppm"),
+            F.sum("_ld").alias("sum_len_delta"),
+        )
     )

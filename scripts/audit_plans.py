@@ -885,6 +885,42 @@ def audit(spark, sf_dir: str):
     )
     sections.append(("dup_pagerank", excerpt(p)))
 
+    # template_mine: the segment-support counts and cluster sizes must
+    # partial-aggregate map-side, the size join is an equi-join the
+    # optimizer chooses (no forced broadcast — the size table is one row
+    # per cluster, corpus-cardinality in the worst case), no cartesian
+    tm = ep.QUERIES["template_mine"](spark, sf_dir)
+    p = plan_of(tm)
+    check(
+        "template_mine: map-side partial aggs, AQE-decided size join,"
+        " no cartesian, no forced broadcast",
+        "partial_count" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "ResolvedHint" not in analyzed(tm),
+        f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
+    # extract_diff: ONE full-outer equi-join on the unit id (both sides
+    # corpus-cardinality — never a broadcast full-outer), groupBy with
+    # map-side partials, no Python in the compare path (the dispatcher
+    # UDF runs on the new side only, below the join)
+    xd = ep.QUERIES["extract_diff"](spark, sf_dir)
+    p = plan_of(xd)
+    check(
+        "extract_diff: full-outer equi-join (SMJ/SHJ, not broadcast),"
+        " map-side partials, compare path JVM-side",
+        "FullOuter" in p
+        and "BroadcastHashJoin" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "partial_sum" in p,
+        "join line: "
+        + next(
+            (l.strip()[:100] for l in p.splitlines() if "FullOuter" in l),
+            "?",
+        ),
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -68,7 +68,13 @@ def main() -> None:
         "bench_s4_scale", cpus=cpus, shuffle_partitions=cpus,
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
-    from poc_document_ocr_spark.operators.dedup import ngram_novelty
+    from poc_document_ocr_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_novelty,
+        word_shingles,
+    )
+    from poc_document_ocr_spark.operators.graph import pagerank
     from poc_document_ocr_spark.operators.preference import (
         assistant_matches,
         bt_strength,
@@ -135,6 +141,17 @@ def main() -> None:
         "semantic_decontam": lambda: consume(
             cross_set_screen(vecs, probes, PLANES, tau=0.9)
         ),
+        # full composition: shingles → minhash → LSH pairs → 2 PR
+        # iterations over the corpus-sized candidate graph
+        "dup_pagerank": lambda: consume(
+            pagerank(
+                docs,
+                lsh_candidate_pairs(
+                    minhash_signatures(word_shingles(docs))
+                ),
+                iters=2,
+            )
+        ),
     }
 
     unknown = only - set(jobs)
@@ -167,6 +184,15 @@ def main() -> None:
                 probes,
                 PLANES,
                 tau=0.9,
+            )
+        ),
+        "dup_pagerank": lambda: consume(
+            pagerank(
+                small_d,
+                lsh_candidate_pairs(
+                    minhash_signatures(word_shingles(small_d))
+                ),
+                iters=2,
             )
         ),
     }

@@ -1937,3 +1937,74 @@ def test_pagerank_exact_integer_replay(spark):
     # hub dominates, leaves tie, the isolated node holds the base rank
     assert out[1]["rank_ppm"] > out[2]["rank_ppm"] > out[5]["rank_ppm"]
     assert out[5]["rank_ppm"] == 150_000
+
+
+def test_template_segments_support_thresholds(spark):
+    """Hand-built clusters: a 3-doc cluster whose universal segment
+    (support 3/3) and 2/3-majority segment are kept while a 1/3 segment
+    is dropped, and a singleton doc that is excluded entirely."""
+    from poc_document_ocr_spark.operators.dedup import template_segments
+
+    t_all = "a b c d e f g h"          # in every cluster member
+    t_maj = "i j k l m n o p"          # in 2 of 3
+    t_one = "q r s t u v w x"          # in 1 of 3
+    docs = spark.createDataFrame(
+        [
+            (1, f"{t_all} {t_maj}"),
+            (2, f"{t_all} {t_maj}"),
+            (3, f"{t_all} {t_one}"),
+            (9, t_all),                # singleton cluster — excluded
+        ],
+        "doc_id long, text string",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, component long"
+    )
+    out = {
+        (r["component"], r["segment"]): r
+        for r in template_segments(docs, comps, n=8, tau_ppm=600_000).collect()
+    }
+    assert set(out) == {(1, t_all), (1, t_maj)}
+    assert out[(1, t_all)]["n_docs"] == 3
+    assert out[(1, t_all)]["support_ppm"] == 1_000_000
+    assert out[(1, t_maj)]["n_docs"] == 2
+    assert out[(1, t_maj)]["cluster_size"] == 3
+    assert out[(1, t_maj)]["support_ppm"] == 666_666
+
+
+def test_extraction_diff_counts_and_null_safety(spark):
+    """Per-group diff stats: equal unit, drifted unit, only-old unit,
+    only-new unit; NULL span fields on both sides count as agreement."""
+    from poc_document_ocr_spark.operators.extraction import extraction_diff
+
+    cols = "doc_id long, fmt string, extracted_text string, n_spans long," \
+           " s0_start long, s0_end long"
+    old = spark.createDataFrame(
+        [
+            (1, "g", "same", 1, 0, 4),
+            (2, "g", "old text", 1, 0, 8),
+            (3, "g", "dropped", 1, 0, 7),
+            (4, "h", None, None, None, None),  # null unit, both sides
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "same", 1, 0, 4),
+            (2, "new text longer", 2, 5, 9),
+            (4, None, None, None, None),
+            (5, "ghost", 1, 0, 5),
+        ],
+        "doc_id long, extracted_text string, n_spans long,"
+        " s0_start long, s0_end long",
+    )
+    out = {r["grp"]: r for r in extraction_diff(old, new).collect()}
+    g, h, nn = out["g"], out["h"], out["(new-only)"]
+    assert (g["n_both"], g["n_only_old"], g["n_only_new"]) == (2, 1, 0)
+    assert g["n_text_equal"] == 1 and g["n_span_equal"] == 1
+    assert g["text_equal_ppm"] == 500_000
+    assert g["sum_len_delta"] == (15 - 8)
+    # NULL text and NULL spans on both sides = agreement, not drift
+    assert (h["n_both"], h["n_text_equal"], h["n_span_equal"]) == (1, 1, 1)
+    assert h["text_equal_ppm"] == 1_000_000
+    assert (nn["n_both"], nn["n_only_new"], nn["text_equal_ppm"]) == (0, 1, 0)
