@@ -906,16 +906,21 @@ def template_segments(
     membership is counted once per (component, document, segment) —
     a document repeating a segment internally still contributes one.
 
-    Shape at 10¹² docs: segmentation is a map-side higher-order
-    explode; the doc-distinct pass and the (component, segment) count
-    are groupBys with map-side partials; cluster sizes are one count
-    over the (doc → component) table, joined back on the component key
-    (equi-join, AQE — NEVER broadcast: the size table has one row per
-    cluster, corpus-cardinality in the worst case). The support filter
-    runs before the join output widens, and ``support_ppm`` is one
-    integral division of DECIMAL(38,0)-widened BIGINTs (the ANSI
-    overflow rule). A pathological mega-cluster segment list is bounded
-    by the cluster's distinct segments, never by pair counts.
+    Shape at 10¹² docs: cluster sizes are one count over the
+    (doc → component) table, and the ≥2 filter joins back onto the
+    membership BEFORE any text is touched — on a real corpus most
+    documents are singletons, so this semi-shape prunes nearly the
+    whole corpus out of the expensive path up front. Segmentation of
+    the surviving docs is a map-side higher-order explode; the
+    doc-distinct pass and the (component, segment) count are groupBys
+    with map-side partials, with ``cluster_size`` carried as a
+    functionally-dependent grouping key so no second join is needed.
+    Every join is equi with the strategy left to AQE — NEVER broadcast
+    (the size table has one row per cluster, corpus-cardinality in the
+    worst case). ``support_ppm`` is one integral division of
+    DECIMAL(38,0)-widened BIGINTs (the ANSI overflow rule). A
+    pathological mega-cluster's segment list is bounded by the
+    cluster's distinct segments, never by pair counts.
 
     Returns ``(component, segment, n_docs, cluster_size,
     support_ppm)`` for clusters of ≥2 documents.
@@ -926,23 +931,29 @@ def template_segments(
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     ).filter(F.col("cluster_size") >= 2)
+    clustered = comp.join(sizes, "component")
     segs = F.expr(
         f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) / "
         f"{n})) - 1), i -> concat_ws(' ', "
         f"slice(split({text_col}, ' '), i * {n} + 1, {n})))"
     )
+    # join BEFORE exploding: one text-row per doc through the join
+    # shuffle, and singleton docs never reach the segment explode
     occ = (
         df.filter(F.size(F.split(F.col(text_col), " ")) > 0)
-        .select(F.col(id_col), F.explode(segs).alias("segment"))
-        .join(comp, F.col(id_col) == F.col("_cid"))
-        .select("component", F.col(id_col), "segment")
+        .select(F.col(id_col), F.col(text_col))
+        .join(clustered, F.col(id_col) == F.col("_cid"))
+        .select(
+            "component",
+            "cluster_size",
+            F.col(id_col),
+            F.explode(segs).alias("segment"),
+        )
         .distinct()
     )
-    support = occ.groupBy("component", "segment").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
-    )
     return (
-        support.join(sizes, "component")
+        occ.groupBy("component", "cluster_size", "segment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .filter(
             F.expr(
                 f"CAST(n_docs AS DECIMAL(38,0)) * 1000000 >= "

@@ -59,6 +59,50 @@ def planted_vectors(spark, sf_dir: str, copies: int):
     )
 
 
+def _template_mine_job(docs, connected_components, template_segments,
+                       lsh_candidate_pairs, minhash_signatures,
+                       word_shingles):
+    base = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    near = base.select(
+        (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias(
+            "text"
+        ),
+    )
+    corpus = base.select("doc_id", "text").unionByName(near)
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    comps = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    return template_segments(corpus, comps, n=8, tau_ppm=600_000)
+
+
+def _extract_diff_job(turns, extract_turns, extraction_diff):
+    unit = F.xxhash64("conv_id", "turn_idx").alias("doc_id")
+    old = turns.select(
+        unit,
+        F.col("role").alias("fmt"),
+        F.col("text").alias("extracted_text"),
+        F.lit(1).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("s0_start"),
+        F.length("text").cast("long").alias("s0_end"),
+    )
+    ex = extract_turns(turns.select(unit, "text"))
+    new = ex.select(
+        "doc_id",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.get("spans", 0)["start"].cast("long").alias("s0_start"),
+        F.get("spans", 0)["end"].cast("long").alias("s0_end"),
+    )
+    return extraction_diff(old, new, group_col="fmt")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -73,6 +117,14 @@ def main() -> None:
         minhash_signatures,
         ngram_novelty,
         word_shingles,
+    )
+    from poc_document_ocr_spark.operators.dedup import (
+        connected_components,
+        template_segments,
+    )
+    from poc_document_ocr_spark.operators.extraction import (
+        extract_turns,
+        extraction_diff,
     )
     from poc_document_ocr_spark.operators.graph import pagerank
     from poc_document_ocr_spark.operators.preference import (
@@ -152,6 +204,19 @@ def main() -> None:
                 iters=2,
             )
         ),
+        # planted near-dup corpus (~940k 2-doc clusters): LSH pairs →
+        # components → shared-segment template mining end-to-end
+        "template_mine": lambda: consume(
+            _template_mine_job(
+                docs, connected_components, template_segments,
+                lsh_candidate_pairs, minhash_signatures, word_shingles,
+            )
+        ),
+        # dispatcher release vs passthrough v0 over every turn payload:
+        # one extraction pass + one full-outer join + per-role rollup
+        "extract_diff": lambda: consume(
+            _extract_diff_job(turns, extract_turns, extraction_diff)
+        ),
     }
 
     unknown = only - set(jobs)
@@ -194,6 +259,15 @@ def main() -> None:
                 ),
                 iters=2,
             )
+        ),
+        "template_mine": lambda: consume(
+            _template_mine_job(
+                small_d, connected_components, template_segments,
+                lsh_candidate_pairs, minhash_signatures, word_shingles,
+            )
+        ),
+        "extract_diff": lambda: consume(
+            _extract_diff_job(small_t, extract_turns, extraction_diff)
         ),
     }
     for name in selected:
