@@ -4924,6 +4924,128 @@ FROM u
 """
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: users reaching
+    each step strictly after the previous step's first occurrence, with
+    per-step and cumulative conversion ppm."""
+    from .operators.events import event_funnel
+
+    load_views(spark, sf_dir, "events")
+    return event_funnel(spark.table("events"))
+
+
+_O_EVENT_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, ts FROM events),
+s0 AS (SELECT user_id, min(ts) AS t FROM e
+       WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+c AS (SELECT 0 AS step_idx, 'view' AS step_name,
+        CAST(count(*) AS BIGINT) AS n_users FROM s0
+      UNION ALL SELECT 1, 'click', CAST(count(*) AS BIGINT) FROM s1
+      UNION ALL SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2)
+SELECT step_idx, step_name, n_users,
+  CAST(CAST(n_users AS HUGEINT) * 1000000
+       // greatest(lag(n_users, 1, n_users) OVER (ORDER BY step_idx), 1)
+    AS BIGINT) AS conv_from_prev_ppm,
+  CAST(CAST(n_users AS HUGEINT) * 1000000
+       // greatest(first_value(n_users) OVER (ORDER BY step_idx), 1)
+    AS BIGINT) AS conv_from_first_ppm
+FROM c
+"""
+
+
+def q_rule_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter redundancy matrix over the planted exact-dup
+    corpus: pairwise flag-set intersections and Jaccard for five
+    curation rules (length bands, blocklist term, repetitiousness,
+    exact-dup non-keeper)."""
+    from pyspark.sql import Window
+
+    from .operators.textstats import rule_overlap
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_EXACT}) c", "documents"
+    )
+    wfp = Window.partitionBy(F.md5("text"))
+    flagged = corpus.withColumn(
+        "_dup",
+        (F.count(F.lit(1)).over(wfp) > 1)
+        & (F.col("doc_id") > F.min("doc_id").over(wfp)),
+    )
+    wd = F.split(F.col("text"), " ")
+    rules = {
+        "exact_dup": F.col("_dup"),
+        "len_short": F.size(wd) < 25,
+        "len_long": F.size(wd) > 70,
+        "block_slow": F.array_contains(wd, "slow"),
+        "repetitious": (F.size(wd) - F.size(F.array_distinct(wd))) > 15,
+    }
+    return rule_overlap(flagged, rules)
+
+
+_O_RULE_OVERLAP = f"""
+WITH corpus AS ({_CORPUS_EXACT}),
+f AS (SELECT doc_id, string_split(text, ' ') AS wd, md5(text) AS fp
+      FROM corpus),
+d AS (SELECT *,
+        (count(*) OVER (PARTITION BY fp) > 1
+         AND doc_id > min(doc_id) OVER (PARTITION BY fp)) AS exact_dup
+      FROM f),
+r AS (SELECT doc_id, exact_dup,
+        len(wd) < 25 AS len_short,
+        len(wd) > 70 AS len_long,
+        list_contains(wd, 'slow') AS block_slow,
+        (len(wd) - len(list_distinct(wd))) > 15 AS repetitious
+      FROM d),
+fired AS (
+  SELECT doc_id, 'exact_dup' AS rule FROM r WHERE exact_dup
+  UNION ALL SELECT doc_id, 'len_short' FROM r WHERE len_short
+  UNION ALL SELECT doc_id, 'len_long' FROM r WHERE len_long
+  UNION ALL SELECT doc_id, 'block_slow' FROM r WHERE block_slow
+  UNION ALL SELECT doc_id, 'repetitious' FROM r WHERE repetitious),
+pc AS (SELECT a.rule AS rule_a, b.rule AS rule_b,
+         CAST(count(*) AS BIGINT) AS n_both
+       FROM fired a JOIN fired b USING (doc_id)
+       WHERE a.rule <= b.rule GROUP BY 1, 2),
+diag AS (SELECT rule_a AS r, n_both AS n FROM pc WHERE rule_a = rule_b),
+uni AS (SELECT a.r AS rule_a, a.n AS n_a, b.r AS rule_b, b.n AS n_b
+        FROM diag a, diag b WHERE a.r < b.r)
+SELECT u.rule_a, u.rule_b, u.n_a, u.n_b,
+  CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both,
+  CAST(CAST(coalesce(p.n_both, 0) AS HUGEINT) * 1000000
+       // (u.n_a + u.n_b - coalesce(p.n_both, 0)) AS BIGINT) AS jaccard_ppm
+FROM uni u LEFT JOIN pc p ON p.rule_a = u.rule_a AND p.rule_b = u.rule_b
+"""
+
+
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k audit sample: 20 documents per source
+    bucket, reproducible across runs (md5 rank, id tiebreak)."""
+    from .operators.sampling import group_sample_k
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 5).alias("src"), "doc_id"
+    )
+    return group_sample_k(docs, "src", 20).select(
+        "src", "doc_id", "sample_rank"
+    )
+
+
+_O_GROUP_SAMPLE_K = """
+SELECT src, doc_id, sample_rank FROM (
+  SELECT doc_id % 5 AS src, doc_id,
+    CAST(row_number() OVER (
+      PARTITION BY doc_id % 5
+      ORDER BY md5('0|' || CAST(doc_id AS VARCHAR)), doc_id
+    ) AS INT) AS sample_rank
+  FROM documents) s
+WHERE sample_rank <= 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -5048,6 +5170,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_pagerank": q_dup_pagerank,
     "template_mine": q_template_mine,
     "extract_diff": q_extract_diff,
+    "event_funnel": q_event_funnel,
+    "rule_overlap": q_rule_overlap,
+    "group_sample_k": q_group_sample_k,
 }
 
 ORACLES: dict[str, str] = {
@@ -5165,6 +5290,9 @@ ORACLES: dict[str, str] = {
     "dup_pagerank": _O_DUP_PAGERANK,
     "template_mine": _O_TEMPLATE_MINE,
     "extract_diff": _O_EXTRACT_DIFF,
+    "event_funnel": _O_EVENT_FUNNEL,
+    "rule_overlap": _O_RULE_OVERLAP,
+    "group_sample_k": _O_GROUP_SAMPLE_K,
 }
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "value_histogram",
     "asof_join",
     "interval_join",
+    "event_funnel",
 ]
 
 
@@ -286,4 +287,81 @@ def sessionize_events(
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
+    )
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each prefix of ``steps``, how many
+    users performed those steps IN ORDER (each step strictly after the
+    previous one's first qualifying occurrence — the unbounded-window
+    funnel every product-analytics engine ships, here as the batch twin
+    a transcript pipeline uses to measure agent-flow completion:
+    request → tool call → resolution).
+
+    Semantics: ``t₁`` = the user's first ``steps[0]`` event; ``tᵢ`` =
+    the first ``steps[i]`` event with ``ts > tᵢ₋₁``. A user reaches
+    step *i* iff ``tᵢ`` exists. First-occurrence chaining is the
+    standard greedy rule and is ORDER-OPTIMAL (earliest feasible
+    anchor never excludes a later completion), so the count per step
+    is exact, not heuristic.
+
+    Shape at 10⁹ users: one filter+groupBy per step plus one equi-join
+    per step transition, every one keyed on ``user_col`` — the hash
+    partitioning is REUSED across the chain (no re-keying), AQE picks
+    join strategies, nothing is broadcast (every side is
+    user-cardinality). Per-step counts are single-row aggregates
+    unioned into the N-row result, and the conversion ratios are
+    integral divisions of exact BIGINTs computed over that N-row
+    table with a single-partition window — bounded by len(steps),
+    never by the corpus.
+
+    Returns ``(step_idx, step_name, n_users, conv_from_prev_ppm,
+    conv_from_first_ppm)`` — one row per step.
+    """
+    counts = []
+    reached = None
+    for i, step in enumerate(steps):
+        hits = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            reached = hits.groupBy("_u").agg(F.min("_ts").alias("_t"))
+        else:
+            reached = (
+                hits.join(
+                    reached.select("_u", F.col("_t").alias("_tp")), "_u"
+                )
+                .filter(F.col("_ts") > F.col("_tp"))
+                .groupBy("_u")
+                .agg(F.min("_ts").alias("_t"))
+            )
+        counts.append(
+            reached.agg(
+                F.lit(i).cast("int").alias("step_idx"),
+                F.lit(step).alias("step_name"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "step_idx",
+        "step_name",
+        "n_users",
+        F.expr(
+            "CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 div greatest("
+            "lag(n_users, 1, n_users) OVER (ORDER BY step_idx), 1)"
+            " AS BIGINT)"
+        ).alias("conv_from_prev_ppm"),
+        F.expr(
+            "CAST(CAST(n_users AS DECIMAL(38,0)) * 1000000 div greatest("
+            "first_value(n_users) OVER (ORDER BY step_idx), 1) AS BIGINT)"
+        ).alias("conv_from_first_ppm"),
     )

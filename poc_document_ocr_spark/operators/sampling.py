@@ -40,6 +40,7 @@ __all__ = [
     "curation_funnel",
     "length_trim",
     "k_anonymity",
+    "group_sample_k",
     "curriculum_order",
 ]
 
@@ -761,4 +762,42 @@ def curriculum_order(
             "src_rank",
             (pos + 1).cast("long").alias("curriculum_pos"),
         )
+    )
+
+
+def group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-``k`` uniform sample per group — the
+    inspection/eval-set primitive (:func:`stratified_sample` fixes a
+    RATE per group; audits and eval carves want a fixed COUNT: "20
+    documents from every source, every run, the same 20").
+
+    Rank within each group by the md5 of ``seed|id`` (engine-portable,
+    reproducible, uniform for distinct ids) with the id itself as the
+    tiebreak, keep rank ≤ k. Changing ``seed`` draws an independent
+    sample; changing corpus membership only locally perturbs it.
+
+    Shape at 10¹² docs: ``row_number`` + the ``rank ≤ k`` filter is
+    the shape Spark rewrites into WindowGroupLimit — every map task
+    keeps only its top-k per group BEFORE the shuffle, so the exchange
+    carries O(groups · k · partitions) rows, not the corpus, and no
+    single-group skew cliff exists at small k. One shuffle total.
+
+    Returns the input rows of the sample plus ``sample_rank`` (1-based).
+    """
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col))),
+            F.col(id_col),
+        )
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
     )

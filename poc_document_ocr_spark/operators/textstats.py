@@ -41,6 +41,7 @@ __all__ = [
     "dsir_affinity",
     "ngram_diversity",
     "heaps_law",
+    "rule_overlap",
     "tokenizer_fertility",
     "normalize_text",
     "refusal_stats",
@@ -1248,4 +1249,77 @@ def refusal_stats(
         .withColumn(
             "refusal_ppm", F.expr("n_refusals * 1000000 div n_rows")
         )
+    )
+
+
+def rule_overlap(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Quality-filter redundancy matrix: for every unordered pair of
+    filter rules, how many documents BOTH flag, with the Jaccard of
+    the two flag sets — the analysis behind the filter-overlap tables
+    in the Dolma / RefinedWeb curation reports (which rules are
+    redundant, which uniquely justify their cost). Feed it the same
+    predicates the curation funnel applies and it tells you which
+    stage to retire.
+
+    ``rules`` maps rule name → boolean Column; names must be distinct
+    and are compared lexicographically (``rule_a < rule_b`` in every
+    output row). Rules that fire on ZERO documents are absent from the
+    output (there is no set to intersect with).
+
+    Shape at 10¹² docs: the fired-rule set per document is built
+    map-side (one array of when()s, compacted), pair expansion is two
+    chained explodes bounded by |rules|² per document — a code
+    constant, never data — and the only corpus-sized shuffle is ONE
+    groupBy(rule_a, rule_b) with map-side partials over ≤|rules|²
+    distinct keys. The diagonal (n_a) and the pair universe are
+    rule-cardinality tables; joining them is bounded work regardless
+    of corpus size. ``jaccard_ppm`` = |A∩B| · 10⁶ div |A∪B| as one
+    integral division of DECIMAL-widened exact BIGINTs.
+
+    Returns ``(rule_a, rule_b, n_a, n_b, n_both, jaccard_ppm)``.
+    """
+    fired = F.array_compact(
+        F.array(
+            *[
+                F.when(cond, F.lit(name))
+                for name, cond in sorted(rules.items())
+            ]
+        )
+    )
+    x = (
+        df.select(fired.alias("_f"))
+        .select(F.explode("_f").alias("rule_a"), F.col("_f"))
+        .select("rule_a", F.explode("_f").alias("rule_b"))
+        .filter(F.col("rule_a") <= F.col("rule_b"))
+    )
+    # the pair-count table is consumed by three branches (pairs, the
+    # diagonal twice); without a lineage cut each branch would re-run
+    # the corpus explode+groupBy — checkpoint the ≤|rules|² rows once
+    counts = (
+        x.groupBy("rule_a", "rule_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .localCheckpoint(eager=False)
+    )
+    diag = counts.filter(F.col("rule_a") == F.col("rule_b")).select(
+        F.col("rule_a").alias("_r"), F.col("n_both").alias("_n")
+    )
+    uni = (
+        diag.select(F.col("_r").alias("rule_a"), F.col("_n").alias("n_a"))
+        .crossJoin(
+            diag.select(
+                F.col("_r").alias("rule_b"), F.col("_n").alias("n_b")
+            )
+        )
+        .filter(F.col("rule_a") < F.col("rule_b"))
+    )
+    return uni.join(counts, ["rule_a", "rule_b"], "left").select(
+        "rule_a",
+        "rule_b",
+        "n_a",
+        "n_b",
+        F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+        F.expr(
+            "CAST(CAST(coalesce(n_both, 0) AS DECIMAL(38,0)) * 1000000"
+            " div (n_a + n_b - coalesce(n_both, 0)) AS BIGINT)"
+        ).alias("jaccard_ppm"),
     )

@@ -921,6 +921,51 @@ def audit(spark, sf_dir: str):
         ),
     )
 
+    # group_sample_k: the rank<=k filter must rewrite to WindowGroupLimit
+    # so map tasks keep only top-k per group BEFORE the shuffle — the
+    # operator's whole scale claim
+    gs = ep.QUERIES["group_sample_k"](spark, sf_dir)
+    p = plan_of(gs)
+    check(
+        "group_sample_k: WindowGroupLimit prunes to top-k map-side"
+        " (one shuffle)",
+        "WindowGroupLimit" in p
+        and len(re.findall(r"(?m)Exchange", p)) == 1,
+        f"WindowGroupLimit present; Exchange ="
+        f" {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
+    # rule_overlap: pair expansion is two chained explodes (Generate)
+    # bounded by |rules|^2 per doc; the only corpus-sized shuffle is the
+    # pair-count groupBy with map-side partials; no forced broadcast
+    ro = ep.QUERIES["rule_overlap"](spark, sf_dir)
+    p = plan_of(ro)
+    check(
+        "rule_overlap: corpus explode+groupBy computed ONCE behind a"
+        " checkpoint (final plan reads only ExistingRDD — zero Generate"
+        " re-runs), no forced broadcast",
+        len(re.findall(r"(?m)Generate", p)) == 0
+        and "Scan ExistingRDD" in p
+        and "ResolvedHint" not in analyzed(ro),
+        f"Generate nodes = {len(re.findall(r'(?m)Generate', p))};"
+        f" ExistingRDD scans ="
+        f" {len(re.findall('Scan ExistingRDD', p))}",
+    )
+
+    # event_funnel: every step join/groupBy is keyed on the user id with
+    # map-side min partials; the conversion window runs on the N-row
+    # union only; no cartesian, no forced broadcast
+    ef = ep.QUERIES["event_funnel"](spark, sf_dir)
+    p = plan_of(ef)
+    check(
+        "event_funnel: user-keyed equi-joins with map-side min"
+        " partials, no cartesian, no forced broadcast",
+        "partial_min" in p
+        and "CartesianProduct" not in p
+        and "ResolvedHint" not in analyzed(ef),
+        f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -2008,3 +2008,72 @@ def test_extraction_diff_counts_and_null_safety(spark):
     assert (h["n_both"], h["n_text_equal"], h["n_span_equal"]) == (1, 1, 1)
     assert h["text_equal_ppm"] == 1_000_000
     assert (nn["n_both"], nn["n_only_new"], nn["text_equal_ppm"]) == (0, 1, 0)
+
+
+def test_event_funnel_strict_ordering(spark):
+    """Step i counts only users whose step-i event falls strictly after
+    the first feasible step-(i-1) anchor; users entering mid-funnel
+    never count."""
+    from datetime import datetime
+
+    from poc_document_ocr_spark.operators.events import event_funnel
+
+    t = lambda s: datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        (2, "click", t(3)), (2, "view", t(5)),       # click precedes view
+        (3, "view", t(1)), (3, "click", t(2)),       # no purchase
+        (4, "purchase", t(1)),                       # enters mid-funnel
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    out = {r["step_idx"]: r for r in event_funnel(ev).collect()}
+    assert [out[i]["n_users"] for i in range(3)] == [3, 2, 1]
+    assert out[0]["conv_from_prev_ppm"] == 1_000_000
+    assert out[1]["conv_from_prev_ppm"] == 666_666
+    assert out[2]["conv_from_prev_ppm"] == 500_000
+    assert out[2]["conv_from_first_ppm"] == 333_333
+
+
+def test_rule_overlap_pairs_and_dead_rules(spark):
+    """Pairwise intersection counts and Jaccard; rules firing on zero
+    docs are absent; non-overlapping pairs report n_both=0."""
+    from poc_document_ocr_spark.operators.textstats import rule_overlap
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "doc_id long, v long"
+    )
+    rules = {
+        "a": F.col("v") <= 30,            # {1,2,3}
+        "b": F.col("v").isin(20, 30),     # {2,3}
+        "c": F.col("v") > 35,             # {4}
+        "dead": F.col("v") < 0,           # never fires
+    }
+    out = {
+        (r["rule_a"], r["rule_b"]): r for r in rule_overlap(df, rules).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab, ac = out[("a", "b")], out[("a", "c")]
+    assert (ab["n_a"], ab["n_b"], ab["n_both"]) == (3, 2, 2)
+    assert ab["jaccard_ppm"] == 666_666
+    assert (ac["n_both"], ac["jaccard_ppm"]) == (0, 0)
+
+
+def test_group_sample_k_deterministic_fixed_size(spark):
+    """Exactly k rows per group, ranks 1..k, byte-identical across
+    calls, different seed draws a different sample."""
+    from poc_document_ocr_spark.operators.sampling import group_sample_k
+
+    df = spark.createDataFrame(
+        [(i % 2, i) for i in range(60)], "src long, doc_id long"
+    )
+    s1 = group_sample_k(df, "src", 5, seed=0).collect()
+    s2 = group_sample_k(df, "src", 5, seed=0).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    by_src = {}
+    for r in s1:
+        by_src.setdefault(r["src"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_src.values())
+    s3 = group_sample_k(df, "src", 5, seed=1).collect()
+    assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
