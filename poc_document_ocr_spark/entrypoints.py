@@ -5046,6 +5046,111 @@ WHERE sample_rank <= 20
 """
 
 
+def assistant_loop_stats(t: DataFrame, loop_at: int = 3) -> DataFrame:
+    """Agent-loop detection fold over a transcripts frame: an agent
+    stuck in a loop re-emits the same assistant reply — report the
+    assistant-turn count, the number of same-text runs, the longest run
+    of consecutive IDENTICAL assistant texts, and a has_loop verdict
+    (run ≥ ``loop_at``). User/tool turns between repeats don't break a
+    run (the windowed sequence is the assistant's replies alone).
+    Gaps-and-islands over the conversation partitioning: one window +
+    one groupBy chain, all under hash(conv_id) — no corpus-global
+    state, no skew beyond a single conversation's own length."""
+    from pyspark.sql import Window as W
+
+    a = t.filter(F.col("role") == "assistant")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    islands = a.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.sum(
+            F.when(
+                F.lag("text").over(w).isNull()
+                | (F.lag("text").over(w) != F.col("text")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    runs = islands.groupBy("conv_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_assistant"),
+        F.count(F.lit(1)).cast("long").alias("n_reply_runs"),
+        F.max("run_len").cast("long").alias("max_consec_same"),
+        (F.max("run_len") >= loop_at).alias("has_loop"),
+    )
+
+
+def q_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-loop detection per conversation (see
+    :func:`assistant_loop_stats`)."""
+    return assistant_loop_stats(spark_transcripts(spark, sf_dir))
+
+
+_O_LOOP_DETECT = oracle_cte(
+    """
+, a AS (SELECT conv_id, turn_idx, text FROM t WHERE role = 'assistant'),
+l AS (SELECT conv_id, turn_idx, text,
+        lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pt
+      FROM a),
+i AS (SELECT conv_id, turn_idx, text,
+        sum(CASE WHEN pt IS NULL OR pt <> text THEN 1 ELSE 0 END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS UNBOUNDED PRECEDING) AS island
+      FROM l),
+runs AS (SELECT conv_id, island, CAST(count(*) AS BIGINT) AS run_len
+         FROM i GROUP BY 1, 2)
+SELECT conv_id,
+  CAST(sum(run_len) AS BIGINT) AS n_assistant,
+  CAST(count(*) AS BIGINT) AS n_reply_runs,
+  CAST(max(run_len) AS BIGINT) AS max_consec_same,
+  (max(run_len) >= 3) AS has_loop
+FROM runs GROUP BY 1
+"""
+)
+
+
+def q_context_taint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-taint propagation: a turn flagged by a content rule
+    (here: contains the token 'slow') taints every turn within ±2
+    positions of it in the same conversation — the pattern a safety
+    scrub uses so a removed turn's conversational context goes with it.
+    One bounded frame window under the conversation partitioning."""
+    from pyspark.sql import Window as W
+
+    t = spark_transcripts(spark, sf_dir)
+    flagged = F.array_contains(F.split(F.col("text"), " "), "slow")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-2, 2)
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        flagged.alias("flagged"),
+        (F.max(flagged.cast("int")).over(w) == 1).alias("tainted"),
+    )
+
+
+_O_CONTEXT_TAINT = oracle_cte(
+    """
+, f AS (SELECT conv_id, turn_idx,
+          list_contains(string_split(text, ' '), 'slow') AS flagged
+        FROM t)
+SELECT conv_id, turn_idx, flagged,
+  (max(CASE WHEN flagged THEN 1 ELSE 0 END)
+     OVER (PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) = 1) AS tainted
+FROM f
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -5173,6 +5278,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_funnel": q_event_funnel,
     "rule_overlap": q_rule_overlap,
     "group_sample_k": q_group_sample_k,
+    "loop_detect": q_loop_detect,
+    "context_taint": q_context_taint,
 }
 
 ORACLES: dict[str, str] = {
@@ -5293,6 +5400,8 @@ ORACLES: dict[str, str] = {
     "event_funnel": _O_EVENT_FUNNEL,
     "rule_overlap": _O_RULE_OVERLAP,
     "group_sample_k": _O_GROUP_SAMPLE_K,
+    "loop_detect": _O_LOOP_DETECT,
+    "context_taint": _O_CONTEXT_TAINT,
 }
 
 

@@ -966,6 +966,30 @@ def audit(spark, sf_dir: str):
         f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
     )
 
+    # loop_detect: the lag window, the (conv, island) run groupBy, and
+    # the final conv groupBy all run under ONE hash(conv_id) exchange
+    # (partitioning on a subset of the grouping keys satisfies the
+    # clustered distribution — the consolidate rule)
+    ld = ep.QUERIES["loop_detect"](spark, sf_dir)
+    p = plan_of(ld)
+    check(
+        "loop_detect: ONE shuffle end-to-end (island groupBy and conv"
+        " fold reuse the window partitioning)",
+        len(re.findall(r"(?m)Exchange", p)) == 1,
+        f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
+    # context_taint: a single bounded-frame window under hash(conv_id)
+    ct = ep.QUERIES["context_taint"](spark, sf_dir)
+    p = plan_of(ct)
+    check(
+        "context_taint: map-side flag + ONE window shuffle, bounded"
+        " ±2-row frame",
+        len(re.findall(r"(?m)Exchange", p)) == 1
+        and "RunningWindowFunction" not in p,
+        f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

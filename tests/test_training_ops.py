@@ -2077,3 +2077,28 @@ def test_group_sample_k_deterministic_fixed_size(spark):
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_src.values())
     s3 = group_sample_k(df, "src", 5, seed=1).collect()
     assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
+
+
+def test_loop_detect_planted_loop(spark):
+    """A planted 4-repeat assistant loop trips has_loop; interleaved
+    user turns don't break assistant-run contiguity (the assistant
+    sequence is what's windowed); distinct replies never trip it."""
+    from poc_document_ocr_spark.entrypoints import assistant_loop_stats
+
+    rows = []
+    for i, (role, text) in enumerate(
+        [("user", "q1"), ("assistant", "again"), ("user", "q2"),
+         ("assistant", "again"), ("assistant", "again"),
+         ("assistant", "again"), ("user", "q3"), ("assistant", "done")]
+    ):
+        rows.append(("a", i, role, text))
+    for i, text in enumerate(["r1", "r2", "r3", "r4"]):
+        rows.append(("b", i, "assistant", text))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in assistant_loop_stats(df).collect()}
+    assert out["a"]["n_assistant"] == 5
+    assert out["a"]["n_reply_runs"] == 2
+    assert out["a"]["max_consec_same"] == 4 and out["a"]["has_loop"]
+    assert out["b"]["max_consec_same"] == 1 and not out["b"]["has_loop"]
