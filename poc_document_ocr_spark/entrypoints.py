@@ -5151,6 +5151,67 @@ FROM f
 )
 
 
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-granularity near-dup candidates: each conversation's
+    turns are concatenated under stable (conv_id, turn_idx) ordering
+    into one document, a ~19% deterministic slice gets a planted
+    trailing-token twin, and MinHash/LSH banding pairs the near-dups —
+    dedup at the grain the transcript corpus is actually ingested and
+    dropped at (a crawl re-serves whole conversations, not turns). The
+    concat is one groupBy(conv_id) with per-conv bounded state; the LSH
+    ladder is the shared bucketed pipeline (never all-pairs)."""
+    t = spark_transcripts(spark, sf_dir)
+    cd = t.groupBy("conv_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda x: F.coalesce(x["text"], F.lit("")),
+            ),
+        ).alias("text")
+    )
+    sel = F.substring(F.md5("conv_id"), 1, 1).isin("0", "1", "2")
+    twin = cd.filter(sel).select(
+        F.concat(F.col("conv_id"), F.lit("~b")).alias("conv_id"),
+        F.concat("text", F.lit(" extra trailing token")).alias("text"),
+    )
+    corpus = cd.unionByName(twin)
+    return lsh_candidate_pairs(
+        minhash_signatures(
+            word_shingles(corpus, id_col="conv_id"), id_col="conv_id"
+        ),
+        id_col="conv_id",
+    )
+
+
+_O_CONV_NEARDUP = oracle_cte(
+    """
+, cd AS (SELECT conv_id,
+           string_agg(coalesce(text, ''), ' ' ORDER BY turn_idx) AS text
+         FROM t GROUP BY 1),
+corpus AS (SELECT conv_id, text FROM cd
+           UNION ALL
+           SELECT conv_id || '~b', text || ' extra trailing token'
+           FROM cd WHERE substring(md5(conv_id), 1, 1) IN ('0', '1', '2')),
+w AS (SELECT conv_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT conv_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT conv_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY conv_id, k),
+bands AS (SELECT conv_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY conv_id, 2)
+SELECT DISTINCT a.conv_id AS id_a, b.conv_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+WHERE a.conv_id < b.conv_id
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -5280,6 +5341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_sample_k": q_group_sample_k,
     "loop_detect": q_loop_detect,
     "context_taint": q_context_taint,
+    "conv_neardup": q_conv_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -5402,6 +5464,7 @@ ORACLES: dict[str, str] = {
     "group_sample_k": _O_GROUP_SAMPLE_K,
     "loop_detect": _O_LOOP_DETECT,
     "context_taint": _O_CONTEXT_TAINT,
+    "conv_neardup": _O_CONV_NEARDUP,
 }
 
 

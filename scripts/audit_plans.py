@@ -990,6 +990,21 @@ def audit(spark, sf_dir: str):
         f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
     )
 
+    # conv_neardup: the conversation concat is one groupBy(conv_id) with
+    # per-conv bounded state; the pair step is the shared LSH bucketed
+    # equi-join (checkpointed bands) — no cartesian, no forced broadcast
+    cn = ep.QUERIES["conv_neardup"](spark, sf_dir)
+    p = plan_of(cn)
+    check(
+        "conv_neardup: LSH band equi-join over checkpointed bands"
+        " (ExistingRDD), no cartesian, no forced broadcast",
+        "Scan ExistingRDD" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "ResolvedHint" not in analyzed(cn),
+        f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
