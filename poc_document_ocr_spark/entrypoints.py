@@ -5212,6 +5212,78 @@ WHERE a.conv_id < b.conv_id
 )
 
 
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test assignment: the split key is the
+    near-dup COMPONENT, not the document, so near-duplicates can never
+    straddle a split boundary (``split_leakage`` audits exactly the
+    failure this op makes impossible — assigning by doc hash puts a
+    near-dup pair in train and test ~18% of the time at 80/10/10).
+    Composition: LSH pairs → connected components → deterministic
+    hex-threshold hash split ON the component id, propagated to every
+    member. The split itself stays map-only over the (doc, component)
+    table."""
+    from .operators.dedup import connected_components
+    from .operators.sampling import hash_split
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    comps = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    return hash_split(
+        comps, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="component"
+    ).select("doc_id", "component", "split")
+
+
+def _o_cluster_split() -> str:
+    from .operators.sampling import _hex_threshold
+
+    t80, t90 = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b AS src, id_a AS dst FROM prs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+cm AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+comps AS (SELECT c.doc_id,
+            coalesce(m.component, c.doc_id) AS component
+          FROM corpus c LEFT JOIN cm m ON m.node = c.doc_id)
+SELECT doc_id, component,
+  CASE WHEN substring(md5(CAST(component AS VARCHAR) || ':0'), 1, 8)
+            < '{t80}' THEN 'train'
+       WHEN substring(md5(CAST(component AS VARCHAR) || ':0'), 1, 8)
+            < '{t90}' THEN 'val'
+       ELSE 'test' END AS split
+FROM comps
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -5342,6 +5414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "loop_detect": q_loop_detect,
     "context_taint": q_context_taint,
     "conv_neardup": q_conv_neardup,
+    "cluster_split": q_cluster_split,
 }
 
 ORACLES: dict[str, str] = {
@@ -5465,6 +5538,7 @@ ORACLES: dict[str, str] = {
     "loop_detect": _O_LOOP_DETECT,
     "context_taint": _O_CONTEXT_TAINT,
     "conv_neardup": _O_CONV_NEARDUP,
+    "cluster_split": _o_cluster_split(),
 }
 
 

@@ -2102,3 +2102,41 @@ def test_loop_detect_planted_loop(spark):
     assert out["a"]["n_reply_runs"] == 2
     assert out["a"]["max_consec_same"] == 4 and out["a"]["has_loop"]
     assert out["b"]["max_consec_same"] == 1 and not out["b"]["has_loop"]
+
+
+def test_cluster_split_zero_leakage(spark):
+    """Every near-dup candidate pair lands in ONE split (the property
+    doc-hash splitting violates), and every member of a component gets
+    its component's label."""
+    from poc_document_ocr_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from poc_document_ocr_spark.operators.sampling import hash_split
+
+    base = [
+        (i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(30)))
+        for i in range(40)
+    ]
+    near = [(i + 1000, t + " tail") for i, t in base if i % 2 == 0]
+    corpus = spark.createDataFrame(base + near, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    comps = (
+        corpus.select("doc_id")
+        .join(comp, corpus["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("component")
+        )
+    )
+    out = hash_split(
+        comps, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="component"
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    got_pairs = pairs.collect()
+    assert len(got_pairs) >= 15  # the planted twins actually paired up
+    for r in got_pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]], (r, split_of)
+    assert len(set(split_of.values())) >= 2  # splits actually differ
