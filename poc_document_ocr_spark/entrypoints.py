@@ -5284,6 +5284,75 @@ FROM comps
 """
 
 
+#: corpus with planted quoting: every 10th doc gets a +200000 twin that
+#: concatenates it with its successor — the contained-document shape an
+#: asymmetric containment detector exists for (dialect-neutral SQL)
+_CORPUS_QUOTE = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT a.doc_id + 200000 AS doc_id, a.text || ' ' || b.text AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id < 150 AND a.doc_id % 10 = 0
+"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (MOSS per-file percentage) over a corpus
+    with planted quote documents: the short side of a verbatim quote
+    scores near 10⁶ ppm where symmetric overlap would miss it."""
+    from .operators.textstats import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_QUOTE}) c", "documents"
+    )
+    wf = winnow_fingerprints(corpus, k=8, w=4)
+    return winnow_containment_pairs(wf, min_df=2, max_df=10, min_shared=5)
+
+
+_O_CONTAINMENT = f"""
+WITH corpus AS ({_CORPUS_QUOTE}),
+g AS (SELECT doc_id,
+    list_transform(range(1, length(text) - 8 + 2),
+                   i -> md5(substr(text, i, 8))) AS gh
+  FROM corpus WHERE length(text) >= 11),
+w AS (SELECT doc_id,
+    list_distinct(list_transform(range(0, len(gh) - 4 + 1),
+                  j -> list_min(list_slice(gh, j + 1, j + 4)))) AS fps
+  FROM g),
+wf AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+totals AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+           FROM wf GROUP BY 1),
+rare AS (SELECT fp FROM wf GROUP BY fp
+         HAVING count(*) BETWEEN 2 AND 10),
+wfr AS (SELECT wf.doc_id, wf.fp FROM wf JOIN rare USING (fp)),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(count(*) AS BIGINT) AS shared_fps
+          FROM wfr a JOIN wfr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.id_a, p.id_b, p.shared_fps, ta.n_fp AS n_fp_a, tb.n_fp AS n_fp_b,
+  CAST(CAST(p.shared_fps AS HUGEINT) * 1000000 // ta.n_fp AS BIGINT)
+    AS contain_a_ppm,
+  CAST(CAST(p.shared_fps AS HUGEINT) * 1000000 // tb.n_fp AS BIGINT)
+    AS contain_b_ppm
+FROM pairs p
+JOIN totals ta ON ta.doc_id = p.id_a
+JOIN totals tb ON tb.doc_id = p.id_b
+"""
+
+
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (Arrow-batched
+    pandas UDF; no DuckDB oracle exists for zlib, so this is the repo's
+    one deliberately rows-only query — pinned by unit tests on
+    known-entropy strings instead)."""
+    from .operators.textstats import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -5415,6 +5484,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_taint": q_context_taint,
     "conv_neardup": q_conv_neardup,
     "cluster_split": q_cluster_split,
+    "containment": q_containment,
+    "compress_ratio": q_compress_ratio,
 }
 
 ORACLES: dict[str, str] = {
@@ -5539,6 +5610,9 @@ ORACLES: dict[str, str] = {
     "context_taint": _O_CONTEXT_TAINT,
     "conv_neardup": _O_CONV_NEARDUP,
     "cluster_split": _o_cluster_split(),
+    "containment": _O_CONTAINMENT,
+    # compress_ratio: deliberately NO oracle (DuckDB has no zlib) — the
+    # driver records the weaker rows-only check; unit tests pin values
 }
 
 

@@ -42,6 +42,8 @@ __all__ = [
     "ngram_diversity",
     "heaps_law",
     "rule_overlap",
+    "winnow_containment_pairs",
+    "compression_ratio",
     "tokenizer_fertility",
     "normalize_text",
     "refusal_stats",
@@ -1322,4 +1324,152 @@ def rule_overlap(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             "CAST(CAST(coalesce(n_both, 0) AS DECIMAL(38,0)) * 1000000"
             " div (n_a + n_b - coalesce(n_both, 0)) AS BIGINT)"
         ).alias("jaccard_ppm"),
+    )
+
+
+def winnow_containment_pairs(
+    wf: DataFrame,
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df: int = 10,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Asymmetric containment over winnowing fingerprints: for each
+    candidate pair, what fraction of EACH document's fingerprints the
+    other covers — the quote/inclusion detector. Jaccard-style overlap
+    (:func:`winnow_overlap_pairs`) scores a short document quoted
+    verbatim inside a long one near zero; containment scores the short
+    side near 10⁶ ppm, which is what a dedup policy that drops
+    fully-quoted documents needs (MOSS reports exactly this per-file
+    percentage).
+
+    Shape at 10¹² docs: identical candidate generation to the overlap
+    op — fp inverted index, ``[min_df, max_df]`` boilerplate cap
+    bounding every bucket's fan-out, pair groupBy with map-side
+    partials. The per-doc fingerprint totals are ONE extra
+    count-groupBy joined back on the doc id (equi, AQE — the totals
+    table is corpus-cardinality, never broadcast). Ratios are integral
+    divisions of DECIMAL-widened exact BIGINTs.
+
+    Returns ``(id_a, id_b, shared_fps, n_fp_a, n_fp_b, contain_a_ppm,
+    contain_b_ppm)`` with ``id_a < id_b``.
+    """
+    totals = wf.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    rare = (
+        wf.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df").between(min_df, max_df))
+        .select("fp")
+    )
+    wfr = wf.join(rare, "fp")
+    a = wfr.select(F.col(id_col).alias("id_a"), "fp")
+    b = wfr.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    return (
+        pairs.join(
+            totals.select(
+                F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            totals.select(
+                F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_fp_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "shared_fps",
+            "n_fp_a",
+            "n_fp_b",
+            F.expr(
+                "CAST(CAST(shared_fps AS DECIMAL(38,0)) * 1000000"
+                " div n_fp_a AS BIGINT)"
+            ).alias("contain_a_ppm"),
+            F.expr(
+                "CAST(CAST(shared_fps AS DECIMAL(38,0)) * 1000000"
+                " div n_fp_b AS BIGINT)"
+            ).alias("contain_b_ppm"),
+        )
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low_ppm: int = 250_000,
+    high_ppm: int = 900_000,
+) -> DataFrame:
+    """zlib compression ratio as a quality signal — the classic
+    redundancy detector (Gopher's repetition filters and Dolma's
+    "mostly boilerplate" screens both lean on it): highly repetitive
+    machine junk compresses far below natural prose, random noise
+    barely compresses at all, so both tails are drop candidates.
+
+    This is one of the repo's few Python stages, and it follows the
+    codec rule: an Arrow-batched ``pandas_udf`` (zlib level 6 is
+    deterministic for a given input), map-only, zero shuffles — the
+    same legitimacy class as the extraction/multimodal decoders. There
+    is deliberately NO DuckDB oracle (no zlib there); the operator is
+    pinned by unit tests on known-entropy strings instead, and the
+    driver records the weaker rows-only check.
+
+    Returns ``(id, n_bytes, n_compressed, ratio_ppm, keep)`` where
+    ``ratio_ppm = compressed·10⁶ div raw`` and ``keep`` brackets it in
+    ``[low_ppm, high_ppm]``. Empty texts report ratio 10⁶ (nothing to
+    judge) and are kept.
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no local type hints: the module's postponed annotations make them
+    # strings pandas_udf can't evaluate in function scope — the explicit
+    # returnType plus a pd.Series-in/out body is the whole contract
+    def _zlen_fn(s):
+        return pd.Series(
+            [
+                len(zlib.compress((t or "").encode("utf-8"), 6))
+                for t in s
+            ]
+        )
+
+    _zlen = pandas_udf(_zlen_fn, "long")
+
+    n_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast(
+        "long"
+    )
+    out = df.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        _zlen(F.col(text_col)).alias("n_compressed"),
+    ).select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        F.when(F.col("n_bytes") == 0, F.lit(1_000_000).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST(CAST(n_compressed AS DECIMAL(38,0)) * 1000000"
+                " div n_bytes AS BIGINT)"
+            )
+        )
+        .alias("ratio_ppm"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("ratio_ppm") >= low_ppm) & (F.col("ratio_ppm") <= high_ppm)
+        | (F.col("n_bytes") == 0),
     )

@@ -1005,6 +1005,31 @@ def audit(spark, sf_dir: str):
         f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
     )
 
+    # containment: same bucketed candidate generation as winnow_overlap
+    # plus two corpus-cardinality totals joins — equi only, no forced
+    # broadcast, partial aggregation on the pair counts
+    cp = ep.QUERIES["containment"](spark, sf_dir)
+    p = plan_of(cp)
+    check(
+        "containment: fp-bucket equi-joins + totals equi-joins, no"
+        " cartesian, no forced broadcast, map-side partials",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "ResolvedHint" not in analyzed(cp)
+        and "partial_count" in p,
+        f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
+    )
+
+    # compress_ratio: the one rows-only query — map-only Arrow-batched
+    # python stage, ZERO shuffles
+    cr = ep.QUERIES["compress_ratio"](spark, sf_dir)
+    p = plan_of(cr)
+    check(
+        "compress_ratio: map-only (zero shuffles), Arrow-batched eval",
+        "Exchange" not in p and "ArrowEvalPython" in p,
+        "ArrowEvalPython present, no Exchange",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -2140,3 +2140,62 @@ def test_cluster_split_zero_leakage(spark):
     for r in got_pairs:
         assert split_of[r["id_a"]] == split_of[r["id_b"]], (r, split_of)
     assert len(set(split_of.values())) >= 2  # splits actually differ
+
+
+def test_compression_ratio_entropy_tails(spark):
+    """Repetitive junk compresses to a tiny ratio (dropped), word-soup
+    prose lands in the keep band, empty text reports 10**6 and is kept,
+    and n_bytes counts UTF-8 bytes, not characters."""
+    from poc_document_ocr_spark.operators.textstats import compression_ratio
+
+    import random
+
+    rng = random.Random(7)
+    prose = " ".join(
+        rng.choice(["alpha", "bravo", "charlie", "delta", "echo", "fox"])
+        + str(rng.randint(0, 999))
+        for _ in range(200)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "ab" * 2000),      # machine junk
+            (2, prose),            # mixed-entropy prose
+            (3, ""),               # empty
+            (4, "é" * 10),    # 2-byte UTF-8 chars
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert out[1]["ratio_ppm"] < 250_000 and not out[1]["keep"]
+    assert 250_000 <= out[2]["ratio_ppm"] <= 900_000 and out[2]["keep"]
+    assert out[3]["ratio_ppm"] == 1_000_000 and out[3]["keep"]
+    assert out[4]["n_bytes"] == 20
+    import zlib
+
+    assert out[2]["n_compressed"] == len(zlib.compress(prose.encode(), 6))
+
+
+def test_containment_asymmetric_quote(spark):
+    """A document quoted verbatim inside a longer one scores near 10**6
+    on ITS side of the pair and far lower on the container's side."""
+    from poc_document_ocr_spark.operators.textstats import (
+        winnow_containment_pairs,
+        winnow_fingerprints,
+    )
+
+    a = " ".join(f"quoted{i}" for i in range(30))
+    b = " ".join(f"filler{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, a), (2, b + " " + a + " " + b)],
+        "doc_id long, text string",
+    )
+    wf = winnow_fingerprints(df, k=8, w=4)
+    rows = winnow_containment_pairs(
+        wf, min_df=2, max_df=10, min_shared=5
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["contain_a_ppm"] > 900_000          # the quote side
+    assert r["contain_b_ppm"] < r["contain_a_ppm"] // 3
+    assert r["n_fp_a"] < r["n_fp_b"]
