@@ -5353,6 +5353,36 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_docs(spark, sf_dir))
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis on the conversation key: the 10 longest
+    conversations with their row share — the measurement behind the
+    north rule's "explicit skew handling for long conversations" (salt
+    only what this table proves skewed)."""
+    from .operators.sampling import skew_report
+
+    return skew_report(spark_transcripts(spark, sf_dir), "conv_id", topn=10)
+
+
+_O_SKEW_REPORT = oracle_cte(
+    """
+, c AS (SELECT CAST(conv_id AS VARCHAR) AS key,
+          CAST(count(*) AS BIGINT) AS n_rows
+        FROM t GROUP BY 1),
+tot AS (SELECT sum(n_rows) AS _total FROM c),
+top AS (SELECT key, n_rows FROM c ORDER BY n_rows DESC, key ASC LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC) AS INT)
+         AS rank,
+  key, n_rows,
+  CAST(CAST(n_rows AS HUGEINT) * 1000000 // _total AS BIGINT)
+    AS share_ppm,
+  CAST(CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC
+              ROWS UNBOUNDED PRECEDING) AS HUGEINT) * 1000000 // _total
+    AS BIGINT) AS cum_share_ppm
+FROM top, tot
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
@@ -5486,6 +5516,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_split": q_cluster_split,
     "containment": q_containment,
     "compress_ratio": q_compress_ratio,
+    "skew_report": q_skew_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -5613,6 +5644,7 @@ ORACLES: dict[str, str] = {
     "containment": _O_CONTAINMENT,
     # compress_ratio: deliberately NO oracle (DuckDB has no zlib) — the
     # driver records the weaker rows-only check; unit tests pin values
+    "skew_report": _O_SKEW_REPORT,
 }
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "length_trim",
     "k_anonymity",
     "group_sample_k",
+    "skew_report",
     "curriculum_order",
 ]
 
@@ -800,4 +801,53 @@ def group_sample_k(
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    topn: int = 10,
+) -> DataFrame:
+    """Key-skew diagnosis for a planned join/groupBy key: the top-``n``
+    heaviest keys with their absolute counts and corpus share — the
+    number you look at BEFORE deciding to salt, AQE-skew-split, or
+    broadcast (north rule: "explicit skew handling for long
+    conversations" starts with knowing which conv_ids are long). A key
+    holding >1/partitions of the rows is a guaranteed straggler under
+    hash partitioning.
+
+    Shape at 10¹² rows: one groupBy(key) with map-side partials (the
+    count table is key-cardinality), a 1-row total broadcast-joined
+    onto the top slice, and the top-``n`` itself is a global
+    ``ORDER BY … LIMIT n`` — Spark executes that as
+    TakeOrderedAndProject (per-partition heaps, no full sort, no
+    single-task sink). Deterministic: ties break on the key value.
+
+    Returns ``(rank, key, n_rows, share_ppm, cum_share_ppm)`` for the
+    ``topn`` heaviest keys.
+    """
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").cast("long").alias("_total"))
+    top = (
+        counts.orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(topn)
+        .crossJoin(F.broadcast(total))
+    )
+    w = W.orderBy(F.desc("n_rows"), F.asc("key"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "key",
+        "n_rows",
+        F.expr(
+            "CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000 div _total"
+            " AS BIGINT)"
+        ).alias("share_ppm"),
+        F.expr(
+            "CAST(CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, key ASC"
+            " ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) * 1000000"
+            " div _total AS BIGINT)"
+        ).alias("cum_share_ppm"),
     )

@@ -1030,6 +1030,22 @@ def audit(spark, sf_dir: str):
         "ArrowEvalPython present, no Exchange",
     )
 
+    # skew_report: global top-n must run as TakeOrderedAndProject
+    # (per-partition heaps), never a full sort; the only broadcast is
+    # the 1-row total
+    sk = ep.QUERIES["skew_report"](spark, sf_dir)
+    p = plan_of(sk)
+    check(
+        "skew_report: top-n via TakeOrderedAndProject (no full sort),"
+        " key counts partial-aggregate map-side",
+        "TakeOrderedAndProject" in p and "partial_count" in p,
+        next(
+            (l.strip()[:90] for l in p.splitlines()
+             if "TakeOrderedAndProject" in l),
+            "absent",
+        ),
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
