@@ -5383,7 +5383,91 @@ FROM top, tot
 )
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 per query over the documents corpus under the
+    integer-exact half-log2-bit idf / milli-unit tf saturation (see
+    :mod:`operators.retrieval`). Query set: 9 deterministic 3-term
+    queries drawn from token positions 2-4 of every 37th document —
+    bounded, broadcast-class."""
+    from .operators.retrieval import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    raw = docs.filter(
+        (F.col("doc_id") % 37 == 3) & (F.col("doc_id") < 300)
+    ).select(
+        F.concat(F.lit("q"), F.col("doc_id").cast("string")).alias(
+            "query_id"
+        ),
+        F.split(F.col("text"), " ").alias("_raw"),
+    )
+    queries = (
+        raw.select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.try_element_at("_raw", F.lit(2)),
+                    F.try_element_at("_raw", F.lit(3)),
+                    F.try_element_at("_raw", F.lit(4)),
+                )
+            ).alias("term"),
+        )
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .distinct()
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
+_O_BM25_TOPK = """
+WITH qraw AS (SELECT 'q' || CAST(doc_id AS VARCHAR) AS query_id,
+                string_split(text, ' ') AS raw
+              FROM documents WHERE doc_id % 37 = 3 AND doc_id < 300),
+qt AS (SELECT DISTINCT query_id, u.term
+       FROM qraw, UNNEST([list_extract(raw, 2), list_extract(raw, 3),
+                          list_extract(raw, 4)]) AS u(term)
+       WHERE u.term IS NOT NULL AND u.term <> ''),
+tk AS (SELECT doc_id, u.term AS term
+       FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+       WHERE u.term <> ''),
+dlen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tk GROUP BY 1),
+st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) * 1000 // count(*) AS BIGINT) AS avgdl_m
+       FROM dlen),
+tf AS (SELECT tk.term, tk.doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tk JOIN (SELECT DISTINCT term FROM qt) v USING (term)
+       GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idf AS (SELECT term,
+          CAST((length(to_base(CAST(r * r // 1024 AS BIGINT), 2)) - 11)
+               AS BIGINT) * 500000 AS idf_ppm
+        FROM (SELECT term,
+                least((2 * n_docs + 2) * 1024 // (2 * df + 1),
+                      1073741824) AS r
+              FROM dfq, st)),
+sc AS (SELECT qt.query_id, tf.doc_id,
+         CAST(CAST(idf.idf_ppm AS HUGEINT) *
+           (CAST(tf.tf * 2200 AS HUGEINT) * 1000000 //
+            (tf.tf * 1000 +
+             (1200 * (250 + (750 * (dlen.dl * 1000000 // st.avgdl_m))
+                            // 1000)) // 1000))
+           // 1000000 AS BIGINT) AS contrib
+       FROM tf
+       JOIN idf USING (term)
+       JOIN qt USING (term)
+       JOIN dlen ON dlen.doc_id = tf.doc_id
+       CROSS JOIN st),
+s AS (SELECT query_id, doc_id,
+        CAST(count(*) AS BIGINT) AS n_terms,
+        CAST(sum(contrib) AS BIGINT) AS score_ppm
+      FROM sc GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         ORDER BY score_ppm DESC, doc_id) AS INT) AS rank FROM s)
+SELECT query_id, doc_id, n_terms, score_ppm, rank FROM r WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- new in round 4, session 7 ---
+    "bm25_topk": q_bm25_topk,
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
@@ -5520,6 +5604,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: dict[str, str] = {
+    "bm25_topk": _O_BM25_TOPK,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

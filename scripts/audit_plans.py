@@ -1046,6 +1046,25 @@ def audit(spark, sf_dir: str):
         ),
     )
 
+    # bm25_topk: the query vocabulary (bounded, model-artifact class)
+    # must broadcast INTO the posting stream before any Exchange, so the
+    # only corpus-cardinality shuffle is the tf groupBy over matching
+    # postings; the per-query top-k must carry a WindowGroupLimit so
+    # rank pruning happens before the final sort completes; and no
+    # corpus-cardinality side may be force-broadcast (the tf/idf joins
+    # stay AQE-decided).
+    bm = ep.QUERIES["bm25_topk"](spark, sf_dir)
+    p = plan_of(bm)
+    bhj = len(re.findall(r"BroadcastHashJoin", p))
+    check(
+        "bm25_topk: query vocab broadcast pre-shuffle + WindowGroupLimit"
+        " top-k, tf agg partial map-side",
+        "WindowGroupLimit" in p and bhj >= 1 and "partial_count" in p,
+        f"BroadcastHashJoin={bhj}, WindowGroupLimit="
+        f"{'WindowGroupLimit' in p}",
+    )
+    sections.append(("bm25_topk", excerpt(p)))
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

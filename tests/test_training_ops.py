@@ -2199,3 +2199,65 @@ def test_containment_asymmetric_quote(spark):
     assert r["contain_a_ppm"] > 900_000          # the quote side
     assert r["contain_b_ppm"] < r["contain_a_ppm"] // 3
     assert r["n_fp_a"] < r["n_fp_b"]
+
+
+def test_bm25_topk_exact_integer_replay(spark):
+    """BM25 scores replay bit-for-bit against a Python reimplementation
+    of the half-log2-bit idf / milli-unit tf-saturation spec, rare terms
+    outrank common ones, and the top-k window cuts at k."""
+    from poc_document_ocr_spark.operators.retrieval import bm25_topk
+
+    corpus = [
+        (1, "spark shuffle join join join"),
+        (2, "spark window sort"),
+        (3, "spark shuffle skew"),
+        (4, "spark agg"),
+        (5, "spark spark spark spark"),
+    ]
+    toks = {d: [w for w in t.split(" ") if w] for d, t in corpus}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n, tot = len(toks), sum(dl.values())
+    avgdl_m = tot * 1000 // n
+
+    def idf_ppm(df_):
+        r = min(((2 * n + 2) * 1024) // (2 * df_ + 1), 1 << 30)
+        return ((r * r // 1024).bit_length() - 1 - 10) * 500_000
+
+    def contrib(tf, d, df_):
+        dlr = dl[d] * 1_000_000 // avgdl_m
+        norm = 250 + (750 * dlr) // 1000
+        den = tf * 1000 + (1200 * norm) // 1000
+        return idf_ppm(df_) * (tf * 2200 * 1_000_000 // den) // 1_000_000
+
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("qa", "shuffle"), ("qa", "spark"), ("qb", "skew")],
+        "query_id string, term string",
+    )
+    out = {
+        (r.query_id, r.doc_id): r
+        for r in bm25_topk(docs, queries, k=3).collect()
+    }
+
+    # qb: 'skew' appears only in doc 3 — exactly one hit, rank 1
+    assert set(q for q, _ in out) == {"qa", "qb"}
+    assert [d for (q, d) in out if q == "qb"] == [3]
+    assert out[("qb", 3)].score_ppm == contrib(1, 3, 1)
+    assert out[("qb", 3)].n_terms == 1 and out[("qb", 3)].rank == 1
+
+    # qa: every doc matches 'spark' (idf 0 — df = n makes R floor to
+    # 1024, zero half-bits); ranking is decided by 'shuffle' (df 2)
+    qa = sorted(
+        ((d, r.rank, r.score_ppm) for (q, d), r in out.items() if q == "qa"),
+        key=lambda x: x[1],
+    )
+    assert idf_ppm(n) == 0
+    assert len(qa) == 3  # k cut: 5 matching docs, 3 returned
+    exp1 = contrib(1, 1, 2) + contrib(3, 1, 5)   # doc 1: shuffle + join x3
+    exp3 = contrib(1, 3, 2) + contrib(1, 3, 5)
+    assert qa[0] == (1, 1, exp1) or qa[0] == (3, 1, exp3)
+    got = {d: s for d, _, s in qa}
+    assert got[1] == exp1 and got[3] == exp3
+    # docs without 'shuffle' score 0 (only the idf-0 term) and tie-break
+    # ascending by doc_id: doc 2 takes rank 3, docs 4/5 are cut
+    assert qa[2][0] == 2 and qa[2][2] == contrib(1, 2, 5) == 0
