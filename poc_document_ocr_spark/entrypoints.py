@@ -5085,6 +5085,155 @@ def assistant_loop_stats(t: DataFrame, loop_at: int = 3) -> DataFrame:
     )
 
 
+def prefix_fork_families(t: DataFrame, max_depth: int = 6) -> DataFrame:
+    """Shared-prefix (retry/branch) detection over a transcripts frame.
+
+    Agent harnesses re-run conversations: a failed rollout is retried
+    from turn k, sampling forks branch after a shared context, and an
+    SFT set built naively from such logs over-weights the shared prefix
+    verbatim. This operator finds **prefix families** — groups of ≥2
+    conversations whose first ``d`` turns are textually identical — via
+    a rolling prefix fingerprint: ``md5(concat_ws(chr(1), texts[1..d]))``
+    per (conv, d), one ordered window under the conversation
+    partitioning (extraction's own shuffle key — composing after it
+    adds no Exchange).
+
+    The depth cap bounds everything: each conversation contributes at
+    most ``max_depth`` fingerprint rows regardless of its length, so the
+    family groupBy shuffles ≤ max_depth rows/conv (map-side combinable)
+    and the window state never exceeds max_depth texts — the
+    long-conversation skew guard is structural, not remedial. At 10¹²
+    turns this is one conv-keyed Exchange + two bounded groupBys.
+
+    Returns one row per family: ``(depth, prefix_key, n_convs,
+    exemplar_conv, n_maximal_convs)`` where ``n_maximal_convs`` counts
+    the members whose DEEPEST shared depth is this family's depth —
+    i.e. how many branches actually diverge right after it (the fork
+    point), vs merely passing through toward a deeper shared prefix.
+
+    Reference analog: the duplicate-skip anti-join (FR-019) detects
+    whole-document re-submissions; this is the turn-granular
+    generalization for partially re-run conversations.
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    pref = t.filter(F.col("turn_idx") <= max_depth).select(
+        "conv_id",
+        "turn_idx",
+        F.md5(
+            F.concat_ws("\x01", F.collect_list("text").over(w))
+        ).alias("prefix_key"),
+    )
+    fams = (
+        pref.groupBy(
+            F.col("turn_idx").cast("int").alias("depth"), "prefix_key"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.min("conv_id").alias("exemplar_conv"),
+        )
+        .filter(F.col("n_convs") >= 2)
+    )
+    shared = pref.join(
+        fams.select(
+            F.col("depth").alias("turn_idx"), "prefix_key"
+        ),
+        ["turn_idx", "prefix_key"],
+    )
+    conv_max = shared.groupBy("conv_id").agg(
+        F.max("turn_idx").alias("_mx")
+    )
+    maximal = (
+        shared.join(conv_max, "conv_id")
+        .filter(F.col("turn_idx") == F.col("_mx"))
+        .groupBy(
+            F.col("turn_idx").cast("int").alias("depth"), "prefix_key"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("_n_max"))
+    )
+    return fams.join(maximal, ["depth", "prefix_key"], "left").select(
+        "depth",
+        "prefix_key",
+        "n_convs",
+        "exemplar_conv",
+        F.coalesce("_n_max", F.lit(0).cast("long")).alias(
+            "n_maximal_convs"
+        ),
+    )
+
+
+def q_prefix_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fork families over a corpus with planted retry branches:
+    conversation c1 gets a retry diverging after turn 3 and an
+    alternate diverging after turn 1; c7 a retry diverging after
+    turn 5 (see :func:`prefix_fork_families`)."""
+    t = spark_transcripts(spark, sf_dir)
+    base = t.filter(F.col("turn_idx") <= 6).select(
+        "conv_id", "turn_idx", "text"
+    )
+
+    def clone(src: str, keep: int, tag: str, pre: str) -> DataFrame:
+        return base.filter(F.col("conv_id") == src).select(
+            F.concat(F.lit(tag + "-"), F.col("conv_id")).alias("conv_id"),
+            "turn_idx",
+            F.when(F.col("turn_idx") <= keep, F.col("text"))
+            .otherwise(F.concat(F.lit(pre), F.col("text")))
+            .alias("text"),
+        )
+
+    corpus = (
+        base.unionAll(clone("c1", 3, "r1", "retry: "))
+        .unionAll(clone("c1", 1, "r2", "alt: "))
+        .unionAll(clone("c7", 5, "r1", "retry: "))
+    )
+    return prefix_fork_families(corpus, max_depth=6)
+
+
+_O_PREFIX_FORKS = oracle_cte(
+    """
+, base AS (SELECT conv_id, turn_idx, text FROM t WHERE turn_idx <= 6),
+corpus AS (
+  SELECT conv_id, turn_idx, text FROM base
+  UNION ALL
+  SELECT 'r1-' || conv_id, turn_idx,
+         CASE WHEN turn_idx <= 3 THEN text ELSE 'retry: ' || text END
+  FROM base WHERE conv_id = 'c1'
+  UNION ALL
+  SELECT 'r2-' || conv_id, turn_idx,
+         CASE WHEN turn_idx <= 1 THEN text ELSE 'alt: ' || text END
+  FROM base WHERE conv_id = 'c1'
+  UNION ALL
+  SELECT 'r1-' || conv_id, turn_idx,
+         CASE WHEN turn_idx <= 5 THEN text ELSE 'retry: ' || text END
+  FROM base WHERE conv_id = 'c7'
+),
+pref AS (SELECT conv_id, turn_idx,
+    md5(string_agg(text, chr(1)) OVER (PARTITION BY conv_id
+        ORDER BY turn_idx ROWS UNBOUNDED PRECEDING)) AS prefix_key
+  FROM corpus),
+fams AS (SELECT CAST(turn_idx AS INT) AS depth, prefix_key,
+    CAST(count(*) AS BIGINT) AS n_convs, min(conv_id) AS exemplar_conv
+  FROM pref GROUP BY 1, 2 HAVING count(*) >= 2),
+shared AS (SELECT p.conv_id, p.turn_idx, p.prefix_key FROM pref p
+  JOIN fams f ON f.depth = p.turn_idx AND f.prefix_key = p.prefix_key),
+cm AS (SELECT conv_id, max(turn_idx) AS mx FROM shared GROUP BY 1),
+mx AS (SELECT CAST(s.turn_idx AS INT) AS depth, s.prefix_key,
+    CAST(count(*) AS BIGINT) AS n_maximal_convs
+  FROM shared s JOIN cm ON cm.conv_id = s.conv_id AND s.turn_idx = cm.mx
+  GROUP BY 1, 2)
+SELECT f.depth, f.prefix_key, f.n_convs, f.exemplar_conv,
+  coalesce(mx.n_maximal_convs, 0) AS n_maximal_convs
+FROM fams f LEFT JOIN mx
+  ON mx.depth = f.depth AND mx.prefix_key = f.prefix_key
+"""
+)
+
+
 def q_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agent-loop detection per conversation (see
     :func:`assistant_loop_stats`)."""
@@ -5468,6 +5617,7 @@ SELECT query_id, doc_id, n_terms, score_ppm, rank FROM r WHERE rank <= 5
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 7 ---
     "bm25_topk": q_bm25_topk,
+    "prefix_forks": q_prefix_forks,
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
@@ -5605,6 +5755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "bm25_topk": _O_BM25_TOPK,
+    "prefix_forks": _O_PREFIX_FORKS,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

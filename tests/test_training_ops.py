@@ -2261,3 +2261,35 @@ def test_bm25_topk_exact_integer_replay(spark):
     # docs without 'shuffle' score 0 (only the idf-0 term) and tie-break
     # ascending by doc_id: doc 2 takes rank 3, docs 4/5 are cut
     assert qa[2][0] == 2 and qa[2][2] == contrib(1, 2, 5) == 0
+
+
+def test_prefix_fork_families_fork_points(spark):
+    """Planted retry tree: A/B share turns 1-3 then diverge; C shares
+    only turn 1 with them; D is unrelated. Families appear at each
+    shared depth and n_maximal_convs marks the actual fork points."""
+    from poc_document_ocr_spark.entrypoints import prefix_fork_families
+
+    rows = []
+    for conv, texts in [
+        ("A", ["hi", "plan", "step", "ok"]),
+        ("B", ["hi", "plan", "step", "retry"]),
+        ("C", ["hi", "other", "x", "y"]),
+        ("D", ["unrelated", "z", "z", "z"]),
+    ]:
+        rows += [(conv, i + 1, t) for i, t in enumerate(texts)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    out = {
+        (r.depth, r.n_convs): r
+        for r in prefix_fork_families(t, max_depth=4).collect()
+    }
+    # depth 1: {A,B,C} share 'hi'; depths 2-3: {A,B}; depth 4: none
+    assert set(out) == {(1, 3), (2, 2), (3, 2)}
+    assert out[(1, 3)].exemplar_conv == "A"
+    # C's deepest shared depth is 1 → it is the only maximal conv there
+    assert out[(1, 3)].n_maximal_convs == 1
+    # the pass-through family at depth 2 has no maximal member
+    assert out[(2, 2)].n_maximal_convs == 0
+    # A and B both fork right after depth 3
+    assert out[(3, 2)].n_maximal_convs == 2
