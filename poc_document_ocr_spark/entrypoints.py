@@ -5614,10 +5614,92 @@ SELECT query_id, doc_id, n_terms, score_ppm, rank FROM r WHERE rank <= 5
 """
 
 
+def q_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the two independent quality raters the repo
+    already ships — the Gopher character-heuristic screen
+    (``quality_score.keep``) and the CCNet LM banding
+    (``lm_quality_bands.band <> 'tail'``) — the do-these-screens-agree
+    audit a multi-rater curation funnel runs before chaining them."""
+    from .operators.textstats import (
+        lm_quality_bands,
+        quality_score,
+        screen_agreement,
+    )
+
+    docs = _docs(spark, sf_dir)
+    a = quality_score(docs).select(
+        "doc_id", F.col("keep").alias("keep_a")
+    )
+    b = lm_quality_bands(docs).select(
+        "doc_id", (F.col("band") != "tail").alias("keep_b")
+    )
+    return screen_agreement(a.join(b, "doc_id"))
+
+
+_O_SCREEN_AGREEMENT = """
+WITH s AS (SELECT doc_id,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS n_punct,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS n_digit,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace
+  FROM documents),
+qa AS (SELECT doc_id,
+    (n_tokens >= 5 AND n_tokens <= 100000
+     AND n_nonspace / n_tokens >= 2.0 AND n_nonspace / n_tokens <= 12.0
+     AND n_punct / n_chars <= 0.30 AND n_digit / n_chars <= 0.50)
+      AS keep_a
+  FROM s),
+tk AS (SELECT doc_id, lang, u.term AS term
+       FROM documents, UNNEST(string_split(text, ' ')) AS u(term)
+       WHERE u.term <> ''),
+tf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tk GROUP BY 1, 2, 3),
+m AS (SELECT lang, term, CAST(sum(tf) AS BIGINT) AS cnt
+      FROM tf GROUP BY 1, 2),
+sc AS (SELECT tf.doc_id, tf.lang,
+         CAST(sum(tf.tf * (1000000000 // m.cnt)) // sum(tf.tf) AS BIGINT)
+           AS score_key
+       FROM tf JOIN m ON tf.lang = m.lang AND tf.term = m.term
+       GROUP BY 1, 2),
+qb AS (SELECT doc_id,
+    (ntile(3) OVER (PARTITION BY lang ORDER BY score_key, doc_id) <> 3)
+      AS keep_b
+  FROM sc),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n11,
+    CAST(sum(CASE WHEN keep_a AND NOT keep_b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n10,
+    CAST(sum(CASE WHEN NOT keep_a AND keep_b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n01,
+    CAST(sum(CASE WHEN NOT keep_a AND NOT keep_b THEN 1 ELSE 0 END)
+      AS BIGINT) AS n00
+  FROM qa JOIN qb USING (doc_id)),
+p AS (SELECT *,
+    (n11 + n00) * 1000000 // n_docs AS po_ppm,
+    CAST((CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+          + CAST(n01 + n00 AS HUGEINT) * (n10 + n00)) * 1000000
+         // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_ppm
+  FROM c)
+SELECT n_docs, n11, n10, n01, n00, po_ppm, pe_ppm,
+  CAST(CASE WHEN pe_ppm = 1000000 THEN NULL
+       WHEN po_ppm >= pe_ppm THEN
+         (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+       ELSE
+         -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+       END AS BIGINT) AS kappa_ppm
+FROM p
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 7 ---
     "bm25_topk": q_bm25_topk,
     "prefix_forks": q_prefix_forks,
+    "screen_agreement": q_screen_agreement,
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
@@ -5756,6 +5838,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "bm25_topk": _O_BM25_TOPK,
     "prefix_forks": _O_PREFIX_FORKS,
+    "screen_agreement": _O_SCREEN_AGREEMENT,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

@@ -1473,3 +1473,67 @@ def compression_ratio(
         (F.col("ratio_ppm") >= low_ppm) & (F.col("ratio_ppm") <= high_ppm)
         | (F.col("n_bytes") == 0),
     )
+
+
+def screen_agreement(
+    labels: DataFrame, col_a: str = "keep_a", col_b: str = "keep_b"
+) -> DataFrame:
+    """Cohen's kappa between two boolean quality screens, integer-exact.
+
+    A curation pipeline running several independent keep/drop raters
+    (Gopher character heuristics, LM quality bands, compression ratio,
+    a learned classifier) needs to know whether they measure the same
+    thing: near-perfect agreement means the cheaper screen can gate
+    for the expensive one; near-chance agreement means they're
+    complementary and both stay. Kappa corrects raw agreement for
+    chance: ``κ = (p_o − p_e) / (1 − p_e)`` (Cohen 1960).
+
+    All arithmetic is exact ppm integer: ``po_ppm = (n11 + n00)·1e6 DIV
+    n``; ``pe_ppm`` widens the marginal products to DECIMAL(38,0)
+    before the integral division (n² overflows BIGINT past ~3e9 rows —
+    the ``mixture_weights`` rule); and because κ may be NEGATIVE
+    (worse-than-chance disagreement) while Spark's ``div`` truncates
+    toward zero and DuckDB's ``//`` floors, the sign is factored out
+    explicitly so both engines divide non-negative integers only.
+
+    Shape: ONE full-corpus aggregation to a single row (map-side
+    partial — five counters per partition), nothing else. The join of
+    the two screens' label frames happens upstream on the id key.
+
+    Returns one row: ``(n_docs, n11, n10, n01, n00, po_ppm, pe_ppm,
+    kappa_ppm)``; ``kappa_ppm`` is NULL when ``p_e = 1`` (degenerate
+    all-one-cell table).
+    """
+    a = F.col(col_a).cast("int")
+    b = F.col(col_b).cast("int")
+    c = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(a * b).cast("long").alias("n11"),
+        F.sum(a * (1 - b)).cast("long").alias("n10"),
+        F.sum((1 - a) * b).cast("long").alias("n01"),
+        F.sum((1 - a) * (1 - b)).cast("long").alias("n00"),
+    )
+    return c.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("(n11 + n00) * 1000000 div n_docs").alias("po_ppm"),
+        F.expr(
+            "CAST((CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)"
+            " + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00))"
+            " * 1000000 div (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
+            " AS BIGINT)"
+        ).alias("pe_ppm"),
+    ).select(
+        "*",
+        F.expr(
+            """CASE WHEN pe_ppm = 1000000 THEN NULL
+                 WHEN po_ppm >= pe_ppm THEN
+                   (po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)
+                 ELSE
+                   -((pe_ppm - po_ppm) * 1000000 div (1000000 - pe_ppm))
+               END"""
+        ).cast("long").alias("kappa_ppm"),
+    )

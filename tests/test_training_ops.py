@@ -2293,3 +2293,36 @@ def test_prefix_fork_families_fork_points(spark):
     assert out[(2, 2)].n_maximal_convs == 0
     # A and B both fork right after depth 3
     assert out[(3, 2)].n_maximal_convs == 2
+
+
+def test_screen_agreement_kappa_exact_and_negative(spark):
+    """Kappa replays the exact ppm arithmetic, and the explicit sign
+    factoring keeps negative kappa identical under Spark's
+    truncate-toward-zero div and DuckDB's floor //."""
+    from poc_document_ocr_spark.operators.textstats import screen_agreement
+
+    rows = (
+        [(True, True)] * 3 + [(True, False)] + [(False, True)]
+        + [(False, False)] * 5
+    )
+    df = spark.createDataFrame(rows, "keep_a boolean, keep_b boolean")
+    r = screen_agreement(df).collect()[0]
+    assert (r.n_docs, r.n11, r.n10, r.n01, r.n00) == (10, 3, 1, 1, 5)
+    assert r.po_ppm == 800_000
+    assert r.pe_ppm == (4 * 4 + 6 * 6) * 1_000_000 // 100
+    assert r.kappa_ppm == (800_000 - 520_000) * 1_000_000 // 480_000
+
+    # perfect disagreement: kappa = -1 exactly
+    anti = spark.createDataFrame(
+        [(True, False)] * 5 + [(False, True)] * 5,
+        "keep_a boolean, keep_b boolean",
+    )
+    r2 = screen_agreement(anti).collect()[0]
+    assert r2.po_ppm == 0 and r2.pe_ppm == 500_000
+    assert r2.kappa_ppm == -1_000_000
+
+    # degenerate all-one-cell table: pe = 1 -> NULL kappa
+    degen = spark.createDataFrame(
+        [(True, True)] * 4, "keep_a boolean, keep_b boolean"
+    )
+    assert screen_agreement(degen).collect()[0].kappa_ppm is None
