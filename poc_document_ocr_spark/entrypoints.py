@@ -5695,11 +5695,59 @@ FROM p
 """
 
 
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit over the preference-pair construction: how
+    often the diversity-reward winner is also the character-length
+    winner, by reward-gap band (see
+    :func:`operators.examples.pair_length_bias`)."""
+    from .operators.examples import pair_length_bias
+
+    return pair_length_bias(spark_transcripts(spark, sf_dir))
+
+
+_O_LENGTH_BIAS = oracle_cte(
+    """
+, cand AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(list_distinct(
+      string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+')),
+      x -> x <> '')) AS BIGINT) AS n_tok,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM t WHERE role = 'assistant'
+),
+r AS (SELECT conv_id, n_tok, n_chars,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY n_tok DESC, n_chars DESC, turn_idx) AS rhi,
+    row_number() OVER (PARTITION BY conv_id
+      ORDER BY n_tok ASC, n_chars ASC, turn_idx DESC) AS rlo,
+    CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_candidates
+  FROM cand),
+p AS (SELECT hi.n_tok - lo.n_tok AS gap,
+        hi.n_chars AS hc, lo.n_chars AS lc
+  FROM (SELECT * FROM r WHERE rhi = 1) hi
+  JOIN (SELECT * FROM r WHERE rlo = 1) lo USING (conv_id)
+  WHERE hi.n_candidates >= 2),
+b AS (SELECT CASE WHEN gap = 0 THEN '0' WHEN gap <= 2 THEN '1-2'
+                  ELSE '3+' END AS gap_band, gap, hc, lc FROM p)
+SELECT gap_band, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(sum(CASE WHEN hc > lc THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_chosen_longer,
+  CAST(sum(CASE WHEN hc = lc THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ties,
+  CAST(sum(CASE WHEN hc > lc THEN 1 ELSE 0 END) * 1000000 // count(*)
+    AS BIGINT) AS chosen_longer_ppm,
+  CAST(sum(hc) // count(*) AS BIGINT) AS avg_chosen_chars,
+  CAST(sum(lc) // count(*) AS BIGINT) AS avg_rejected_chars
+FROM b GROUP BY 1
+"""
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in round 4, session 7 ---
     "bm25_topk": q_bm25_topk,
     "prefix_forks": q_prefix_forks,
     "screen_agreement": q_screen_agreement,
+    "length_bias": q_length_bias,
     # --- new in round 4, session 2 ---
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
@@ -5839,6 +5887,7 @@ ORACLES: dict[str, str] = {
     "bm25_topk": _O_BM25_TOPK,
     "prefix_forks": _O_PREFIX_FORKS,
     "screen_agreement": _O_SCREEN_AGREEMENT,
+    "length_bias": _O_LENGTH_BIAS,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

@@ -267,3 +267,86 @@ def context_window_fit(t: DataFrame, budget_tokens: int = 256) -> DataFrame:
         )
         .filter(F.col("cum_tokens_from_end") <= budget_tokens)
     )
+
+
+def pair_length_bias(
+    t: DataFrame, target_role: str = "assistant"
+) -> DataFrame:
+    """Length-bias audit over the :func:`preference_pairs` construction.
+
+    RLHF reward signals are notoriously length-confounded: if "chosen"
+    responses are systematically LONGER than "rejected" ones, a policy
+    trained on the pairs learns verbosity, not quality (Singhal et al.,
+    arXiv:2310.03716). The repo's reward proxy ranks by DISTINCT-token
+    diversity, not raw length — so the audit question is how often the
+    diversity winner is also the character-length winner, broken down by
+    reward-gap band (a small gap with high length correlation is the
+    dangerous regime: the reward barely separates the pair, length
+    does).
+
+    Same pair construction as :func:`preference_pairs` (one groupBy,
+    max(struct)/min(struct), map-side combinable) with the char lengths
+    carried through the structs, then ONE bounded rollup over the three
+    gap bands. Two shuffles total; the second moves ≤3 rows per
+    partition.
+
+    Returns one row per band ``('0' | '1-2' | '3+')``:
+    ``(gap_band, n_pairs, n_chosen_longer, n_len_ties,
+    chosen_longer_ppm, avg_chosen_chars, avg_rejected_chars)`` —
+    all ratios exact ppm integers, averages integral divisions.
+    """
+    toks = F.array_remove(
+        F.array_distinct(F.split(F.lower(_TEXT()), TOKEN_SPLIT)), ""
+    )
+    cand = t.filter(F.col("role") == target_role).select(
+        "conv_id",
+        F.size(toks).cast("long").alias("_r_tok"),
+        F.length(_TEXT()).cast("long").alias("_r_chars"),
+        (-F.col("turn_idx")).cast("long").alias("_r_turn"),
+        F.col("turn_idx").cast("int").alias("_turn_idx"),
+    )
+    key = F.struct("_r_tok", "_r_chars", "_r_turn", "_turn_idx")
+    pairs = (
+        cand.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.max(key).alias("_hi"),
+            F.min(key).alias("_lo"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+        .select(
+            (F.col("_hi._r_tok") - F.col("_lo._r_tok")).alias("_gap"),
+            F.col("_hi._r_chars").alias("_hc"),
+            F.col("_lo._r_chars").alias("_lc"),
+        )
+    )
+    band = (
+        F.when(F.col("_gap") == 0, "0")
+        .when(F.col("_gap") <= 2, "1-2")
+        .otherwise("3+")
+    )
+    return (
+        pairs.groupBy(band.alias("gap_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum((F.col("_hc") > F.col("_lc")).cast("int"))
+            .cast("long")
+            .alias("n_chosen_longer"),
+            F.sum((F.col("_hc") == F.col("_lc")).cast("int"))
+            .cast("long")
+            .alias("n_len_ties"),
+            F.sum("_hc").cast("long").alias("_sum_hc"),
+            F.sum("_lc").cast("long").alias("_sum_lc"),
+        )
+        .select(
+            "gap_band",
+            "n_pairs",
+            "n_chosen_longer",
+            "n_len_ties",
+            F.expr("n_chosen_longer * 1000000 div n_pairs").alias(
+                "chosen_longer_ppm"
+            ),
+            F.expr("_sum_hc div n_pairs").alias("avg_chosen_chars"),
+            F.expr("_sum_lc div n_pairs").alias("avg_rejected_chars"),
+        )
+    )

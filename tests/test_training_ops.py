@@ -2326,3 +2326,38 @@ def test_screen_agreement_kappa_exact_and_negative(spark):
         [(True, True)] * 4, "keep_a boolean, keep_b boolean"
     )
     assert screen_agreement(degen).collect()[0].kappa_ppm is None
+
+
+def test_pair_length_bias_bands(spark):
+    """Three conversations landing in three gap bands; the '0' band pair
+    must count as a length WIN (not tie) when chars differ, and ties
+    are counted separately."""
+    from poc_document_ocr_spark.operators.examples import pair_length_bias
+
+    rows = [
+        # conv g0: same diversity (2 distinct tokens), different chars
+        ("g0", 1, "assistant", "aa bb"),
+        ("g0", 2, "assistant", "aa bb bb bb"),
+        # conv g1: gap 2 (3 vs 1 distinct), chosen shorter in chars
+        ("g1", 1, "assistant", "a b c"),
+        ("g1", 2, "assistant", "dddddddddddd"),
+        # conv g2: gap 4 (5 vs 1), chosen longer
+        ("g2", 1, "assistant", "p q r s t"),
+        ("g2", 2, "assistant", "p"),
+        # non-assistant noise must be ignored
+        ("g2", 3, "user", "x y z w v u"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.gap_band: r for r in pair_length_bias(t).collect()}
+    assert set(out) == {"0", "1-2", "3+"}
+    # g0: diversity tie -> chars break the tie; chosen IS the longer one
+    assert out["0"].n_pairs == 1 and out["0"].n_chosen_longer == 1
+    assert out["0"].chosen_longer_ppm == 1_000_000
+    assert out["0"].avg_chosen_chars == 11 and out["0"].avg_rejected_chars == 5
+    # g1: diversity winner is SHORTER in chars
+    assert out["1-2"].n_chosen_longer == 0 and out["1-2"].n_len_ties == 0
+    assert out["1-2"].chosen_longer_ppm == 0
+    # g2: winner longer
+    assert out["3+"].n_chosen_longer == 1
