@@ -5742,6 +5742,43 @@ FROM b GROUP BY 1
 )
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation table over the documents corpus (min pair support
+    5) — see :func:`operators.textstats.pmi_collocations`."""
+    from .operators.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir), min_count=5)
+
+
+_O_PMI_PAIRS = """
+WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+              AS toks
+            FROM documents),
+tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tok,
+          CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_pairs_tot
+        FROM tk),
+u AS (SELECT uu.w AS w, CAST(count(*) AS BIGINT) AS c_w
+      FROM tk, UNNEST(toks) AS uu(w) GROUP BY 1),
+bg AS (SELECT b.b.w1 AS w1, b.b.w2 AS w2, CAST(count(*) AS BIGINT)
+           AS n_pair
+       FROM (SELECT UNNEST(list_transform(range(1, len(toks)),
+                i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+             FROM tk WHERE len(toks) >= 2) b
+       GROUP BY 1, 2 HAVING count(*) >= 5),
+s AS (SELECT bg.w1, bg.w2, bg.n_pair, u1.c_w AS n_w1, u2.c_w AS n_w2,
+        least(CAST(CAST(bg.n_pair AS HUGEINT) * n_tok // u1.c_w
+                   AS HUGEINT) * n_tok * 1024
+              // (CAST(u2.c_w AS HUGEINT) * n_pairs_tot),
+              CAST(1073741824 AS HUGEINT)) AS r
+      FROM bg JOIN u u1 ON u1.w = bg.w1
+              JOIN u u2 ON u2.w = bg.w2, tot)
+SELECT w1, w2, n_pair, n_w1, n_w2,
+  CAST(length(to_base(CAST(r * r // 1024 AS BIGINT), 2)) - 11 AS BIGINT)
+    AS pmi_hb
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -5757,6 +5794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "prefix_forks": q_prefix_forks,
     "screen_agreement": q_screen_agreement,
     "length_bias": q_length_bias,
+    "pmi_pairs": q_pmi_pairs,
     # --- (b) VERDICT r3 task #1: driver-green rows for these ---
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
@@ -5806,8 +5844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
     "tokenizer_fertility": q_tokenizer_fertility,
-    "normalize": q_normalize,
     # ================= driver 50-entry window ends here =================
+    "normalize": q_normalize,
     "bpe_merges": q_bpe_merges,
     "turn_transitions": q_turn_transitions,
     "turn_lint": q_turn_lint,
@@ -5898,6 +5936,7 @@ ORACLES: dict[str, str] = {
     "prefix_forks": _O_PREFIX_FORKS,
     "screen_agreement": _O_SCREEN_AGREEMENT,
     "length_bias": _O_LENGTH_BIAS,
+    "pmi_pairs": _O_PMI_PAIRS,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

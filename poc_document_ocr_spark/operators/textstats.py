@@ -1537,3 +1537,103 @@ def screen_agreement(
                END"""
         ).cast("long").alias("kappa_ppm"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (phrase) mining by pointwise mutual information over
+    adjacent token pairs — the statistic behind word2vec-style phrase
+    detection (Mikolov et al., arXiv:1310.4546 §4) and corpus
+    collocation tables: ``PMI(x,y) = log2( p(x,y) / (p(x)·p(y)) )``,
+    high for pairs that co-occur far above chance ("new york") and
+    negative for pairs glued together only by token frequency.
+
+    The log runs in the repo's exact **half-log2-bit** integer form (the
+    ``bm25_topk`` idf machinery): the probability ratio
+    ``r = (c_xy/Npairs) / ((c_x/N)·(c_y/N)) = c_xy·N² / (Npairs·c_x·c_y)``
+    is carried as a scaled integer with the multiplies staged to stay
+    inside DECIMAL(38,0) at any corpus size —
+    ``R = ((c_xy·N div c_x)·N·1024) div (c_y·Npairs)``, capped at 2^30 —
+    then ``pmi_hb = floor_log2(R²div1024) − 10 ≈ floor(2·log2 r)`` read
+    off the bit length (Spark ``bin``, DuckDB ``to_base``). The two
+    interior floors and the −10 underflow clamp (R² div 1024 = 0 ⇒
+    pmi_hb = −10) are part of the operator's documented spec; both
+    engines replay them bit-for-bit, no float ever crosses.
+
+    Shape (10¹² turns): TWO corpus-cardinality shuffles — the bigram
+    groupBy and the unigram groupBy, both map-side combinable — then
+    vocabulary-keyed equi-joins (AQE skew-splits the stopword keys) and
+    a 1-row totals broadcast. ``min_count`` bounds the output to
+    supported pairs (the phrase-table convention); nothing collects.
+
+    Returns ``(w1, w2, n_pair, n_w1, n_w2, pmi_hb)``.
+    """
+    toks = df.select(
+        F.filter(
+            F.split(F.col(text_col), " "), lambda x: x != F.lit("")
+        ).alias("_toks")
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_w"))
+    )
+    bg = (
+        toks.filter(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_toks", i).alias("w1"),
+                        F.element_at("_toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    # one scan for both totals (pairs per doc = max(tokens - 1, 0))
+    totals = toks.agg(
+        F.sum(F.size("_toks")).cast("long").alias("n_tok"),
+        F.sum(F.greatest(F.size("_toks") - 1, F.lit(0)))
+        .cast("long")
+        .alias("n_pairs_tot"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("n_w2"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.expr(
+                """least(
+                     CAST(CAST(n_pair AS DECIMAL(38,0)) * n_tok
+                          div n_w1 AS DECIMAL(38,0)) * n_tok * 1024
+                     div (CAST(n_w2 AS DECIMAL(38,0)) * n_pairs_tot),
+                     CAST(1073741824 AS DECIMAL(38,0)))"""
+            ).cast("long").alias("_r"),
+        )
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        (
+            F.length(F.bin(F.expr("_r * _r div 1024"))) - F.lit(11)
+        ).cast("long").alias("pmi_hb"),
+    )

@@ -2361,3 +2361,53 @@ def test_pair_length_bias_bands(spark):
     assert out["1-2"].chosen_longer_ppm == 0
     # g2: winner longer
     assert out["3+"].n_chosen_longer == 1
+
+
+def test_pmi_collocations_exact_replay(spark):
+    """PMI half-bits replay bit-for-bit against a Python
+    reimplementation; a planted collocation scores high and a
+    chance-glued stopword pair scores at/below zero."""
+    from poc_document_ocr_spark.operators.textstats import pmi_collocations
+
+    # 'new york' always together (strong collocation); pure-'the' filler
+    # docs push the (the, the) pair to chance level
+    docs = [(i, "new york the a%d the b%d" % (i % 3, i % 2))
+            for i in range(12)]
+    docs += [(100 + i, "the the the the the the") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r.w1, r.w2): r for r in pmi_collocations(df, min_count=5)
+           .collect()}
+
+    toks = [t for _, s in docs for t in s.split(" ") if t]
+    n_tok = len(toks)
+    n_pairs_tot = sum(max(len(s.split(" ")) - 1, 0) for _, s in docs)
+    from collections import Counter
+    uni = Counter(toks)
+    bg = Counter()
+    for _, s in docs:
+        ws = [t for t in s.split(" ") if t]
+        for a, b in zip(ws, ws[1:]):
+            bg[(a, b)] += 1
+
+    def pmi_hb(c_xy, c_x, c_y):
+        r = min((c_xy * n_tok // c_x) * n_tok * 1024
+                // (c_y * n_pairs_tot), 1 << 30)
+        return (r * r // 1024).bit_length() - 1 - 10
+
+    exp = {p: c for p, c in bg.items() if c >= 5}
+    assert set(out) == set(exp)
+    for (a, b), c in exp.items():
+        r = out[(a, b)]
+        assert (r.n_pair, r.n_w1, r.n_w2) == (c, uni[a], uni[b])
+        assert r.pmi_hb == pmi_hb(c, uni[a], uni[b]), (a, b)
+    # planted collocation clearly positive, stopword glue not
+    # r = 12*108^2/(90*12*12) = 10.8 -> 2*log2 = 6.86 -> staged floor 6
+    assert out[("new", "york")].pmi_hb == 6
+    # chance-level repetition pair sits at ~0; ordering is monotone in
+    # true PMI: planted collocation > glue pair > chance pair
+    assert out[("the", "the")].pmi_hb <= 1
+    assert (
+        out[("new", "york")].pmi_hb
+        > out[("york", "the")].pmi_hb
+        > out[("the", "the")].pmi_hb
+    )
