@@ -5779,6 +5779,58 @@ FROM s
 """
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality audit of the marker-word language heuristic
+    against the corpus's labeled ``lang`` column: the confusion matrix
+    with per-cell recall — the audit a pipeline runs before trusting a
+    cheap lang-id to route 100 TB (the labeled ``zh`` slice has no
+    marker set, so the matrix exposes exactly where the heuristic is
+    blind). lang_id itself is map-only (the ``keep=`` passthrough
+    carries the truth label — one projection, no self-join); the matrix
+    groupBy is ONE shuffle down to ≤|langs|² rows; marginals come from
+    windows over that bounded cell table, never a second corpus pass."""
+    from pyspark.sql import Window as W
+
+    from .operators.textstats import lang_id
+
+    pred = lang_id(_docs(spark, sf_dir), keep=("lang",))
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w_true = W.partitionBy("lang")
+    w_pred = W.partitionBy("pred_lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.sum("n_docs").over(w_true).cast("long").alias("n_true"),
+        F.sum("n_docs").over(w_pred).cast("long").alias("n_pred"),
+    ).select(
+        "*",
+        F.expr("n_docs * 1000000 div n_true").alias("recall_cell_ppm"),
+        F.expr("n_docs * 1000000 div n_pred").alias(
+            "precision_cell_ppm"
+        ),
+    )
+
+
+_O_LANGID_CONFUSION = f"""
+WITH pred AS ({_O_LANG_ID.strip()}),
+truth AS (SELECT doc_id, lang FROM documents),
+cells AS (SELECT t.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM truth t JOIN pred p USING (doc_id) GROUP BY 1, 2),
+m AS (SELECT lang, pred_lang, n_docs,
+        CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
+        CAST(sum(n_docs) OVER (PARTITION BY pred_lang) AS BIGINT)
+          AS n_pred
+      FROM cells)
+SELECT lang, pred_lang, n_docs, n_true, n_pred,
+  n_docs * 1000000 // n_true AS recall_cell_ppm,
+  n_docs * 1000000 // n_pred AS precision_cell_ppm
+FROM m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -5795,6 +5847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "screen_agreement": q_screen_agreement,
     "length_bias": q_length_bias,
     "pmi_pairs": q_pmi_pairs,
+    "langid_confusion": q_langid_confusion,
     # --- (b) VERDICT r3 task #1: driver-green rows for these ---
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
@@ -5843,8 +5896,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_weights": q_dsir_weights,
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
-    "tokenizer_fertility": q_tokenizer_fertility,
     # ================= driver 50-entry window ends here =================
+    "tokenizer_fertility": q_tokenizer_fertility,
     "normalize": q_normalize,
     "bpe_merges": q_bpe_merges,
     "turn_transitions": q_turn_transitions,
@@ -5937,6 +5990,7 @@ ORACLES: dict[str, str] = {
     "screen_agreement": _O_SCREEN_AGREEMENT,
     "length_bias": _O_LENGTH_BIAS,
     "pmi_pairs": _O_PMI_PAIRS,
+    "langid_confusion": _O_LANGID_CONFUSION,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

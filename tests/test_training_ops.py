@@ -2411,3 +2411,35 @@ def test_pmi_collocations_exact_replay(spark):
         > out[("york", "the")].pmi_hb
         > out[("the", "the")].pmi_hb
     )
+
+
+def test_langid_confusion_matrix_metrics(spark, tmp_path):
+    """Confusion cells carry exact marginals and ppm recall/precision;
+    a label with no marker set ('zh') shows up as pure leakage into
+    the default class."""
+    from poc_document_ocr_spark.entrypoints import q_langid_confusion
+
+    rows = [
+        (1, "the cat is on the mat and happy", "en"),   # en -> en
+        (2, "el gato que la casa los perros", "es"),    # es -> es
+        (3, "der hund und die katze ist da", "de"),     # de -> de
+        (4, "ni hao ma zhong wen wen ben", "zh"),       # zh -> en (blind)
+        (5, "the dog and the bird is quick", "en"),     # en -> en
+    ]
+    import pandas as pd
+
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang"]
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        (r.lang, r.pred_lang): r
+        for r in q_langid_confusion(spark, str(tmp_path)).collect()
+    }
+    assert out[("en", "en")].n_docs == 2
+    assert out[("zh", "en")].n_docs == 1
+    assert out[("zh", "en")].recall_cell_ppm == 1_000_000  # fully blind
+    # 3 docs predicted 'en' overall -> precision of the en->en cell
+    assert out[("en", "en")].n_pred == 3
+    assert out[("en", "en")].precision_cell_ppm == 2 * 1_000_000 // 3
+    assert out[("es", "es")].recall_cell_ppm == 1_000_000
+    assert out[("de", "de")].n_true == 1
