@@ -1065,6 +1065,76 @@ def audit(spark, sf_dir: str):
     )
     sections.append(("bm25_topk", excerpt(p)))
 
+    # prefix_forks: the fork detector must do its work under the
+    # conversation partitioning (one corpus-keyed window) and never
+    # force-broadcast anything (the family/max-depth joins are bounded
+    # but AQE owns the strategy); the depth cap shows up as a filter
+    # below the window, bounding per-conv window state structurally.
+    pf = ep.QUERIES["prefix_forks"](spark, sf_dir)
+    p = plan_of(pf)
+    check(
+        "prefix_forks: conv-partitioned prefix window, no forced"
+        " broadcast (ResolvedHint absent)",
+        "Window" in p and "ResolvedHint" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        f"Window={'Window' in p}, hints absent={'ResolvedHint' not in p}",
+    )
+
+    # length_bias: the pair construction must stay the max/min(struct)
+    # single-shuffle groupBy — NO window anywhere (the oracle uses
+    # row_number windows; the Spark plan must not)
+    lb = ep.QUERIES["length_bias"](spark, sf_dir)
+    p = plan_of(lb)
+    check(
+        "length_bias: windowless max/min(struct) pairs, map-side"
+        " partial aggs",
+        "Window" not in p and "partial_count" in p,
+        f"Window absent={'Window' not in p}",
+    )
+
+    # pmi_pairs: both corpus aggregations partial-aggregate map-side;
+    # the 1-row totals ride a broadcast; the vocabulary joins are NOT
+    # force-broadcast (corpus-cardinality side — AQE decides)
+    pm = ep.QUERIES["pmi_pairs"](spark, sf_dir)
+    p = plan_of(pm)
+    # (the vocab joins may legitimately plan as BroadcastHashJoin at
+    # sf0.01 — size-based, not hinted; at corpus scale the estimates
+    # exceed the threshold and AQE plans sort-merge. The structural
+    # assertions: every aggregation partial-aggregates map-side, and
+    # the ONLY nested-loop join is the 1-row totals cross join — the
+    # same bounded-broadcast mechanism mix_weights uses.)
+    nlj = len(re.findall(r"BroadcastNestedLoopJoin", p))
+    check(
+        "pmi_pairs: map-side partials; sole NLJ is the 1-row totals"
+        " cross join",
+        "partial_count" in p and nlj <= 1,
+        f"partials={'partial_count' in p}, NLJ count={nlj}",
+    )
+    sections.append(("pmi_pairs", excerpt(p)))
+
+    # screen_agreement: one corpus-wide five-counter aggregation with
+    # map-side partials; no per-row Python
+    sa = ep.QUERIES["screen_agreement"](spark, sf_dir)
+    p = plan_of(sa)
+    check(
+        "screen_agreement: single-row kappa agg partial-aggregates,"
+        " no Python UDF",
+        "partial_count" in p and "BatchEvalPython" not in p,
+        f"partials={'partial_count' in p}",
+    )
+
+    # langid_confusion: the heuristic itself is pure column expressions
+    # (no Python eval); marginals come from windows over the bounded
+    # cell table, so no second corpus-cardinality aggregation exists
+    lc = ep.QUERIES["langid_confusion"](spark, sf_dir)
+    p = plan_of(lc)
+    check(
+        "langid_confusion: no Python eval, cell-table windows only",
+        "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "Window" in p,
+        f"python absent={'BatchEvalPython' not in p}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

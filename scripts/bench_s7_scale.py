@@ -104,14 +104,31 @@ def main() -> None:
         hash_split,
         skew_report,
     )
+    from pyspark.sql import Window as PW
+
     from poc_document_ocr_spark.operators.textstats import (
         compression_ratio,
+        lang_id,
         lm_quality_bands,
+        pmi_collocations,
         quality_score,
         screen_agreement,
         winnow_containment_pairs,
         winnow_fingerprints,
     )
+
+    def _langid_confusion_job(d):
+        pred = lang_id(d, keep=("lang",))
+        cells = pred.groupBy("lang", "pred_lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+        return cells.select(
+            "lang", "pred_lang", "n_docs",
+            F.sum("n_docs").over(PW.partitionBy("lang"))
+            .cast("long").alias("n_true"),
+            F.sum("n_docs").over(PW.partitionBy("pred_lang"))
+            .cast("long").alias("n_pred"),
+        )
 
     extracted = spark.read.parquet(
         os.path.join(REPO, ".bench_cache", f"extracted_{scale}.parquet")
@@ -204,6 +221,10 @@ def main() -> None:
             )
         ),
         "length_bias": lambda: consume(pair_length_bias(turns)),
+        "pmi_pairs": lambda: consume(
+            pmi_collocations(docs, min_count=5)
+        ),
+        "langid_confusion": lambda: consume(_langid_confusion_job(docs)),
     }
 
     unknown = only - set(jobs)
@@ -248,6 +269,12 @@ def main() -> None:
             )
         ),
         "length_bias": lambda: consume(pair_length_bias(small_t)),
+        "pmi_pairs": lambda: consume(
+            pmi_collocations(small_d, min_count=5)
+        ),
+        "langid_confusion": lambda: consume(
+            _langid_confusion_job(small_d)
+        ),
     }
     for name in selected:
         warmups[name]()
