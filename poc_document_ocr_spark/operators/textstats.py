@@ -1347,9 +1347,18 @@ def winnow_containment_pairs(
     op — fp inverted index, ``[min_df, max_df]`` boilerplate cap
     bounding every bucket's fan-out, pair groupBy with map-side
     partials. The per-doc fingerprint totals are ONE extra
-    count-groupBy joined back on the doc id (equi, AQE — the totals
-    table is corpus-cardinality, never broadcast). Ratios are integral
-    divisions of DECIMAL-widened exact BIGINTs.
+    count-groupBy joined back on the doc id. **Every join here pins
+    sort-merge** (``hint("merge")``), inheriting
+    :func:`winnow_overlap_pairs`'s lesson the hard way: at 1.88M
+    documents the static size estimate of the explode→aggregate chain
+    collapsed under the broadcast threshold and the planner broadcast
+    the ENTIRE inverted index — 16.3 GiB, past the 8 GiB broadcast
+    hard limit — and a statically-planned BroadcastExchange has no
+    shuffle stage for AQE to re-measure, so runtime re-planning cannot
+    demote it. Corpus-cardinality sides (rare fps, the index, per-doc
+    totals) are pinned away from broadcast; sort-merge keeps AQE skew
+    splitting available. Ratios are integral divisions of
+    DECIMAL-widened exact BIGINTs.
 
     Returns ``(id_a, id_b, shared_fps, n_fp_a, n_fp_b, contain_a_ppm,
     contain_b_ppm)`` with ``id_a < id_b``.
@@ -1363,11 +1372,11 @@ def winnow_containment_pairs(
         .filter(F.col("_df").between(min_df, max_df))
         .select("fp")
     )
-    wfr = wf.join(rare, "fp")
+    wfr = wf.join(rare.hint("merge"), "fp")
     a = wfr.select(F.col(id_col).alias("id_a"), "fp")
     b = wfr.select(F.col(id_col).alias("id_b"), "fp")
     pairs = (
-        a.join(b, "fp")
+        a.join(b.hint("merge"), "fp")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
@@ -1377,13 +1386,13 @@ def winnow_containment_pairs(
         pairs.join(
             totals.select(
                 F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_fp_a")
-            ),
+            ).hint("merge"),
             "id_a",
         )
         .join(
             totals.select(
                 F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_fp_b")
-            ),
+            ).hint("merge"),
             "id_b",
         )
         .select(

@@ -1005,17 +1005,33 @@ def audit(spark, sf_dir: str):
         f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
     )
 
-    # containment: same bucketed candidate generation as winnow_overlap
-    # plus two corpus-cardinality totals joins — equi only, no forced
-    # broadcast, partial aggregation on the pair counts
-    cp = ep.QUERIES["containment"](spark, sf_dir)
+    # containment: same bucketed candidate generation as winnow_overlap,
+    # and the same sort-merge pinning — at 1.88M docs the static
+    # estimate of the explode→aggregate chain collapsed under the
+    # threshold and the planner broadcast the ENTIRE 16.3 GiB inverted
+    # index (a static BroadcastExchange has no shuffle stage for AQE to
+    # re-measure, so it can never be demoted at runtime). Every side
+    # here is corpus-cardinality: NO broadcast may appear at all.
+    # (audited on the bare operator over the documents table — the demo
+    # query's planted-quote corpus construction has its own small
+    # self-join that may legitimately broadcast at sf0.01)
+    from poc_document_ocr_spark.operators.textstats import (
+        winnow_containment_pairs as _wcp,
+        winnow_fingerprints as _wfp,
+    )
+
+    cp = _wcp(
+        _wfp(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), k=8, w=4
+        ),
+        min_df=2, max_df=10, min_shared=5,
+    )
     p = plan_of(cp)
     check(
-        "containment: fp-bucket equi-joins + totals equi-joins, no"
-        " cartesian, no forced broadcast, map-side partials",
+        "containment: all joins sort-merge (no broadcast of any"
+        " corpus-cardinality side), no cartesian, map-side partials",
         "CartesianProduct" not in p
-        and "BroadcastNestedLoopJoin" not in p
-        and "ResolvedHint" not in analyzed(cp)
+        and "BroadcastExchange" not in p
         and "partial_count" in p,
         f"Exchange = {len(re.findall(r'(?m)Exchange', p))}",
     )
