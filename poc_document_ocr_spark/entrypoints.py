@@ -5831,6 +5831,73 @@ FROM m
 """
 
 
+def q_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition drift between two snapshots: per-source share
+    deltas and the total-variation distance, in exact ppm — the
+    monitoring query a continuously-ingesting pipeline alerts on when a
+    crawl's source mix shifts (a TVD jump means the training mixture
+    silently changed even if volume didn't). Snapshots here are the
+    deterministic hash halves of the documents table (the
+    last-batch-vs-this-batch shape). ONE corpus shuffle down to the
+    bounded source table; shares, deltas, and the TVD all come from
+    windows over those ≤|sources| rows — no second corpus pass, no
+    join. TVD = Σ|p_b − p_a| / 2."""
+    docs = _docs(spark, sf_dir)
+    # snapshot splitter shared verbatim with the oracle: first md5 hex
+    # nibble of the stringified id, < '8' -> snapshot A
+    in_a = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    )
+    cells = docs.groupBy("source").agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    shares = cells.select(
+        "source",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000"
+            " div sum(n_a) OVER () AS BIGINT)"
+        ).alias("p_a_ppm"),
+        F.expr(
+            "CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000"
+            " div sum(n_b) OVER () AS BIGINT)"
+        ).alias("p_b_ppm"),
+    ).select(
+        "*", (F.col("p_b_ppm") - F.col("p_a_ppm")).alias("delta_ppm")
+    )
+    return shares.select(
+        "*",
+        F.expr("sum(abs(delta_ppm)) OVER () div 2")
+        .cast("long")
+        .alias("tvd_ppm"),
+    )
+
+
+_O_MIX_DRIFT = """
+WITH h AS (SELECT source,
+    -- splitter shared verbatim with the Spark side: first md5 hex
+    -- nibble of the stringified id, < '8' -> snapshot A
+    (substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8') AS in_a
+  FROM documents),
+cells AS (SELECT source,
+    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM h GROUP BY 1),
+s AS (SELECT source, n_a, n_b,
+    CAST(CAST(n_a AS HUGEINT) * 1000000 // sum(n_a) OVER () AS BIGINT)
+      AS p_a_ppm,
+    CAST(CAST(n_b AS HUGEINT) * 1000000 // sum(n_b) OVER () AS BIGINT)
+      AS p_b_ppm
+  FROM cells)
+SELECT source, n_a, n_b, p_a_ppm, p_b_ppm,
+  p_b_ppm - p_a_ppm AS delta_ppm,
+  CAST(sum(abs(p_b_ppm - p_a_ppm)) OVER () // 2 AS BIGINT) AS tvd_ppm
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -5848,6 +5915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_bias": q_length_bias,
     "pmi_pairs": q_pmi_pairs,
     "langid_confusion": q_langid_confusion,
+    "mix_drift": q_mix_drift,
     # --- (b) VERDICT r3 task #1: driver-green rows for these ---
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
@@ -5895,8 +5963,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extractiveness": q_extractiveness,
     "dsir_weights": q_dsir_weights,
     "ngram_diversity": q_ngram_diversity,
-    "heaps_law": q_heaps_law,
     # ================= driver 50-entry window ends here =================
+    "heaps_law": q_heaps_law,
     "tokenizer_fertility": q_tokenizer_fertility,
     "normalize": q_normalize,
     "bpe_merges": q_bpe_merges,
@@ -5991,6 +6059,7 @@ ORACLES: dict[str, str] = {
     "length_bias": _O_LENGTH_BIAS,
     "pmi_pairs": _O_PMI_PAIRS,
     "langid_confusion": _O_LANGID_CONFUSION,
+    "mix_drift": _O_MIX_DRIFT,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),
