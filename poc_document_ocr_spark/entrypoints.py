@@ -5833,46 +5833,20 @@ FROM m
 
 def q_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-composition drift between two snapshots: per-source share
-    deltas and the total-variation distance, in exact ppm — the
-    monitoring query a continuously-ingesting pipeline alerts on when a
-    crawl's source mix shifts (a TVD jump means the training mixture
-    silently changed even if volume didn't). Snapshots here are the
-    deterministic hash halves of the documents table (the
-    last-batch-vs-this-batch shape). ONE corpus shuffle down to the
-    bounded source table; shares, deltas, and the TVD all come from
-    windows over those ≤|sources| rows — no second corpus pass, no
-    join. TVD = Σ|p_b − p_a| / 2."""
+    deltas and the total-variation distance, in exact ppm. Snapshots
+    here are the deterministic hash halves of the documents table (the
+    last-batch-vs-this-batch shape). Thin wrapper over
+    :func:`~poc_document_ocr_spark.operators.sampling.mix_drift_report`
+    (see its docstring for the one-shuffle scale shape)."""
+    from .operators.sampling import mix_drift_report
+
     docs = _docs(spark, sf_dir)
     # snapshot splitter shared verbatim with the oracle: first md5 hex
     # nibble of the stringified id, < '8' -> snapshot A
     in_a = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     )
-    cells = docs.groupBy("source").agg(
-        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("n_b"),
-    )
-    shares = cells.select(
-        "source",
-        "n_a",
-        "n_b",
-        F.expr(
-            "CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000"
-            " div sum(n_a) OVER () AS BIGINT)"
-        ).alias("p_a_ppm"),
-        F.expr(
-            "CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000"
-            " div sum(n_b) OVER () AS BIGINT)"
-        ).alias("p_b_ppm"),
-    ).select(
-        "*", (F.col("p_b_ppm") - F.col("p_a_ppm")).alias("delta_ppm")
-    )
-    return shares.select(
-        "*",
-        F.expr("sum(abs(delta_ppm)) OVER () div 2")
-        .cast("long")
-        .alias("tvd_ppm"),
-    )
+    return mix_drift_report(docs, in_a)
 
 
 _O_MIX_DRIFT = """
@@ -5898,6 +5872,120 @@ FROM s
 """
 
 
+def q_boiler_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate load: share of each source's winnowing-
+    fingerprint mass duplicated anywhere in the corpus — ranks crawl
+    sources by template/navigation chrome before dedup budget is spent.
+    Composition: winnow_fingerprints (map-side HOFs) →
+    source_boilerplate_share (fp-df groupBy + two equi joins + bounded
+    source groupBy; corpus-cardinality sides never broadcast)."""
+    from .operators.textstats import (
+        source_boilerplate_share,
+        winnow_fingerprints,
+    )
+
+    docs = _docs(spark, sf_dir)
+    wf = winnow_fingerprints(docs, k=8, w=4)
+    return source_boilerplate_share(wf, docs.select("doc_id", "source"))
+
+
+_O_BOILER_SHARE = """
+WITH g AS (SELECT doc_id,
+    list_transform(range(1, length(text) - 8 + 2),
+                   i -> md5(substr(text, i, 8))) AS gh
+  FROM documents WHERE length(text) >= 11),
+w AS (SELECT doc_id,
+    list_distinct(list_transform(range(0, len(gh) - 4 + 1),
+                  j -> list_min(list_slice(gh, j + 1, j + 4)))) AS fps
+  FROM g),
+fps AS (SELECT doc_id, UNNEST(fps) AS fp FROM w),
+dftab AS (SELECT fp, CAST(count(*) AS BIGINT) AS df FROM fps GROUP BY 1),
+j AS (SELECT d.source, f.fp, t.df
+      FROM fps f JOIN dftab t USING (fp)
+      JOIN documents d USING (doc_id))
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_fp,
+  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_fp,
+  CAST(count(DISTINCT CASE WHEN df >= 2 THEN fp END) AS BIGINT)
+    AS n_boiler_fp,
+  CAST(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS HUGEINT)
+       * 1000000 // count(*) AS BIGINT) AS dup_share_ppm
+FROM j GROUP BY 1
+"""
+
+#: near-dup corpus with TRIPLE copies for doc_id % 5 = 0 (the two twins
+#: share identical text, so their LSH edge is certain) — gives the
+#: triangle query real cliques AND chain-shaped false-positive paths
+_CORPUS_TRI = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' extra trailing token' AS text
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 < 2
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' extra trailing token' AS text
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+"""
+
+
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph cohesion audit: exact per-node triangle counts and
+    local clustering coefficient over the LSH candidate graph — true
+    duplicate groups are cliques (clust_ppm ≈ 1e6), LSH false-positive
+    chains are triangle-free (clust_ppm ≈ 0), so a large low-clustering
+    component flags transitive over-merge before keep-best collapses
+    distinct docs. Degree-ordered edge-iterator (Suri & Vassilvitskii
+    WWW'11) — wedge fan-out capped at O(√m) per node."""
+    from .operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from .operators.graph import triangle_counts
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_TRI}) corpus", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    return triangle_counts(pairs)
+
+
+_O_DUP_TRIANGLES = f"""
+WITH corpus AS ({_CORPUS_TRI}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+p AS (SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+          SELECT lo AS node FROM p UNION ALL SELECT hi AS node FROM p)
+        GROUP BY 1),
+-- independent formulation: enumerate id-ordered triples a<b<c directly
+-- (the Spark side uses the degree-ordered direction; same triangles)
+tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+       FROM p e1 JOIN p e2 ON e2.lo = e1.hi
+       JOIN p e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+         UNION ALL SELECT c FROM tr) GROUP BY 1)
+SELECT deg.node, deg.deg, coalesce(pn.n_tri, 0) AS n_tri,
+  CASE WHEN deg.deg >= 2 THEN
+    CAST(CAST(coalesce(pn.n_tri, 0) AS HUGEINT) * 2000000
+         // (deg.deg * (deg.deg - 1)) AS BIGINT)
+  ELSE 0 END AS clust_ppm
+FROM deg LEFT JOIN pn USING (node)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -5916,6 +6004,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pmi_pairs": q_pmi_pairs,
     "langid_confusion": q_langid_confusion,
     "mix_drift": q_mix_drift,
+    "boiler_share": q_boiler_share,
+    "dup_triangles": q_dup_triangles,
     # --- (b) VERDICT r3 task #1: driver-green rows for these ---
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
@@ -5961,9 +6051,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
+    # ================= driver 50-entry window ends here =================
     "dsir_weights": q_dsir_weights,
     "ngram_diversity": q_ngram_diversity,
-    # ================= driver 50-entry window ends here =================
     "heaps_law": q_heaps_law,
     "tokenizer_fertility": q_tokenizer_fertility,
     "normalize": q_normalize,
@@ -6060,6 +6150,8 @@ ORACLES: dict[str, str] = {
     "pmi_pairs": _O_PMI_PAIRS,
     "langid_confusion": _O_LANGID_CONFUSION,
     "mix_drift": _O_MIX_DRIFT,
+    "boiler_share": _O_BOILER_SHARE,
+    "dup_triangles": _O_DUP_TRIANGLES,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

@@ -42,6 +42,7 @@ __all__ = [
     "k_anonymity",
     "group_sample_k",
     "skew_report",
+    "mix_drift_report",
     "curriculum_order",
 ]
 
@@ -850,4 +851,57 @@ def skew_report(
             " ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) * 1000000"
             " div _total AS BIGINT)"
         ).alias("cum_share_ppm"),
+    )
+
+
+def mix_drift_report(
+    df: DataFrame,
+    in_a: Column,
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus-composition drift between two snapshots: per-source share
+    deltas and the total-variation distance, in exact ppm — the
+    monitoring query a continuously-ingesting pipeline alerts on when a
+    crawl's source mix shifts (a TVD jump means the training mixture
+    silently changed even if volume didn't). ``in_a`` is any boolean
+    column marking snapshot-A membership (a batch-id predicate, a date
+    range, a hash half).
+
+    Shape at 10¹² rows: ONE corpus shuffle down to the bounded source
+    table (both snapshot counts come out of the same map-side-combinable
+    conditional-sum pass — never two scans); shares, deltas, and the TVD
+    all come from windows over those ≤|sources| rows, so the
+    single-partition window Spark warns about holds only source-
+    cardinality data. TVD = Σ|p_b − p_a| / 2, integer ppm end-to-end
+    (DECIMAL(38,0) intermediates — no float drift, no BIGINT overflow
+    below 9.2e18 rows per source; an EMPTY snapshot nulls its shares via
+    nullif instead of aborting under ANSI division-by-zero).
+
+    Returns ``(source, n_a, n_b, p_a_ppm, p_b_ppm, delta_ppm,
+    tvd_ppm)`` — one row per source, ``tvd_ppm`` repeated on each.
+    """
+    cells = df.groupBy(source_col).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    shares = cells.select(
+        source_col,
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(CAST(n_a AS DECIMAL(38,0)) * 1000000"
+            " div nullif(sum(n_a) OVER (), 0) AS BIGINT)"
+        ).alias("p_a_ppm"),
+        F.expr(
+            "CAST(CAST(n_b AS DECIMAL(38,0)) * 1000000"
+            " div nullif(sum(n_b) OVER (), 0) AS BIGINT)"
+        ).alias("p_b_ppm"),
+    ).select(
+        "*", (F.col("p_b_ppm") - F.col("p_a_ppm")).alias("delta_ppm")
+    )
+    return shares.select(
+        "*",
+        F.expr("sum(abs(delta_ppm)) OVER () div 2")
+        .cast("long")
+        .alias("tvd_ppm"),
     )

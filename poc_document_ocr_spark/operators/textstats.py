@@ -25,6 +25,7 @@ __all__ = [
     "quality_score",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    "source_boilerplate_share",
     "repetition_stats",
     "tfidf_top_terms",
     "chunk_text",
@@ -242,6 +243,61 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             F.col(id_col),
             F.explode(F.array_distinct(F.expr(wins))).alias("fp"),
         )
+    )
+
+
+def source_boilerplate_share(
+    fps: DataFrame,
+    doc_sources: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-source boilerplate share over winnowing fingerprints: the
+    fraction of a source's fingerprint mass that is duplicated anywhere
+    in the corpus (document frequency ≥ ``min_df``) — the crawl-curation
+    signal that ranks sources by template/boilerplate load BEFORE
+    spending dedup budget on them (a source at 900k ppm is navigation
+    chrome; one at 50k ppm is mostly novel prose). ``fps`` is the
+    ``(doc_id, fp)`` output of :func:`winnow_fingerprints`;
+    ``doc_sources`` maps ``(doc_id, source)``.
+
+    Shape at 10¹² fingerprint rows: one fp-keyed groupBy for global
+    document frequency (map-side partials — the fp domain is
+    corpus-cardinality, so the df table is NEVER broadcast: both joins
+    are equi joins AQE plans as sort-merge at scale), one doc_id-keyed
+    equi join to attach sources, and a final bounded groupBy(source)
+    with map-side partials. Integer ppm end-to-end.
+
+    Returns ``(source, n_fp, n_dup_fp, n_boiler_fp, dup_share_ppm)`` —
+    ``n_fp``/``n_dup_fp`` count fingerprint OCCURRENCES (total and
+    those whose fp has df ≥ min_df), ``n_boiler_fp`` counts DISTINCT
+    duplicated fingerprints seen in the source, and ``dup_share_ppm =
+    n_dup_fp·10⁶ div n_fp``.
+    """
+    df_tab = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    joined = (
+        fps.join(df_tab, "fp")
+        .join(doc_sources.select(id_col, source_col), id_col)
+    )
+    dup = F.col("df") >= min_df
+    return joined.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_dup_fp"),
+        F.count_distinct(F.when(dup, F.col("fp")))
+        .cast("long")
+        .alias("n_boiler_fp"),
+    ).select(
+        source_col,
+        "n_fp",
+        "n_dup_fp",
+        "n_boiler_fp",
+        F.expr(
+            "CAST(CAST(n_dup_fp AS DECIMAL(38,0)) * 1000000 div n_fp"
+            " AS BIGINT)"
+        ).alias("dup_share_ppm"),
     )
 
 

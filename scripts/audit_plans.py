@@ -1151,6 +1151,57 @@ def audit(spark, sf_dir: str):
         f"python absent={'BatchEvalPython' not in p}",
     )
 
+    # mix_drift: ONE corpus aggregation with map-side partials (both
+    # snapshot counts ride the same conditional-sum pass); every window
+    # sits ABOVE that aggregation on the bounded source table, so the
+    # plan has exactly one hash-partitioned Exchange over corpus data
+    # (the source groupBy) — the single-partition window exchanges move
+    # ≤|sources| rows. No Python eval, no joins at all.
+    md = ep.QUERIES["mix_drift"](spark, sf_dir)
+    p = plan_of(md)
+    check(
+        "mix_drift: one corpus agg w/ map-side partials, joinless,"
+        " windows post-agg only",
+        "partial_sum" in p and "Join" not in p
+        and "BatchEvalPython" not in p
+        and p.count("hashpartitioning") <= 1,
+        f"partials={'partial_sum' in p}, joins absent={'Join' not in p},"
+        f" corpus exchanges={p.count('hashpartitioning')}",
+    )
+    sections.append(("mix_drift", excerpt(p)))
+
+    # boiler_share: the fp-df table and the fps table are BOTH
+    # corpus-cardinality — neither may be force-broadcast (no
+    # ResolvedHint); every aggregation partial-aggregates map-side and
+    # no Python evaluates per row (winnow fps are JVM HOFs)
+    bs = ep.QUERIES["boiler_share"](spark, sf_dir)
+    p = plan_of(bs)
+    check(
+        "boiler_share: no forced broadcast on corpus sides, map-side"
+        " partials, no Python eval",
+        "ResolvedHint" not in p and "partial_count" in p
+        and "BatchEvalPython" not in p,
+        f"hints absent={'ResolvedHint' not in p}",
+    )
+    sections.append(("boiler_share", excerpt(p)))
+
+    # dup_triangles: the wedge self-join and the closing join must be
+    # equi joins (never BroadcastNestedLoopJoin/cartesian — the
+    # all-pairs shape the degree-ordered edge-iterator exists to
+    # avoid), and the directed edge table is checkpointed so both
+    # joins share one lineage
+    dt = ep.QUERIES["dup_triangles"](spark, sf_dir)
+    p = plan_of(dt)
+    check(
+        "dup_triangles: equi-join wedges only (no NLJ/cartesian),"
+        " no forced broadcast",
+        "BroadcastNestedLoopJoin" not in p
+        and "CartesianProduct" not in p
+        and "ResolvedHint" not in p,
+        f"NLJ absent={'BroadcastNestedLoopJoin' not in p}",
+    )
+    sections.append(("dup_triangles", excerpt(p)))
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -102,6 +102,7 @@ def main() -> None:
     from poc_document_ocr_spark.operators.retrieval import bm25_topk
     from poc_document_ocr_spark.operators.sampling import (
         hash_split,
+        mix_drift_report,
         skew_report,
     )
     from pyspark.sql import Window as PW
@@ -149,6 +150,21 @@ def main() -> None:
         return df.select(F.xxhash64(*cols).alias("_h")).agg(
             F.expr("bit_xor(_h)")
         ).collect()
+
+    def _mix_drift_job(d):
+        # 20 hash-derived sources, snapshot halves on a second hash —
+        # the q_mix_drift shape at corpus cardinality
+        srcd = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20))
+            ).alias("source"),
+        )
+        in_a = (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            < "8"
+        )
+        return mix_drift_report(srcd, in_a)
 
     def _conv_neardup_job(t):
         cd = conv_docs(t)
@@ -225,6 +241,7 @@ def main() -> None:
             pmi_collocations(docs, min_count=5)
         ),
         "langid_confusion": lambda: consume(_langid_confusion_job(docs)),
+        "mix_drift": lambda: consume(_mix_drift_job(docs)),
     }
 
     unknown = only - set(jobs)
@@ -275,6 +292,7 @@ def main() -> None:
         "langid_confusion": lambda: consume(
             _langid_confusion_job(small_d)
         ),
+        "mix_drift": lambda: consume(_mix_drift_job(small_d)),
     }
     for name in selected:
         warmups[name]()

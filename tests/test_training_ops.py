@@ -2443,3 +2443,101 @@ def test_langid_confusion_matrix_metrics(spark, tmp_path):
     assert out[("en", "en")].precision_cell_ppm == 2 * 1_000_000 // 3
     assert out[("es", "es")].recall_cell_ppm == 1_000_000
     assert out[("de", "de")].n_true == 1
+
+
+def test_mix_drift_report_exact_tvd(spark):
+    from pyspark.sql import functions as F
+
+    from poc_document_ocr_spark.operators.sampling import mix_drift_report
+
+    # snapshot A: web 3, code 1  → shares 750000 / 250000 ppm
+    # snapshot B: web 1, code 3  → shares 250000 / 750000 ppm
+    # TVD = (|+500000| + |-500000|) / 2 = 500000 ppm
+    df = spark.createDataFrame(
+        [("web", True)] * 3 + [("code", True)]
+        + [("web", False)] + [("code", False)] * 3,
+        "source string, in_a boolean",
+    )
+    rows = {r["source"]: r for r in
+            mix_drift_report(df, F.col("in_a")).collect()}
+    assert rows["web"]["n_a"] == 3 and rows["web"]["n_b"] == 1
+    assert rows["web"]["p_a_ppm"] == 750_000
+    assert rows["web"]["delta_ppm"] == -500_000
+    assert rows["code"]["delta_ppm"] == 500_000
+    assert all(r["tvd_ppm"] == 500_000 for r in rows.values())
+
+
+def test_mix_drift_report_empty_snapshot_no_divzero(spark):
+    from pyspark.sql import functions as F
+
+    from poc_document_ocr_spark.operators.sampling import mix_drift_report
+
+    # all rows in snapshot A: p_b's total is zero — nullif turns the
+    # ANSI div-by-zero abort into NULL shares, and the report still
+    # returns one row per source
+    df = spark.createDataFrame(
+        [("web", True), ("code", True)], "source string, in_a boolean"
+    )
+    rows = mix_drift_report(df, F.col("in_a")).collect()
+    assert len(rows) == 2
+    assert all(r["p_b_ppm"] is None for r in rows)
+
+
+def test_triangle_counts_clique_chain_star(spark):
+    from poc_document_ocr_spark.operators.graph import triangle_counts
+
+    # 4-clique {1,2,3,4}: every node in C(3,2)=3 triangles, clust=1;
+    # chain 5-6-7: zero triangles; star 8-{9,10,11}: zero triangles
+    # (hub degree 3, clust 0); duplicate + self-loop rows are scrubbed
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = clique + [(5, 6), (6, 7), (8, 9), (8, 10), (8, 11),
+                      (2, 1), (5, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert len(rows) == 11
+    for n in (1, 2, 3, 4):
+        assert rows[n]["deg"] == 3 and rows[n]["n_tri"] == 3
+        assert rows[n]["clust_ppm"] == 1_000_000
+    assert rows[6]["deg"] == 2 and rows[6]["n_tri"] == 0
+    assert rows[6]["clust_ppm"] == 0
+    assert rows[8]["deg"] == 3 and rows[8]["n_tri"] == 0
+    assert rows[5]["deg"] == 1 and rows[5]["clust_ppm"] == 0
+
+
+def test_triangle_counts_square_with_diagonal(spark):
+    from poc_document_ocr_spark.operators.graph import triangle_counts
+
+    # square 1-2-3-4 plus diagonal 1-3: two triangles sharing edge 1-3;
+    # diagonal endpoints sit in both (deg 3), the others in one (deg 2,
+    # clust = 2*1*1e6 / (2*1) = 1e6)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "id_a long, id_b long"
+    )
+    rows = {r["node"]: r for r in triangle_counts(df).collect()}
+    assert rows[1]["n_tri"] == 2 and rows[3]["n_tri"] == 2
+    assert rows[2]["n_tri"] == 1 and rows[4]["n_tri"] == 1
+    assert rows[1]["clust_ppm"] == 2 * 1_000_000 // 3  # 2·2e6 div (3·2)
+    assert rows[2]["clust_ppm"] == 1_000_000
+
+
+def test_source_boilerplate_share(spark):
+    from pyspark.sql import functions as F
+
+    from poc_document_ocr_spark.operators.textstats import (
+        source_boilerplate_share,
+    )
+
+    # fp "x" appears in docs 1 (src a) and 2 (src b) → duplicated;
+    # "y" only in doc 1, "z" only in doc 2 → novel
+    fps = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "x"), (2, "z")], "doc_id long, fp string"
+    )
+    srcs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    rows = {r["source"]: r
+            for r in source_boilerplate_share(fps, srcs).collect()}
+    for s in ("a", "b"):
+        assert rows[s]["n_fp"] == 2 and rows[s]["n_dup_fp"] == 1
+        assert rows[s]["n_boiler_fp"] == 1
+        assert rows[s]["dup_share_ppm"] == 500_000
