@@ -5986,6 +5986,124 @@ FROM deg LEFT JOIN pn USING (node)
 """
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (the C4/RefinedWeb no-dominant-domain
+    rule): keep ~60 docs per source by deriving each source's keep
+    fraction from its observed count and hash-thresholding — the
+    skew-correct twin of exact top-k (no per-source sort, no straggler
+    on a megadomain). Bounded counts groupBy + broadcast threshold
+    table + one map pass."""
+    from .operators.sampling import source_frequency_cap
+
+    return source_frequency_cap(_docs(spark, sf_dir), cap=60)
+
+
+_O_SOURCE_CAP = """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+ppm AS (SELECT source, n,
+          CAST(CAST(least(CAST(60 AS BIGINT), n) AS HUGEINT) * 1000000
+               // n AS BIGINT) AS keep_ppm
+        FROM c),
+thr AS (SELECT source, keep_ppm,
+          CASE WHEN keep_ppm * 4294967296 // 1000000 >= 4294967296
+               THEN 'g'
+               ELSE printf('%08x', keep_ppm * 4294967296 // 1000000)
+          END AS t
+        FROM ppm),
+k AS (SELECT d.source, thr.keep_ppm,
+        CASE WHEN substr(md5(CAST(d.doc_id AS STRING) || ':0'), 1, 8)
+             < thr.t THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN thr USING (source))
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs_in,
+  CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+  keep_ppm
+FROM k GROUP BY source, keep_ppm
+"""
+
+#: simulated next-crawl snapshot: doc_id % 7 = 1 rows vanish, doc_id %
+#: 5 = 3 rows change content, doc_id % 9 = 2 rows gain a fresh-id copy
+_SNAPSHOT_B = """
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id % 7 <> 1 AND doc_id % 5 <> 3
+  UNION ALL
+  SELECT doc_id, source, text || ' changed' AS text FROM documents
+  WHERE doc_id % 7 <> 1 AND doc_id % 5 = 3
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, source, text FROM documents
+  WHERE doc_id % 9 = 2
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-crawl content diff: added/removed/changed/same per
+    source between the documents table and a simulated next snapshot,
+    with integer-ppm churn — the release audit before a snapshot swap.
+    One full-outer sort-merge join on doc_id over md5 projections."""
+    from .operators.dedup import snapshot_diff
+
+    a = _docs(spark, sf_dir)
+    b = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_SNAPSHOT_B}) b", "documents"
+    )
+    return snapshot_diff(a, b)
+
+
+_O_SNAPSHOT_DIFF = f"""
+WITH b AS ({_SNAPSHOT_B}),
+ha AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+hb AS (SELECT doc_id, source, md5(text) AS h FROM b),
+j AS (SELECT coalesce(ha.source, hb.source) AS source,
+        CASE WHEN ha.h IS NULL THEN 'added'
+             WHEN hb.h IS NULL THEN 'removed'
+             WHEN ha.h <> hb.h THEN 'changed'
+             ELSE 'same' END AS st
+      FROM ha FULL OUTER JOIN hb USING (doc_id))
+SELECT source,
+  CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_added,
+  CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed,
+  CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(sum(CASE WHEN st = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+  CAST(CAST(sum(CASE WHEN st <> 'same' THEN 1 ELSE 0 END) AS HUGEINT)
+       * 1000000 // count(*) AS BIGINT) AS churn_ppm
+FROM j GROUP BY 1
+"""
+
+
+def q_number_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupported-number hallucination screen: per conversation, the
+    share of assistant-emitted numeric tokens that appeared nowhere
+    earlier in the conversation. One (conv, num) groupBy, one co-keyed
+    equi join, one conv rollup — no corpus window, nothing broadcast."""
+    from .operators.textstats import number_support
+
+    return number_support(spark_transcripts(spark, sf_dir))
+
+
+_O_NUMBER_SUPPORT = oracle_cte("""
+, nums AS (SELECT conv_id, turn_idx, role,
+    UNNEST(list_distinct(regexp_extract_all(text, '[0-9]+'))) AS num
+  FROM t),
+fs AS (SELECT conv_id, num, min(turn_idx) AS first_turn
+       FROM nums GROUP BY 1, 2),
+a AS (SELECT n.conv_id, n.turn_idx, f.first_turn
+      FROM nums n JOIN fs f USING (conv_id, num)
+      WHERE n.role = 'assistant')
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_nums,
+  CAST(sum(CASE WHEN turn_idx = first_turn THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unsupported,
+  CAST(CAST(sum(CASE WHEN turn_idx = first_turn THEN 1 ELSE 0 END)
+            AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+    AS unsupported_ppm
+FROM a GROUP BY 1
+""")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -6006,6 +6124,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_drift": q_mix_drift,
     "boiler_share": q_boiler_share,
     "dup_triangles": q_dup_triangles,
+    "source_cap": q_source_cap,
+    "snapshot_diff": q_snapshot_diff,
+    "number_support": q_number_support,
     # --- (b) VERDICT r3 task #1: driver-green rows for these ---
     "winnow_overlap": q_winnow_overlap,
     "rep_stats": q_rep_stats,
@@ -6048,10 +6169,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "dedup_weights": q_dedup_weights,
     "context_fit": q_context_fit,
+    # ================= driver 50-entry window ends here =================
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
-    # ================= driver 50-entry window ends here =================
     "dsir_weights": q_dsir_weights,
     "ngram_diversity": q_ngram_diversity,
     "heaps_law": q_heaps_law,
@@ -6152,6 +6273,9 @@ ORACLES: dict[str, str] = {
     "mix_drift": _O_MIX_DRIFT,
     "boiler_share": _O_BOILER_SHARE,
     "dup_triangles": _O_DUP_TRIANGLES,
+    "source_cap": _O_SOURCE_CAP,
+    "snapshot_diff": _O_SNAPSHOT_DIFF,
+    "number_support": _O_NUMBER_SUPPORT,
     "ngram_diversity": _O_NGRAM_DIVERSITY,
     "heaps_law": _O_HEAPS_LAW,
     "tokenizer_fertility": _o_tokenizer_fertility(),

@@ -41,6 +41,7 @@ __all__ = [
     "decontaminate",
     "ngram_novelty",
     "segment_dedup",
+    "snapshot_diff",
     "template_segments",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
@@ -969,5 +970,74 @@ def template_segments(
                 "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
                 " div cluster_size AS BIGINT)"
             ).alias("support_ppm"),
+        )
+    )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Crawl-to-crawl content diff: classify every document id across
+    two corpus snapshots as added / removed / changed / same by content
+    hash and roll the churn up per ``group_col`` — the release audit
+    run before a new snapshot replaces the old one in a training mix (a
+    source whose churn_ppm spikes re-crawled or broke; near-zero churn
+    on a supposedly fresh crawl means the fetcher served cache).
+
+    Shape at 10¹² docs: each side collapses to ``(id, group, md5)`` in
+    its scan projection, ONE full-outer sort-merge join on the id —
+    pinned (``hint("merge")``): both sides are corpus-cardinality and
+    compressed-size estimates have attempted multi-GiB broadcasts on
+    sibling operators, so the strategy is not left to the estimator —
+    then a bounded groupBy(group) with map-side partials. ``churn_ppm = (added +
+    removed + changed)·10⁶ div total``, integer-exact.
+
+    Returns ``(group, n_added, n_removed, n_changed, n_same,
+    churn_ppm)``.
+    """
+    ha = a.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_ga"),
+        F.md5(F.col(text_col).cast("string")).alias("_h_a"),
+    )
+    hb = b.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_gb"),
+        F.md5(F.col(text_col).cast("string")).alias("_h_b"),
+    )
+    j = ha.join(hb.hint("merge"), "_id", "full_outer").select(
+        F.coalesce("_ga", "_gb").alias(group_col),
+        F.when(F.col("_h_a").isNull(), "added")
+        .when(F.col("_h_b").isNull(), "removed")
+        .when(F.col("_h_a") != F.col("_h_b"), "changed")
+        .otherwise("same")
+        .alias("_st"),
+    )
+    n_of = lambda s: F.sum(F.when(F.col("_st") == s, 1).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            n_of("added").alias("n_added"),
+            n_of("removed").alias("n_removed"),
+            n_of("changed").alias("n_changed"),
+            n_of("same").alias("n_same"),
+        )
+        .select(
+            group_col,
+            "n_added",
+            "n_removed",
+            "n_changed",
+            "n_same",
+            F.expr(
+                "CAST(CAST(n_added + n_removed + n_changed AS"
+                " DECIMAL(38,0)) * 1000000 div (n_added + n_removed"
+                " + n_changed + n_same) AS BIGINT)"
+            ).alias("churn_ppm"),
         )
     )

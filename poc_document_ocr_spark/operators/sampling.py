@@ -43,6 +43,8 @@ __all__ = [
     "group_sample_k",
     "skew_report",
     "mix_drift_report",
+    "source_frequency_cap",
+    "source_cap_kept",
     "curriculum_order",
 ]
 
@@ -904,4 +906,78 @@ def mix_drift_report(
         F.expr("sum(abs(delta_ppm)) OVER () div 2")
         .cast("long")
         .alias("tvd_ppm"),
+    )
+
+
+def source_frequency_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Frequency-cap over-crawled sources: deterministically keep
+    ~``cap`` documents per source (the C4/RefinedWeb "no domain may
+    dominate" rule) by deriving each source's keep fraction from its
+    observed count and applying the hash-threshold sampler — the
+    skew-correct 100 TB twin of :func:`group_sample_k`: an EXACT
+    top-k needs a per-source ordering (a single straggler task on a
+    10¹⁰-doc megadomain), while the hash cap is two passes with no
+    per-source sort: one bounded groupBy(source) for counts, then a
+    map-only flag pass with the ≤|sources| threshold table broadcast
+    (the bounded-model-artifact rule). The kept count is binomial
+    around ``cap`` (exact when the source is under the cap) and a pure
+    function of (id, seed, corpus counts) — stable across reruns and
+    partitionings.
+
+    Returns the per-source attrition report ``(source, n_docs_in,
+    n_docs_kept, keep_ppm)``; :func:`source_cap_kept` gives the
+    row-level kept flag for pipeline composition.
+    """
+    rep = source_cap_kept(
+        df, cap, source_col=source_col, id_col=id_col, seed=seed
+    )
+    return rep.groupBy(source_col, "keep_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_in"),
+        F.sum("kept").cast("long").alias("n_docs_kept"),
+    ).select(source_col, "n_docs_in", "n_docs_kept", "keep_ppm")
+
+
+def source_cap_kept(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Row-level core of :func:`source_frequency_cap`: input rows with
+    their source's ``keep_ppm = min(cap, n)·10⁶ div n`` and an integer
+    ``kept`` flag. The hex threshold is ``keep_ppm·2³² div 10⁶``
+    rendered as a zero-padded literal compared against the shared
+    :func:`split_key` — the exact mechanism :func:`mixture_kept` uses,
+    so capped and temperature-sampled corpora compose on one key."""
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    keep_ppm = F.expr(
+        f"CAST(CAST(least(CAST({cap} AS BIGINT), _n) AS DECIMAL(38,0))"
+        " * 1000000 div _n AS BIGINT)"
+    )
+    thr_n = F.expr("keep_ppm * 4294967296 div 1000000")
+    thr = counts.select(
+        source_col,
+        keep_ppm.alias("keep_ppm"),
+    ).withColumn(
+        "_thr",
+        F.when(thr_n >= F.lit(4294967296), F.lit("g")).otherwise(
+            F.format_string("%08x", thr_n)
+        ),
+    )
+    return df.join(F.broadcast(thr), source_col).withColumn(
+        "kept",
+        F.when(
+            split_key(F.col(id_col), seed) < F.col("_thr"), 1
+        ).otherwise(0),
     )

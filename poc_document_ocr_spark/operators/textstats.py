@@ -48,6 +48,7 @@ __all__ = [
     "tokenizer_fertility",
     "normalize_text",
     "refusal_stats",
+    "number_support",
     "REFUSAL_RE",
     "TOKEN_SPLIT",
     "PII_PATTERNS",
@@ -263,11 +264,14 @@ def source_boilerplate_share(
     ``doc_sources`` maps ``(doc_id, source)``.
 
     Shape at 10¹² fingerprint rows: one fp-keyed groupBy for global
-    document frequency (map-side partials — the fp domain is
-    corpus-cardinality, so the df table is NEVER broadcast: both joins
-    are equi joins AQE plans as sort-merge at scale), one doc_id-keyed
-    equi join to attach sources, and a final bounded groupBy(source)
-    with map-side partials. Integer ppm end-to-end.
+    document frequency (map-side partials), one doc_id-keyed equi join
+    to attach sources, and a final bounded groupBy(source) with
+    map-side partials. The fp-df table AND the source map are
+    corpus-cardinality, so BOTH joins pin sort-merge (``hint("merge")``
+    — the winnow_containment_pairs rule: Spark's compressed-size
+    estimate under-measures wide fp tables and attempts a multi-GiB
+    broadcast, which aborted at 1.88M docs before the pin). Integer
+    ppm end-to-end.
 
     Returns ``(source, n_fp, n_dup_fp, n_boiler_fp, dup_share_ppm)`` —
     ``n_fp``/``n_dup_fp`` count fingerprint OCCURRENCES (total and
@@ -279,8 +283,8 @@ def source_boilerplate_share(
         F.count(F.lit(1)).cast("long").alias("df")
     )
     joined = (
-        fps.join(df_tab, "fp")
-        .join(doc_sources.select(id_col, source_col), id_col)
+        fps.join(df_tab.hint("merge"), "fp")
+        .join(doc_sources.select(id_col, source_col).hint("merge"), id_col)
     )
     dup = F.col("df") >= min_df
     return joined.groupBy(source_col).agg(
@@ -1701,4 +1705,71 @@ def pmi_collocations(
         (
             F.length(F.bin(F.expr("_r * _r div 1024"))) - F.lit(11)
         ).cast("long").alias("pmi_hb"),
+    )
+
+
+def number_support(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unsupported-number screen over conversation transcripts: for
+    every numeric token an assistant turn emits, check whether the SAME
+    number appeared anywhere earlier in the conversation (user prompt,
+    tool output, prior turns) — a number the assistant introduces from
+    nowhere is the cheapest deterministic hallucination signal a
+    transcript-curation pass has (no model, no embedding: grounded
+    figures are quoted figures). Conversations with high
+    ``unsupported_ppm`` get routed to review or down-weighted before
+    SFT.
+
+    Shape at 10¹² turns: the numeric-token explode is map-side
+    (``regexp_extract_all`` + per-turn ``array_distinct``); first-seen
+    turns come from ONE groupBy on (conv, num); the support join is a
+    PINNED sort-merge equi join on the SAME (conv, num) key (both
+    sides corpus-cardinality; post-aggregate size estimates are
+    unreliable and sibling operators have seen aborted multi-GiB
+    broadcast attempts), partitioned compatibly with the groupBy; the
+    final rollup shuffles on conv alone. No window over the corpus,
+    nothing broadcast.
+
+    Returns ``(conv_id, n_nums, n_unsupported, unsupported_ppm)`` — one
+    row per conversation whose assistant turns contain ≥1 number;
+    ``n_nums`` counts per-turn-distinct assistant numeric mentions.
+    """
+    nums = turns.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all({text_col}, '[0-9]+', 0)")
+            )
+        ).alias("num"),
+    )
+    first = nums.groupBy(conv_col, "num").agg(
+        F.min(turn_col).alias("_first_turn")
+    )
+    asst = nums.filter(F.col(role_col) == "assistant")
+    j = asst.join(first.hint("merge"), [conv_col, "num"])
+    unsupported = F.col(turn_col) == F.col("_first_turn")
+    return (
+        j.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nums"),
+            F.sum(F.when(unsupported, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unsupported"),
+        )
+        .select(
+            conv_col,
+            "n_nums",
+            "n_unsupported",
+            F.expr(
+                "CAST(CAST(n_unsupported AS DECIMAL(38,0)) * 1000000"
+                " div n_nums AS BIGINT)"
+            ).alias("unsupported_ppm"),
+        )
     )

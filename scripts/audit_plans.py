@@ -1170,18 +1170,19 @@ def audit(spark, sf_dir: str):
     )
     sections.append(("mix_drift", excerpt(p)))
 
-    # boiler_share: the fp-df table and the fps table are BOTH
-    # corpus-cardinality — neither may be force-broadcast (no
-    # ResolvedHint); every aggregation partial-aggregates map-side and
-    # no Python evaluates per row (winnow fps are JVM HOFs)
+    # boiler_share: the fp-df table and the source map are BOTH
+    # corpus-cardinality — both joins pin sort-merge (the containment
+    # rule: the compressed-size estimate under-measures the fp table
+    # and a 16.3 GiB broadcast aborted at 1.88M docs before the pin);
+    # every aggregation partial-aggregates map-side, no per-row Python
     bs = ep.QUERIES["boiler_share"](spark, sf_dir)
     p = plan_of(bs)
     check(
-        "boiler_share: no forced broadcast on corpus sides, map-side"
-        " partials, no Python eval",
-        "ResolvedHint" not in p and "partial_count" in p
+        "boiler_share: all corpus joins sort-merge (no"
+        " BroadcastExchange), map-side partials, no Python eval",
+        "BroadcastExchange" not in p and "partial_count" in p
         and "BatchEvalPython" not in p,
-        f"hints absent={'ResolvedHint' not in p}",
+        f"broadcast absent={'BroadcastExchange' not in p}",
     )
     sections.append(("boiler_share", excerpt(p)))
 
@@ -1201,6 +1202,46 @@ def audit(spark, sf_dir: str):
         f"NLJ absent={'BroadcastNestedLoopJoin' not in p}",
     )
     sections.append(("dup_triangles", excerpt(p)))
+
+    # source_cap: the per-source threshold table is bounded
+    # (≤|sources| rows) — broadcast BY DESIGN (the bounded-model rule);
+    # counts and rollup partial-aggregate map-side
+    sc = ep.QUERIES["source_cap"](spark, sf_dir)
+    p = plan_of(sc)
+    check(
+        "source_cap: bounded threshold broadcast + map-side partials,"
+        " no sort-merge anywhere",
+        "BroadcastHashJoin" in p and "partial_count" in p
+        and "SortMergeJoin" not in p,
+        f"BHJ={'BroadcastHashJoin' in p}",
+    )
+
+    # snapshot_diff: the id join is a PINNED full-outer sort-merge
+    # (both snapshots corpus-cardinality — never broadcast), scans
+    # prune to (id, group, text)
+    sd = ep.QUERIES["snapshot_diff"](spark, sf_dir)
+    p = plan_of(sd)
+    check(
+        "snapshot_diff: pinned FullOuter sort-merge, no broadcast of"
+        " either snapshot",
+        "FullOuter" in p and "SortMergeJoin" in p
+        and "BroadcastExchange" not in p,
+        f"SMJ={'SortMergeJoin' in p}",
+    )
+    sections.append(("snapshot_diff", excerpt(p)))
+
+    # number_support: the support join is a pinned sort-merge on
+    # (conv, num) — both sides corpus-cardinality — and no window
+    # touches the corpus
+    ns = ep.QUERIES["number_support"](spark, sf_dir)
+    p = plan_of(ns)
+    check(
+        "number_support: pinned sort-merge support join, no broadcast,"
+        " no corpus window",
+        "SortMergeJoin" in p and "BroadcastExchange" not in p
+        and "Window" not in p,
+        f"SMJ={'SortMergeJoin' in p}",
+    )
 
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose

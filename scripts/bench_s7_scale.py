@@ -99,6 +99,7 @@ def main() -> None:
         word_shingles,
     )
     from poc_document_ocr_spark.operators.examples import pair_length_bias
+    from poc_document_ocr_spark.operators.graph import triangle_counts
     from poc_document_ocr_spark.operators.retrieval import bm25_topk
     from poc_document_ocr_spark.operators.sampling import (
         hash_split,
@@ -114,6 +115,7 @@ def main() -> None:
         pmi_collocations,
         quality_score,
         screen_agreement,
+        source_boilerplate_share,
         winnow_containment_pairs,
         winnow_fingerprints,
     )
@@ -150,6 +152,37 @@ def main() -> None:
         return df.select(F.xxhash64(*cols).alias("_h")).agg(
             F.expr("bit_xor(_h)")
         ).collect()
+
+    def _boiler_share_job(d):
+        srcd = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20))
+            ).alias("source"),
+        )
+        return source_boilerplate_share(
+            winnow_fingerprints(d, k=8, w=4),
+            srcd,
+        )
+
+    def _dup_triangles_job(d):
+        # planted TRIPLES: base half + two identical twins per base doc
+        # -> every base doc seeds a 3-clique (twin-twin edge certain,
+        # base-twin edges probabilistic like the other LSH benches)
+        base = d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+        t1 = base.select(
+            (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+            F.concat("text", F.lit(" extra trailing token")).alias("text"),
+        )
+        t2 = base.select(
+            (F.col("doc_id") + F.lit(2 * 10**12)).alias("doc_id"),
+            F.concat("text", F.lit(" extra trailing token")).alias("text"),
+        )
+        corpus = base.select("doc_id", "text").unionByName(t1).unionByName(t2)
+        pairs = lsh_candidate_pairs(
+            minhash_signatures(word_shingles(corpus))
+        )
+        return triangle_counts(pairs)
 
     def _mix_drift_job(d):
         # 20 hash-derived sources, snapshot halves on a second hash —
@@ -242,6 +275,8 @@ def main() -> None:
         ),
         "langid_confusion": lambda: consume(_langid_confusion_job(docs)),
         "mix_drift": lambda: consume(_mix_drift_job(docs)),
+        "boiler_share": lambda: consume(_boiler_share_job(docs)),
+        "dup_triangles": lambda: consume(_dup_triangles_job(docs)),
     }
 
     unknown = only - set(jobs)
@@ -293,6 +328,8 @@ def main() -> None:
             _langid_confusion_job(small_d)
         ),
         "mix_drift": lambda: consume(_mix_drift_job(small_d)),
+        "boiler_share": lambda: consume(_boiler_share_job(small_d)),
+        "dup_triangles": lambda: consume(_dup_triangles_job(small_d)),
     }
     for name in selected:
         warmups[name]()

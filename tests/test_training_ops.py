@@ -2541,3 +2541,77 @@ def test_source_boilerplate_share(spark):
         assert rows[s]["n_fp"] == 2 and rows[s]["n_dup_fp"] == 1
         assert rows[s]["n_boiler_fp"] == 1
         assert rows[s]["dup_share_ppm"] == 500_000
+
+
+def test_source_frequency_cap_caps_heavy_source(spark):
+    from poc_document_ocr_spark.operators.sampling import (
+        source_frequency_cap,
+    )
+
+    # heavy: 200 docs capped at 50 (keep_ppm 250000); light: 10 docs,
+    # under the cap → keep_ppm 1000000 and everything kept
+    rows = [(i, "heavy") for i in range(200)] + [
+        (1000 + i, "light") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["source"]: r for r in source_frequency_cap(df, 50).collect()}
+    assert out["heavy"]["n_docs_in"] == 200
+    assert out["heavy"]["keep_ppm"] == 250_000
+    # hash-binomial around 50; deterministic, loose envelope
+    assert 25 <= out["heavy"]["n_docs_kept"] <= 80
+    assert out["light"]["keep_ppm"] == 1_000_000
+    assert out["light"]["n_docs_kept"] == 10
+
+
+def test_source_frequency_cap_deterministic_and_composable(spark):
+    from poc_document_ocr_spark.operators.sampling import source_cap_kept
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(100)], "doc_id long, source string"
+    )
+    a = {r["doc_id"]: r["kept"] for r in source_cap_kept(df, 30).collect()}
+    b = {
+        r["doc_id"]: r["kept"]
+        for r in source_cap_kept(df.repartition(7), 30).collect()
+    }
+    assert a == b  # pure function of (id, seed, counts)
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from poc_document_ocr_spark.operators.dedup import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "s", "alpha"), (2, "s", "beta"), (3, "s", "gamma")],
+        "doc_id long, source string, text string",
+    )
+    b = spark.createDataFrame(
+        # 1 unchanged, 2 changed, 3 removed, 4 added
+        [(1, "s", "alpha"), (2, "s", "beta2"), (4, "s", "delta")],
+        "doc_id long, source string, text string",
+    )
+    (r,) = snapshot_diff(a, b).collect()
+    assert r["n_added"] == 1 and r["n_removed"] == 1
+    assert r["n_changed"] == 1 and r["n_same"] == 1
+    assert r["churn_ppm"] == 750_000
+
+
+def test_number_support_flags_introduced_numbers(spark):
+    from poc_document_ocr_spark.operators.textstats import number_support
+
+    rows = [
+        ("c1", 1, "user", "order 42 costs 100"),
+        # 42 quoted from turn 1 → supported; 7 introduced → unsupported
+        ("c1", 2, "assistant", "item 42 ships in 7 days"),
+        # 100 from turn 1 → supported even across the gap
+        ("c1", 3, "assistant", "total is 100"),
+        # numberless conversation → absent from output
+        ("c2", 1, "assistant", "no digits here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["conv_id"]: r for r in number_support(df).collect()}
+    assert list(out) == ["c1"]
+    assert out["c1"]["n_nums"] == 3
+    assert out["c1"]["n_unsupported"] == 1
+    assert out["c1"]["unsupported_ppm"] == 1_000_000 // 3
