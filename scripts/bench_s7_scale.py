@@ -96,6 +96,7 @@ def main() -> None:
         connected_components,
         lsh_candidate_pairs,
         minhash_signatures,
+        snapshot_diff,
         word_shingles,
     )
     from poc_document_ocr_spark.operators.examples import pair_length_bias
@@ -105,6 +106,7 @@ def main() -> None:
         hash_split,
         mix_drift_report,
         skew_report,
+        source_frequency_cap,
     )
     from pyspark.sql import Window as PW
 
@@ -112,6 +114,7 @@ def main() -> None:
         compression_ratio,
         lang_id,
         lm_quality_bands,
+        number_support,
         pmi_collocations,
         quality_score,
         screen_agreement,
@@ -183,6 +186,46 @@ def main() -> None:
             minhash_signatures(word_shingles(corpus))
         )
         return triangle_counts(pairs)
+
+    def _source_cap_job(d):
+        srcd = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20))
+            ).alias("source"),
+        )
+        return source_frequency_cap(srcd, cap=50_000)
+
+    def _snapshot_diff_job(d):
+        a = d.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20))
+            ).alias("source"),
+        )
+        b = (
+            a.filter(F.col("doc_id") % 7 != 1)
+            .select(
+                "doc_id",
+                "source",
+                F.when(
+                    F.col("doc_id") % 5 == 3,
+                    F.concat("text", F.lit(" changed")),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            .unionByName(
+                a.filter(F.col("doc_id") % 9 == 2).select(
+                    (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+                    "source",
+                    "text",
+                )
+            )
+        )
+        return snapshot_diff(a, b)
+
+    def _number_support_job(t):
+        return number_support(t)
 
     def _mix_drift_job(d):
         # 20 hash-derived sources, snapshot halves on a second hash —
@@ -277,6 +320,9 @@ def main() -> None:
         "mix_drift": lambda: consume(_mix_drift_job(docs)),
         "boiler_share": lambda: consume(_boiler_share_job(docs)),
         "dup_triangles": lambda: consume(_dup_triangles_job(docs)),
+        "source_cap": lambda: consume(_source_cap_job(docs)),
+        "snapshot_diff": lambda: consume(_snapshot_diff_job(docs)),
+        "number_support": lambda: consume(_number_support_job(turns)),
     }
 
     unknown = only - set(jobs)
@@ -330,6 +376,9 @@ def main() -> None:
         "mix_drift": lambda: consume(_mix_drift_job(small_d)),
         "boiler_share": lambda: consume(_boiler_share_job(small_d)),
         "dup_triangles": lambda: consume(_dup_triangles_job(small_d)),
+        "source_cap": lambda: consume(_source_cap_job(small_d)),
+        "snapshot_diff": lambda: consume(_snapshot_diff_job(small_d)),
+        "number_support": lambda: consume(_number_support_job(small_t)),
     }
     for name in selected:
         warmups[name]()
