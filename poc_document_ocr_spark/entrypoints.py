@@ -6104,6 +6104,342 @@ FROM a GROUP BY 1
 """)
 
 
+# ---------------------------------------------------------------------------
+# Session-9 ops: syndication matrix, dedup survivorship bias, temporal
+# holdout with straddle audit, code-switching profile
+# ---------------------------------------------------------------------------
+
+#: planted syndication corpus: originals keep their crawl source; near-dup
+#: copies (trailing-token mutation, same shape as _CORPUS_NEAR) land under
+#: three 'mirror-*' sources with doc_id+100000 — i.e. LATER in crawl time
+_CORPUS_SYND = """
+  SELECT doc_id, text, source FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         text || ' extra trailing token' AS text,
+         'mirror-' || CAST(doc_id % 3 AS STRING) AS source
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 < 2
+"""
+
+#: oracle fragment: the demo-profile LSH ladder (3-shingles → 8 minhashes →
+#: 2 bands × 4 rows → candidate pairs) over a CTE named ``corpus``; same
+#: machinery as _O_DEDUP_CANON, shared by the session-9 pair consumers
+_O_BANDS_FRAG = """
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+prs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id)
+"""
+
+
+def _synd_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_SYND}) corpus", "documents"
+    )
+
+
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup syndication matrix: LSH candidate pairs over the planted
+    mirror corpus, rolled up to (source_a, source_b) cells — which crawl
+    sources re-host each other's content (the audit behind
+    ``source_cap``-style domain decisions). Pair→source joins are
+    corpus-cardinality both sides → sort-merge pinned; one groupBy to the
+    ≤|sources|² matrix; the share total is a window over that bounded
+    matrix, never a second corpus pass."""
+    from .operators.dedup import source_pair_matrix
+
+    corpus = _synd_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    return source_pair_matrix(pairs, corpus)
+
+
+_O_CROSS_SOURCE_DUP = f"""
+WITH corpus AS ({_CORPUS_SYND}),
+{_O_BANDS_FRAG},
+lab AS (SELECT doc_id, source FROM corpus),
+cells AS (SELECT least(a.source, b.source) AS source_a,
+                 greatest(a.source, b.source) AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_pairs
+          FROM prs p
+          JOIN lab a ON a.doc_id = p.id_a
+          JOIN lab b ON b.doc_id = p.id_b
+          GROUP BY 1, 2)
+SELECT source_a, source_b, n_pairs,
+  CAST(CAST(n_pairs AS HUGEINT) * 1000000
+       // (SELECT sum(n_pairs) FROM cells) AS BIGINT) AS share_ppm
+FROM cells
+"""
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship-bias audit over the mirror corpus: per-source
+    doc counts before/after keep-best canonical dedup, drop rate, and the
+    signed ppm shift between corpus share and kept share. Exposes that
+    keep-LONGEST favors the mirrors here (each mutated copy is 21 chars
+    longer than its original, so the copy wins its cluster) — exactly the
+    silent mix drift this audit exists to catch before training."""
+    from .operators.dedup import (
+        canonical_docs,
+        connected_components,
+        dedup_survivorship,
+    )
+
+    corpus = _synd_corpus(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs)
+    scored = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    canon = canonical_docs(scored, comp)
+    return dedup_survivorship(corpus, canon)
+
+
+_O_DEDUP_SURVIVORSHIP = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_SYND}),
+{_O_BANDS_FRAG},
+edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+          UNION SELECT id_b AS src, id_a AS dst FROM prs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+lab AS (SELECT c.doc_id, c.source,
+          coalesce(m.component, c.doc_id) AS component,
+          CAST(length(c.text) AS BIGINT) AS score
+        FROM corpus c LEFT JOIN comp m ON m.node = c.doc_id),
+win AS (SELECT component,
+          first(doc_id ORDER BY score DESC, doc_id) AS canon_id
+        FROM lab GROUP BY component),
+k AS (SELECT l.source,
+        CASE WHEN l.doc_id = w.canon_id THEN 1 ELSE 0 END AS kept
+      FROM lab l JOIN win w ON l.component = w.component),
+ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(kept) AS BIGINT) AS n_kept
+       FROM k GROUP BY 1),
+tt AS (SELECT sum(n_docs) AS td, sum(n_kept) AS tk FROM ps)
+SELECT source, n_docs, n_kept,
+  CAST(CAST(n_docs - n_kept AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    AS drop_ppm,
+  CAST(CAST(n_docs AS HUGEINT) * 1000000 // td AS BIGINT)
+    AS corpus_share_ppm,
+  CAST(CAST(n_kept AS HUGEINT) * 1000000 // tk AS BIGINT)
+    AS kept_share_ppm,
+  CAST(CAST(n_kept AS HUGEINT) * 1000000 // tk AS BIGINT)
+    - CAST(CAST(n_docs AS HUGEINT) * 1000000 // td AS BIGINT) AS bias_ppm
+FROM ps, tt
+"""
+
+#: temporal-split day granularity: the cutoff lands on a DAY boundary, not
+#: an arbitrary row — real temporal holdouts split on a calendar unit, and
+#: it is what keeps the exact-quantile histogram bounded (|days|, not
+#: |rows|) at 100 TB
+_TSPLIT_DAY = 64
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal holdout with a near-dup straddle audit: split the mirror
+    corpus at the exact 80th-percentile crawl DAY (train = past, eval =
+    future — the decontamination-friendly split for time-series corpora),
+    then count LSH near-dup pairs straddling the boundary. The planted
+    mirrors arrive 'later' (doc_id+100000), so each straddle pair is a
+    future eval doc whose near-twin sits in train — the leak
+    ``cluster_split`` prevents and this audit measures for a split that
+    must be temporal. Cutoff via the skew-safe exact group-quantile
+    histogram (bounded by |days|); pair→flag joins sort-merge pinned;
+    output is one summary row."""
+    from .operators.sampling import group_quantiles
+
+    corpus = _synd_corpus(spark, sf_dir)
+    days = corpus.select(
+        "doc_id",
+        F.floor(F.col("doc_id") / F.lit(float(_TSPLIT_DAY)))
+        .cast("long")
+        .alias("day"),
+    )
+    cut = group_quantiles(
+        days.select(F.lit("all").alias("g"), F.col("day").alias("v")),
+        group_col="g",
+        value_col="v",
+        qs=(0.8,),
+    ).select(F.col("value").alias("cutoff_day"))
+    flags = days.crossJoin(F.broadcast(cut)).select(
+        "doc_id", (F.col("day") <= F.col("cutoff_day")).alias("is_train")
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    fa = flags.select(
+        F.col("doc_id").alias("id_a"), F.col("is_train").alias("_ta")
+    )
+    fb = flags.select(
+        F.col("doc_id").alias("id_b"), F.col("is_train").alias("_tb")
+    )
+    pair_stats = (
+        pairs.join(fa.hint("merge"), "id_a")
+        .join(fb.hint("merge"), "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(
+                (F.col("_ta") != F.col("_tb")).cast("long")
+            ).cast("long").alias("n_straddle"),
+        )
+    )
+    split_stats = flags.agg(
+        F.sum(F.col("is_train").cast("long")).cast("long").alias("n_train"),
+        F.sum((~F.col("is_train")).cast("long")).cast("long").alias("n_eval"),
+    )
+    return (
+        cut.crossJoin(split_stats)
+        .crossJoin(pair_stats)
+        .select(
+            "cutoff_day",
+            "n_train",
+            "n_eval",
+            "n_pairs",
+            "n_straddle",
+            F.expr(
+                "CAST(CAST(n_straddle AS DECIMAL(38,0)) * 1000000"
+                " div n_pairs AS BIGINT)"
+            ).alias("straddle_ppm"),
+        )
+    )
+
+
+_O_TEMPORAL_SPLIT = f"""
+WITH corpus AS ({_CORPUS_SYND}),
+{_O_BANDS_FRAG},
+d AS (SELECT doc_id,
+        CAST(floor(doc_id / {_TSPLIT_DAY}.0) AS BIGINT) AS day
+      FROM corpus),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+cutx AS (SELECT day AS cutoff_day
+         FROM (SELECT day, row_number() OVER (ORDER BY day) AS rn FROM d),
+              n
+         WHERE rn - 1 = CAST(floor(CAST(0.8 AS DOUBLE) * (n - 1))
+                             AS BIGINT)),
+fl AS (SELECT doc_id,
+         day <= (SELECT cutoff_day FROM cutx) AS is_train
+       FROM d),
+ps AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN a.is_train <> b.is_train THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_straddle
+       FROM prs p
+       JOIN fl a ON a.doc_id = p.id_a
+       JOIN fl b ON b.doc_id = p.id_b),
+ss AS (SELECT
+         CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_eval
+       FROM fl)
+SELECT (SELECT cutoff_day FROM cutx) AS cutoff_day,
+  n_train, n_eval, n_pairs, n_straddle,
+  CAST(CAST(n_straddle AS HUGEINT) * 1000000 // n_pairs AS BIGINT)
+    AS straddle_ppm
+FROM ss, ps
+"""
+
+#: per-turn language labels under the shared conversation derivation
+#: (production: the label is lang_id's pred_lang — langid_confusion is the
+#: audit that says when to trust it; here the corpus's labeled column)
+_LANGTURNS_SQL = f"""
+SELECT 'c' || CAST(doc_id % {N_CONV} AS STRING) AS conv_id,
+       CAST(floor(doc_id / {N_CONV}.0) AS INT) + 1 AS turn_idx,
+       lang
+FROM documents
+"""
+
+
+def q_lang_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching profile per conversation: turn count, distinct
+    languages, adjacent-turn language switches, and the modal language
+    with its exact ppm share — the screen that routes mixed-language
+    conversations away from monolingual training mixes (or into a
+    deliberate code-switching set). One lag window + two groupBys, all
+    under the conversation partitioning; the modal pick is an
+    order-insensitive ``min(struct(-cnt, lang))``, no per-conv sort."""
+    from pyspark.sql import Window as W
+
+    lt = _sql_over(spark, sf_dir, _LANGTURNS_SQL, "documents")
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    sw = lt.select(
+        "conv_id", "lang", F.lag("lang").over(w).alias("_prev")
+    )
+    pc = sw.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(
+            F.when(
+                F.col("_prev").isNotNull()
+                & (F.col("lang") != F.col("_prev")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_switches"),
+    )
+    cl = lt.groupBy("conv_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    md = cl.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("lang"))
+        ).alias("_best"),
+    )
+    return (
+        pc.join(md, "conv_id")
+        .withColumn("_top_cnt", -F.col("_best.neg"))
+        .select(
+            "conv_id",
+            "n_turns",
+            "n_langs",
+            "n_switches",
+            F.col("_best.lang").alias("top_lang"),
+            F.expr(
+                "CAST(CAST(_top_cnt AS DECIMAL(38,0)) * 1000000"
+                " div n_turns AS BIGINT)"
+            ).alias("top_share_ppm"),
+        )
+    )
+
+
+_O_LANG_SWITCH = f"""
+WITH lt AS ({_LANGTURNS_SQL}),
+sw AS (SELECT conv_id, lang,
+         lag(lang) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+       FROM lt),
+pc AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND lang <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+       FROM sw GROUP BY 1),
+cl AS (SELECT conv_id, lang, CAST(count(*) AS BIGINT) AS cnt
+       FROM lt GROUP BY 1, 2),
+md AS (SELECT conv_id, lang AS top_lang, cnt AS top_cnt
+       FROM (SELECT conv_id, lang, cnt,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY cnt DESC, lang ASC) AS rn
+             FROM cl)
+       WHERE rn = 1),
+nl AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_langs
+       FROM cl GROUP BY 1)
+SELECT pc.conv_id, pc.n_turns, nl.n_langs, pc.n_switches, md.top_lang,
+  CAST(CAST(md.top_cnt AS HUGEINT) * 1000000 // pc.n_turns AS BIGINT)
+    AS top_share_ppm
+FROM pc
+JOIN nl ON nl.conv_id = pc.conv_id
+JOIN md ON md.conv_id = pc.conv_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -6261,6 +6597,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_totals": q_streaming_totals,
     "streaming_enrich": q_streaming_enrich,
     "streaming_join": q_streaming_join,
+    # --- session 9 ---
+    "cross_source_dup": q_cross_source_dup,
+    "dedup_survivorship": q_dedup_survivorship,
+    "temporal_split": q_temporal_split,
+    "lang_switch": q_lang_switch,
 }
 
 ORACLES: dict[str, str] = {
@@ -6401,6 +6742,10 @@ ORACLES: dict[str, str] = {
     # compress_ratio: deliberately NO oracle (DuckDB has no zlib) — the
     # driver records the weaker rows-only check; unit tests pin values
     "skew_report": _O_SKEW_REPORT,
+    "cross_source_dup": _O_CROSS_SOURCE_DUP,
+    "dedup_survivorship": _O_DEDUP_SURVIVORSHIP,
+    "temporal_split": _O_TEMPORAL_SPLIT,
+    "lang_switch": _O_LANG_SWITCH,
 }
 
 

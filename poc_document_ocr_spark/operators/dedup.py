@@ -42,6 +42,8 @@ __all__ = [
     "ngram_novelty",
     "segment_dedup",
     "snapshot_diff",
+    "source_pair_matrix",
+    "dedup_survivorship",
     "template_segments",
     "DEMO_PROFILE",
     "SCALE_PROFILE",
@@ -1040,4 +1042,138 @@ def snapshot_diff(
                 " + n_changed + n_same) AS BIGINT)"
             ).alias("churn_ppm"),
         )
+    )
+
+
+def source_pair_matrix(
+    pairs: DataFrame,
+    sources: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Near-dup syndication matrix: which sources duplicate which.
+
+    Given verified near-duplicate pairs ``(id_a, id_b)`` and a per-document
+    source label, count pairs per unordered source pair — the
+    mirror/syndication audit a crawl curation pass runs to decide which
+    domains are re-hosting each other's content (CommonCrawl mirrors,
+    scraped-and-rehosted forums, news-wire syndication). A heavy
+    off-diagonal cell means two sources carry the same text and one of
+    them should be frequency-capped or dropped outright; the diagonal is
+    within-source duplication (template/boilerplate pressure).
+
+    Shape: two co-keyed equi joins pair→source (both sides are
+    corpus-cardinality, so sort-merge is pinned — a broadcast of either
+    would ship a corpus-sized table, the round-3 banned class), then ONE
+    groupBy down to the ≤|sources|² matrix; the total for the share comes
+    from a window over that bounded matrix, never a second corpus pass.
+    The pair key is normalized ``(least, greatest)`` so (a,b) and (b,a)
+    land in one cell.
+
+    Returns ``(source_a, source_b, n_pairs, share_ppm)`` with
+    ``source_a <= source_b`` and ``share_ppm`` the exact integer ppm of
+    all pairs in that cell.
+    """
+    from pyspark.sql import Window as W
+
+    lab = sources.select(
+        F.col(id_col), F.col(source_col).alias("_src")
+    )
+    j = (
+        pairs.join(
+            lab.hint("merge"),
+            pairs["id_a"] == lab[id_col],
+        )
+        .select("id_a", "id_b", F.col("_src").alias("_src_a"))
+        .join(
+            lab.hint("merge"),
+            F.col("id_b") == lab[id_col],
+        )
+        .select(
+            F.least("_src_a", "_src").alias("source_a"),
+            F.greatest("_src_a", "_src").alias("source_b"),
+        )
+    )
+    cells = j.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    total = F.sum("n_pairs").over(W.partitionBy())
+    return cells.withColumn("_total", total).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.expr(
+            "CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000"
+            " div _total AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def dedup_survivorship(
+    sources: DataFrame,
+    canon: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Dedup survivorship-bias audit: does canonical selection skew the mix?
+
+    Near-dup dedup is not mix-neutral — mirror-heavy sources lose most of
+    their documents to keep-best selection while original sources keep
+    theirs, so the post-dedup corpus composition can drift far from the
+    pre-dedup one. This op quantifies that drift per source: document
+    counts before/after, the drop rate, and the signed ppm shift between
+    the source's share of the corpus and its share of the kept set. A
+    large negative ``bias_ppm`` = the source is being deduplicated away
+    (usually correct for mirrors — but the audit is how you FIND OUT it
+    happened, instead of discovering a silently vanished domain at
+    training time). Pairs with the mixture-drift monitor the same way
+    ``split_leakage`` pairs with ``cluster_split``.
+
+    Shape: one co-keyed equi join of the (id, source) projection with the
+    :func:`canonical_docs` output (both corpus-cardinality → sort-merge
+    pinned), ONE groupBy to the ≤|sources| table; corpus/kept totals are
+    windows over that bounded table.
+
+    Returns ``(source, n_docs, n_kept, drop_ppm, corpus_share_ppm,
+    kept_share_ppm, bias_ppm)``.
+    """
+    from pyspark.sql import Window as W
+
+    lab = sources.select(F.col(id_col), F.col(source_col))
+    j = lab.join(
+        canon.select(id_col, "is_canon").hint("merge"), id_col
+    )
+    per_src = j.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("is_canon").cast("long")).cast("long").alias("n_kept"),
+    )
+    w = W.partitionBy()
+    enriched = per_src.select(
+        source_col,
+        "n_docs",
+        "n_kept",
+        F.sum("n_docs").over(w).alias("_tot_docs"),
+        F.sum("n_kept").over(w).alias("_tot_kept"),
+    )
+    return enriched.select(
+        source_col,
+        "n_docs",
+        "n_kept",
+        F.expr(
+            "CAST(CAST(n_docs - n_kept AS DECIMAL(38,0)) * 1000000"
+            " div n_docs AS BIGINT)"
+        ).alias("drop_ppm"),
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+            " div _tot_docs AS BIGINT)"
+        ).alias("corpus_share_ppm"),
+        F.expr(
+            "CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000"
+            " div _tot_kept AS BIGINT)"
+        ).alias("kept_share_ppm"),
+        F.expr(
+            "CAST(CAST(n_kept AS DECIMAL(38,0)) * 1000000 div _tot_kept"
+            " AS BIGINT) - CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+            " div _tot_docs AS BIGINT)"
+        ).alias("bias_ppm"),
     )

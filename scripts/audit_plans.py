@@ -1243,6 +1243,58 @@ def audit(spark, sf_dir: str):
         f"SMJ={'SortMergeJoin' in p}",
     )
 
+    # --- session-9 ops -----------------------------------------------------
+    # cross_source_dup: pair->source label joins are pinned sort-merge
+    # (both sides corpus-cardinality), no cartesian anywhere; the share
+    # total windows over the bounded <=|sources|^2 matrix (the one
+    # single-partition window is over cells, not the corpus)
+    cs = ep.QUERIES["cross_source_dup"](spark, sf_dir)
+    p = plan_of(cs)
+    check(
+        "cross_source_dup: sort-merge pair->source joins, no cartesian,"
+        " no forced corpus broadcast",
+        "SortMergeJoin" in p and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        f"SMJ={'SortMergeJoin' in p}",
+    )
+
+    # dedup_survivorship: the (id, source) x canonical join is pinned
+    # sort-merge; totals ride windows over the bounded per-source table
+    dsv = ep.QUERIES["dedup_survivorship"](spark, sf_dir)
+    p = plan_of(dsv)
+    check(
+        "dedup_survivorship: sort-merge source x canonical join,"
+        " no cartesian",
+        "SortMergeJoin" in p and "CartesianProduct" not in p,
+        f"SMJ={'SortMergeJoin' in p}",
+    )
+
+    # temporal_split: the cutoff rides the skew-safe histogram path (no
+    # row_number over corpus rows; day histogram partial-aggregates
+    # map-side) and the pair->flag joins are pinned sort-merge; the only
+    # broadcasts are the 1-row cutoff / 1-row stat frames
+    tsp = ep.QUERIES["temporal_split"](spark, sf_dir)
+    p = plan_of(tsp)
+    check(
+        "temporal_split: histogram-path cutoff (no corpus row_number"
+        " sort), sort-merge flag joins",
+        "row_number" not in p and "partial_count" in p
+        and "SortMergeJoin" in p,
+        f"SMJ={'SortMergeJoin' in p}; no row_number",
+    )
+
+    # lang_switch: every window/groupBy keyed on conv_id (never a global
+    # corpus window), modal pick is an aggregate (no per-conv sort)
+    lsw = ep.QUERIES["lang_switch"](spark, sf_dir)
+    p = plan_of(lsw)
+    check(
+        "lang_switch: conv-partitioned windows only, modal via aggregate"
+        " (no row_number), no cartesian",
+        "row_number" not in p and "CartesianProduct" not in p
+        and "lag(" in p,
+        "lag window present; no row_number",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -2615,3 +2615,50 @@ def test_number_support_flags_introduced_numbers(spark):
     assert out["c1"]["n_nums"] == 3
     assert out["c1"]["n_unsupported"] == 1
     assert out["c1"]["unsupported_ppm"] == 1_000_000 // 3
+
+
+def test_source_pair_matrix_cells_and_shares(spark):
+    from poc_document_ocr_spark.operators.dedup import source_pair_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    srcs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_pair_matrix(pairs, srcs).collect()
+    }
+    # (1,2) is within-source a; (1,3) and (2,3) cross a<->b — and the
+    # unordered normalization folds both orientations into one cell
+    assert rows[("a", "a")]["n_pairs"] == 1
+    assert rows[("a", "b")]["n_pairs"] == 2
+    assert rows[("a", "a")]["share_ppm"] == 1_000_000 // 3
+    assert rows[("a", "b")]["share_ppm"] == 2_000_000 // 3
+
+
+def test_dedup_survivorship_bias_signs(spark):
+    from poc_document_ocr_spark.operators.dedup import dedup_survivorship
+
+    srcs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "b")],
+        "doc_id long, source string",
+    )
+    canon = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, True), (5, False)],
+        "doc_id long, is_canon boolean",
+    )
+    out = {
+        r["source"]: r for r in dedup_survivorship(srcs, canon).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["n_kept"]) == (2, 1)
+    assert (b["n_docs"], b["n_kept"]) == (3, 2)
+    assert a["drop_ppm"] == 500_000 and b["drop_ppm"] == 333_333
+    # a's kept share (1/3) trails its corpus share (2/5) → negative bias;
+    # b gains exactly what a loses on the ppm grid (modulo div rounding)
+    assert a["corpus_share_ppm"] == 400_000
+    assert a["kept_share_ppm"] == 333_333
+    assert a["bias_ppm"] == -66_667
+    assert b["bias_ppm"] == 666_666 - 600_000
