@@ -6440,6 +6440,170 @@ JOIN md ON md.conv_id = pc.conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-10 ops: encoding-health screen, corpus novelty curve, MinHash
+# estimator calibration
+# ---------------------------------------------------------------------------
+
+#: planted encoding artifacts (the testdata text is clean ASCII, so the
+#: screen's positives are injected deterministically): replacement chars,
+#: one C0 control char, and the two mojibake lead markers — written as
+#: escapes here, real characters inside the SQL both engines parse
+_ENC_REPL = "�"
+_ENC_CTRL = "\x01"
+_ENC_MOJI = "cafÃ© âx"
+
+_CORPUS_ENC = f"""
+  SELECT doc_id,
+    concat(text,
+      CASE WHEN doc_id % 7 = 0 THEN ' {_ENC_MOJI}' ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN ' {_ENC_REPL}{_ENC_REPL}' ELSE '' END,
+      CASE WHEN doc_id % 13 = 0 THEN ' {_ENC_CTRL}' ELSE '' END) AS text
+  FROM documents
+"""
+
+
+def q_encoding_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health screen over the artifact-planted corpus: U+FFFD
+    replacement chars, raw C0 control chars, and UTF-8-as-Latin-1 mojibake
+    markers, each an exact character count; map-only (zero shuffles)."""
+    from .operators.textstats import encoding_screen
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_ENC}) corpus", "documents"
+    )
+    return encoding_screen(corpus)
+
+
+_O_ENCODING_SCREEN = f"""
+WITH corpus AS ({_CORPUS_ENC}),
+c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(length(text) - length(replace(text, '{_ENC_REPL}', ''))
+             AS BIGINT) AS n_replacement,
+        CAST(length(text)
+             - length(regexp_replace(text,
+                 '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+             AS BIGINT) AS n_ctrl,
+        CAST((length(text) - length(replace(text, chr(195), '')))
+             + (length(text) - length(replace(text, chr(226), '')))
+             AS BIGINT) AS n_mojibake
+      FROM corpus)
+SELECT doc_id, n_chars, n_replacement, n_ctrl, n_mojibake,
+  (n_replacement + n_ctrl + n_mojibake) = 0 AS clean
+FROM c
+"""
+
+#: planted re-crawl timeline: days 0-7 carry fresh documents, days 8-11
+#: carry only re-fetches of day-0-7 content — the novelty collapse the
+#: curve exists to expose
+_CORPUS_NOV = """
+  SELECT doc_id, text, doc_id % 8 AS day FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, 8 + (doc_id % 4) AS day
+  FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen-fingerprint share per crawl day over the planted
+    re-crawl timeline: one fp-domain shuffle (map-side combinable), the
+    per-fp first day reuses the fp partitioning, day rollup is bounded."""
+    from .operators.dedup import novelty_curve
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NOV}) corpus", "documents"
+    )
+    return novelty_curve(corpus)
+
+
+_O_NOVELTY_CURVE = f"""
+WITH corpus AS ({_CORPUS_NOV}),
+fd AS (SELECT md5(text) AS fp, CAST(day AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n_docs
+       FROM corpus GROUP BY 1, 2),
+fst AS (SELECT fp, min(day) AS first_day FROM fd GROUP BY 1),
+pd AS (SELECT day, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_fp,
+         CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_fp
+       FROM fd JOIN fst USING (fp) GROUP BY 1)
+SELECT day, n_docs, n_fp, n_new_fp,
+  CAST(CAST(n_new_fp AS HUGEINT) * 1000000 // n_fp AS BIGINT)
+    AS novelty_ppm
+FROM pd
+"""
+
+#: calibration corpus: originals + exact copies (estimate 8/8, exact 1.0)
+#: + trailing-token mutants (estimate varies per pair, exact just below 1)
+_CORPUS_CAL = """
+  SELECT doc_id, text FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         text || ' extra trailing token' AS text
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text
+  FROM documents WHERE doc_id < 300 AND doc_id % 3 = 1
+"""
+
+
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration over the planted copy/mutant corpus:
+    per match-count band, candidate-pair count, the sketch estimate, the
+    mean exact Jaccard, and the mean absolute error — all exact ppm
+    integers. Pair→signature joins are pinned sort-merge (both sides
+    corpus-cardinality); the rollup is ≤ K+1 rows."""
+    from .operators.dedup import (
+        lsh_calibration,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_CAL}) corpus", "documents"
+    )
+    sh = word_shingles(corpus)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    return lsh_calibration(sh, sigs, pairs)
+
+
+_O_LSH_CALIBRATION = f"""
+WITH corpus AS ({_CORPUS_CAL}),
+{_O_BANDS_FRAG},
+m AS (SELECT p.id_a, p.id_b,
+        CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+          AS matches
+      FROM prs p
+      JOIN mh a ON a.doc_id = p.id_a
+      JOIN mh b ON b.doc_id = p.id_b AND b.k = a.k
+      GROUP BY 1, 2),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1),
+itr AS (SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM prs p
+        JOIN sh a ON a.doc_id = p.id_a
+        JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2),
+pp AS (SELECT m.matches,
+         CAST(CAST(m.matches AS HUGEINT) * 1000000 // 8 AS BIGINT)
+           AS est_ppm,
+         CAST(CAST(i.inter AS HUGEINT) * 1000000
+              // (za.sz + zb.sz - i.inter) AS BIGINT) AS exact_ppm
+       FROM m
+       JOIN itr i ON i.id_a = m.id_a AND i.id_b = m.id_b
+       JOIN sz za ON za.doc_id = m.id_a
+       JOIN sz zb ON zb.doc_id = m.id_b)
+SELECT matches, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(CAST(matches AS HUGEINT) * 1000000 // 8 AS BIGINT) AS est_ppm,
+  CAST(sum(CAST(exact_ppm AS HUGEINT)) // count(*) AS BIGINT)
+    AS mean_exact_ppm,
+  CAST(sum(CAST(abs(est_ppm - exact_ppm) AS HUGEINT)) // count(*)
+       AS BIGINT) AS mean_abs_err_ppm
+FROM pp GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -6602,6 +6766,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_survivorship": q_dedup_survivorship,
     "temporal_split": q_temporal_split,
     "lang_switch": q_lang_switch,
+    # --- session 10 ---
+    "encoding_screen": q_encoding_screen,
+    "novelty_curve": q_novelty_curve,
+    "lsh_calibration": q_lsh_calibration,
 }
 
 ORACLES: dict[str, str] = {
@@ -6746,6 +6914,9 @@ ORACLES: dict[str, str] = {
     "dedup_survivorship": _O_DEDUP_SURVIVORSHIP,
     "temporal_split": _O_TEMPORAL_SPLIT,
     "lang_switch": _O_LANG_SWITCH,
+    "encoding_screen": _O_ENCODING_SCREEN,
+    "novelty_curve": _O_NOVELTY_CURVE,
+    "lsh_calibration": _O_LSH_CALIBRATION,
 }
 
 

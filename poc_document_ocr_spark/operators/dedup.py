@@ -43,6 +43,8 @@ __all__ = [
     "segment_dedup",
     "snapshot_diff",
     "source_pair_matrix",
+    "novelty_curve",
+    "lsh_calibration",
     "dedup_survivorship",
     "template_segments",
     "DEMO_PROFILE",
@@ -1176,4 +1178,151 @@ def dedup_survivorship(
             " AS BIGINT) - CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
             " div _tot_docs AS BIGINT)"
         ).alias("bias_ppm"),
+    )
+
+
+def novelty_curve(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    day_col: str = "day",
+) -> DataFrame:
+    """Corpus novelty curve: first-seen-fingerprint share per crawl day.
+
+    The ingestion-health monitor for a continuously crawled corpus: per
+    day, how many distinct content fingerprints appeared, and what share
+    of them had NEVER been seen on an earlier day. A healthy crawl holds
+    novelty high; a collapsing curve means the crawler is re-fetching the
+    same content (or a syndication loop is feeding copies in) and the
+    marginal ingest cost buys no new training signal. The complement of
+    ``snapshot_diff`` (two named snapshots) — this is the whole timeline
+    in one pass.
+
+    Shape: the corpus reduces map-side onto the (fp, day) domain (one
+    shuffle, partial aggregation combines duplicate fetches before the
+    wire), the per-fp first day is a MIN window over fp — no self-join,
+    and the window's partitions are bounded by |days| rows per fp however
+    viral the content (the (fp, day) agg already collapsed copies) — and
+    the day rollup reduces to the bounded |days| table. Exact integers
+    throughout.
+
+    Returns ``(day, n_docs, n_fp, n_new_fp, novelty_ppm)`` where
+    ``novelty_ppm`` = exact ppm of that day's distinct fingerprints that
+    were first seen that day.
+    """
+    from pyspark.sql import Window as W
+
+    fp_day = df.select(
+        F.md5(F.col(text_col).cast("binary")).alias("fp"),
+        F.col(day_col).cast("long").alias("day"),
+    )
+    per = fp_day.groupBy("fp", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    j = per.withColumn(
+        "_first_day", F.min("day").over(W.partitionBy("fp"))
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_fp"),
+            F.sum(
+                F.when(F.col("day") == F.col("_first_day"), 1).otherwise(0)
+            ).cast("long").alias("n_new_fp"),
+        )
+        .select(
+            "day",
+            "n_docs",
+            "n_fp",
+            "n_new_fp",
+            F.expr(
+                "CAST(CAST(n_new_fp AS DECIMAL(38,0)) * 1000000"
+                " div n_fp AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def lsh_calibration(
+    shingled: DataFrame,
+    signatures: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """MinHash estimator calibration: estimated vs exact Jaccard per band.
+
+    The audit that justifies trusting the sketch: over the LSH candidate
+    pairs, compare the MinHash estimate (matching signature positions /
+    K) against the exact shingle-set Jaccard, rolled up per match-count
+    band. A healthy profile has the mean exact Jaccard tracking the
+    estimate and a one-sided error shrinking as matches→K; a broken hash
+    family (or a K too small for the dedup threshold) shows up as a flat
+    or inverted profile. This is how a 100 TB dedup pass validates its
+    sketch parameters on a sample BEFORE committing the full run —
+    the empirical twin of the (1-(1-j^r)^b) S-curve the band/row choice
+    is derived from.
+
+    Shape: signature match counting is two pinned sort-merge joins of the
+    candidate pairs against the (id, k, h) signature rows (both
+    corpus-cardinality — broadcasting either side is the banned class)
+    followed by a (id_a, id_b) groupBy; the exact Jaccard reuses
+    :func:`ngram_jaccard` (candidates-only); the final rollup reduces to
+    ≤ K+1 rows. Integer-exact: est_ppm = matches·10⁶ div K, exact ppm =
+    inter·10⁶ div union, error aggregated as an exact mean of ppm deltas.
+
+    Returns ``(matches, n_pairs, est_ppm, mean_exact_ppm,
+    mean_abs_err_ppm)`` ordered by nothing in particular (bounded table).
+    """
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), "k", F.col("h").alias("_ha")
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), "k", F.col("h").alias("_hb")
+    )
+    m = (
+        pairs.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), ["id_b", "k"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.when(F.col("_ha") == F.col("_hb"), 1).otherwise(0)
+            ).cast("long").alias("matches")
+        )
+    )
+    jac = ngram_jaccard(shingled, pairs, id_col=id_col).select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "CAST(CAST(inter AS DECIMAL(38,0)) * 1000000"
+            " div union_n AS BIGINT)"
+        ).alias("_exact_ppm"),
+    )
+    est_ppm = F.expr(
+        f"CAST(CAST(matches AS DECIMAL(38,0)) * 1000000"
+        f" div {num_hashes} AS BIGINT)"
+    )
+    per_pair = m.join(jac, ["id_a", "id_b"]).select(
+        "matches",
+        "_exact_ppm",
+        F.abs(est_ppm - F.col("_exact_ppm")).alias("_abs_err_ppm"),
+    )
+    g = per_pair.groupBy("matches").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(sum(CAST(_exact_ppm AS DECIMAL(38,0)))"
+            " div count(1) AS BIGINT)"
+        ).alias("mean_exact_ppm"),
+        F.expr(
+            "CAST(sum(CAST(_abs_err_ppm AS DECIMAL(38,0)))"
+            " div count(1) AS BIGINT)"
+        ).alias("mean_abs_err_ppm"),
+    )
+    return g.select(
+        "matches",
+        "n_pairs",
+        est_ppm.alias("est_ppm"),
+        "mean_exact_ppm",
+        "mean_abs_err_ppm",
     )

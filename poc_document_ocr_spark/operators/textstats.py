@@ -49,6 +49,9 @@ __all__ = [
     "normalize_text",
     "refusal_stats",
     "number_support",
+    "encoding_screen",
+    "CTRL_CHAR_RE",
+    "MOJIBAKE_MARKERS",
     "REFUSAL_RE",
     "TOKEN_SPLIT",
     "PII_PATTERNS",
@@ -1772,4 +1775,62 @@ def number_support(
                 " div n_nums AS BIGINT)"
             ).alias("unsupported_ppm"),
         )
+    )
+
+
+#: C0 control characters excluding tab/newline/carriage-return — the only
+#: bytes a text corpus should never carry; shared verbatim with the DuckDB
+#: oracle (RE2 and java.util.regex both read \xNN ranges identically)
+CTRL_CHAR_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+#: UTF-8-decoded-as-Latin-1 artifact markers: U+00C3 leads every two-byte
+#: sequence mangled that way (the garbled-accent family), U+00E2 leads the
+#: mangled punctuation family (curly quotes, em-dashes). Counting the lead
+#: marker — not the full artifact — keeps the screen one replace() per
+#: marker; both markers are vanishingly rare in clean text.
+MOJIBAKE_MARKERS = ("Ã", "â")
+
+
+def encoding_screen(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Encoding-health screen: replacement chars, control chars, mojibake.
+
+    Three artifact families a web-scale text corpus accumulates and a
+    training mix must not carry: U+FFFD replacement characters (a decoder
+    already lost bytes upstream), raw C0 control characters (binary
+    payloads mis-labeled as text; tab/newline/CR excluded), and
+    UTF-8-read-as-Latin-1 mojibake (counted via its two lead markers).
+    Every count is a character-length difference after
+    ``replace``/``regexp_replace`` — exact integers, no regex feature
+    outside the RE2 / java.regex common subset, so the DuckDB oracle
+    replays it verbatim.
+
+    Map-only: zero shuffles, all counters whole-stage-codegen'd; ``clean``
+    is a plain boolean so the screen pushes into downstream scans like
+    ``quality_score.keep``. At 100 TB this runs in the same scan as the
+    other per-doc screens.
+
+    Returns ``(id, n_chars, n_replacement, n_ctrl, n_mojibake, clean)``.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+
+    def _count(marker: str) -> Column:
+        return (n_chars - F.length(F.replace(text, F.lit(marker)))).cast(
+            "long"
+        )
+
+    n_repl = _count("�")
+    n_ctrl = (
+        n_chars - F.length(F.regexp_replace(text, CTRL_CHAR_RE, ""))
+    ).cast("long")
+    n_moji = (_count(MOJIBAKE_MARKERS[0])
+              + _count(MOJIBAKE_MARKERS[1])).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_ctrl.alias("n_ctrl"),
+        n_moji.alias("n_mojibake"),
+        ((n_repl + n_ctrl + n_moji) == F.lit(0)).alias("clean"),
     )

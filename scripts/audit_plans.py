@@ -1295,6 +1295,43 @@ def audit(spark, sf_dir: str):
         "lag window present; no row_number",
     )
 
+    # --- session-10 ops ----------------------------------------------------
+    # encoding_screen: map-only (the whole screen rides the scan — zero
+    # shuffles, no Python eval; all three artifact counters are length
+    # diffs / regexp_replace inside codegen)
+    enc = ep.QUERIES["encoding_screen"](spark, sf_dir)
+    p = plan_of(enc)
+    check(
+        "encoding_screen: map-only (zero Exchange, no Python eval)",
+        "Exchange" not in p and "Python" not in p,
+        "no Exchange in plan",
+    )
+
+    # novelty_curve: no self-join (first-day via fp window), the (fp,day)
+    # agg partial-aggregates map-side, and no per-corpus row_number sort
+    nov = ep.QUERIES["novelty_curve"](spark, sf_dir)
+    p = plan_of(nov)
+    check(
+        "novelty_curve: windowed first-day (no join), map-side partial"
+        " agg on (fp, day)",
+        "Join" not in p and "partial_count" in p and "min(day" in p,
+        f"Exchanges={p.count('Exchange hashpartitioning')} (fp/day domain"
+        " only), no join",
+    )
+
+    # lsh_calibration: pair->signature joins pinned sort-merge (both
+    # corpus-cardinality), no cartesian/nested-loop anywhere; final
+    # rollup is a bounded <=K+1-row table
+    cal = ep.QUERIES["lsh_calibration"](spark, sf_dir)
+    p = plan_of(cal)
+    check(
+        "lsh_calibration: sort-merge pair->sig joins, no cartesian /"
+        " nested loop",
+        "SortMergeJoin" in p and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        f"SMJ={p.count('SortMergeJoin')}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

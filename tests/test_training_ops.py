@@ -2662,3 +2662,67 @@ def test_dedup_survivorship_bias_signs(spark):
     assert a["kept_share_ppm"] == 333_333
     assert a["bias_ppm"] == -66_667
     assert b["bias_ppm"] == 666_666 - 600_000
+
+
+def test_encoding_screen_counts_each_family(spark):
+    from poc_document_ocr_spark.operators.textstats import encoding_screen
+
+    moji = "cafÃ© and âquote"
+    rows = [
+        (1, "clean text here"),
+        (2, "bad �� char"),
+        (3, "ctrl\x01here\x02 and tab\tok\nline"),
+        (4, moji),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in encoding_screen(df).collect()}
+    assert out[1]["clean"] and out[1]["n_replacement"] == 0
+    assert out[2]["n_replacement"] == 2 and not out[2]["clean"]
+    # tab/newline are NOT control-char hits; \x01 and \x02 are
+    assert out[3]["n_ctrl"] == 2 and out[3]["n_replacement"] == 0
+    # one U+00C3 lead + one bare U+00E2 marker
+    assert out[4]["n_mojibake"] == 2 and not out[4]["clean"]
+
+
+def test_novelty_curve_first_seen_shares(spark):
+    from poc_document_ocr_spark.operators.dedup import novelty_curve
+
+    rows = [
+        (1, "a", 0), (2, "b", 0),          # day 0: both new
+        (3, "a", 1), (4, "c", 1), (5, "c", 1),  # day 1: a re-fetch, c new
+        (6, "a", 2),                        # day 2: nothing new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, day long")
+    out = {r["day"]: r for r in novelty_curve(df).collect()}
+    assert out[0]["n_fp"] == 2 and out[0]["novelty_ppm"] == 1_000_000
+    assert out[1]["n_docs"] == 3 and out[1]["n_fp"] == 2
+    assert out[1]["n_new_fp"] == 1 and out[1]["novelty_ppm"] == 500_000
+    assert out[2]["novelty_ppm"] == 0
+
+
+def test_lsh_calibration_exact_on_identical_pair(spark):
+    from poc_document_ocr_spark.operators.dedup import (
+        lsh_calibration,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7"),
+         (2, "w0 w1 w2 w3 w4 w5 w6 w7"),
+         (3, "x0 x1 x2 x3 x4 x5 x6 x7")],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    out = lsh_calibration(sh, sigs, pairs).collect()
+    # only the identical pair (1,2) is a candidate: 8/8 matches, exact
+    # jaccard 1.0, zero estimator error
+    assert len(out) == 1
+    (r,) = out
+    assert r["matches"] == 8 and r["n_pairs"] == 1
+    assert r["est_ppm"] == 1_000_000
+    assert r["mean_exact_ppm"] == 1_000_000
+    assert r["mean_abs_err_ppm"] == 0
