@@ -1,6 +1,7 @@
-"""Scale points for the round-4 SESSION-9 operators (cross-source
+"""Scale points for the round-4 SESSION-9/10 operators (cross-source
 syndication matrix, dedup survivorship bias, temporal holdout straddle
-audit, code-switching profile — none had a corpus-scale measurement yet).
+audit, code-switching profile, encoding screen, novelty curve, MinHash
+calibration — none had a corpus-scale measurement yet).
 
 Inputs, all deterministic (same harness family as bench_s7_scale.py):
 
@@ -178,6 +179,49 @@ def lang_switch_job(turns):
     )
 
 
+def encoding_job(docs):
+    from poc_document_ocr_spark.operators.textstats import encoding_screen
+
+    return encoding_screen(docs)
+
+
+def novelty_job(docs):
+    """Planted re-crawl timeline at corpus cardinality: 8 fresh days plus
+    4 re-fetch-only days (copies of a third of the corpus)."""
+    from poc_document_ocr_spark.operators.dedup import novelty_curve
+
+    base = docs.select(
+        "doc_id", "text",
+        F.pmod(F.xxhash64("doc_id", F.lit("nd")), F.lit(8)).alias("day"),
+    )
+    refetch = base.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0
+    ).select(
+        (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+        "text",
+        (F.lit(8) + F.pmod(F.xxhash64("doc_id", F.lit("rd")), F.lit(4)))
+        .alias("day"),
+    )
+    return novelty_curve(base.unionByName(refetch))
+
+
+def calibration_job(corpus):
+    from poc_document_ocr_spark.operators.dedup import (
+        lsh_calibration,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sh = word_shingles(corpus)
+    sigs = minhash_signatures(sh)
+    # both consumers (banding + match counting) re-read the signatures —
+    # materialize once, same convention as lsh_candidate_pairs' bands
+    sigs = sigs.localCheckpoint(eager=True)
+    pairs = lsh_candidate_pairs(sigs)
+    return lsh_calibration(sh, sigs, pairs)
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
@@ -215,6 +259,9 @@ def main() -> None:
         "dedup_survivorship": lambda: consume(survivorship_job(corpus)),
         "temporal_split": lambda: consume(temporal_split_job(corpus)),
         "lang_switch": lambda: consume(lang_switch_job(turns)),
+        "encoding_screen": lambda: consume(encoding_job(docs)),
+        "novelty_curve": lambda: consume(novelty_job(docs)),
+        "lsh_calibration": lambda: consume(calibration_job(corpus)),
     }
     unknown = only - set(jobs)
     if unknown:
@@ -230,6 +277,9 @@ def main() -> None:
         "dedup_survivorship": lambda: consume(survivorship_job(small_c)),
         "temporal_split": lambda: consume(temporal_split_job(small_c)),
         "lang_switch": lambda: consume(lang_switch_job(small_t)),
+        "encoding_screen": lambda: consume(encoding_job(small_d)),
+        "novelty_curve": lambda: consume(novelty_job(small_d)),
+        "lsh_calibration": lambda: consume(calibration_job(small_c)),
     }
     for name in selected:
         warmups[name]()
