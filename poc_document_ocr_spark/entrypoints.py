@@ -6604,6 +6604,144 @@ FROM pp GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-11 ops: weighted sampling, incremental re-extraction plan,
+# screen confusion metrics
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted without-replacement sample: exactly 100
+    documents picked by integer Efraimidis-Spirakis-style priorities
+    (u div weight, k smallest), weight = (doc_id % 10 + 1) ppk-style.
+    Map-side priority + TakeOrderedAndProject top-k — no global sort."""
+    from .operators.sampling import weighted_sample_k
+
+    docs = _sql_over(
+        spark,
+        sf_dir,
+        "SELECT doc_id, (doc_id % 10 + 1) * 1000 AS w_ppm FROM documents",
+        "documents",
+    )
+    return weighted_sample_k(docs, k=100)
+
+
+_O_WEIGHTED_SAMPLE = """
+WITH d AS (SELECT doc_id,
+             CAST((doc_id % 10 + 1) * 1000 AS BIGINT) AS weight
+           FROM documents),
+pr AS (SELECT doc_id, weight,
+         CAST(('0x' || substring(
+             md5(CAST(doc_id AS VARCHAR) || ':0w'), 1, 15)) AS BIGINT)
+           // weight AS p
+       FROM d WHERE weight > 0)
+SELECT doc_id, weight FROM pr ORDER BY p, doc_id LIMIT 100
+"""
+
+
+def q_reextract_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-extraction workload plan between the documents
+    table and the simulated next snapshot (the q_snapshot_diff pair):
+    per source, docs to re-extract / skip / tombstone, character volume
+    of the re-extraction work, and the exact ppm of the new snapshot
+    saved by the lineage anti-join. ONE pinned full-outer sort-merge
+    join + bounded source rollup."""
+    from .operators.dedup import reextract_plan
+
+    prev = _docs(spark, sf_dir)
+    curr = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_SNAPSHOT_B}) b", "documents"
+    )
+    return reextract_plan(prev, curr)
+
+
+_O_REEXTRACT_PLAN = f"""
+WITH b AS ({_SNAPSHOT_B}),
+ha AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+hb AS (SELECT doc_id, source, md5(text) AS h,
+         CAST(length(text) AS BIGINT) AS len_b
+       FROM b),
+j AS (SELECT coalesce(hb.source, ha.source) AS source,
+        CASE WHEN hb.h IS NULL THEN 'tombstone'
+             WHEN ha.h IS NULL OR ha.h <> hb.h THEN 'reextract'
+             ELSE 'skip' END AS st,
+        coalesce(hb.len_b, 0) AS len_b
+      FROM ha FULL OUTER JOIN hb USING (doc_id)),
+ps AS (SELECT source,
+         CAST(sum(CASE WHEN st = 'reextract' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_reextract,
+         CAST(sum(CASE WHEN st = 'skip' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_skip,
+         CAST(sum(CASE WHEN st = 'tombstone' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tombstone,
+         CAST(sum(CASE WHEN st = 'reextract' THEN len_b ELSE 0 END)
+              AS BIGINT) AS work_chars
+       FROM j GROUP BY 1)
+SELECT source, n_reextract + n_skip AS n_docs, n_reextract, n_skip,
+  n_tombstone, work_chars,
+  CAST(CAST(n_skip AS HUGEINT) * 1000000 // (n_reextract + n_skip)
+       AS BIGINT) AS saved_ppm
+FROM ps
+"""
+
+
+def q_screen_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 of the Gopher-style quality screen against a
+    deterministic labeled audit set (label = the document's length band,
+    a correlated-but-imperfect proxy): one conditional-sum fold to a
+    single row, all metrics exact ppm integers."""
+    from .operators.textstats import quality_keep, screen_confusion
+
+    docs = _docs(spark, sf_dir)
+    labeled = docs.select(
+        quality_keep(F.col("text")).alias("pred"),
+        (F.length("text") >= 120).alias("label"),
+    )
+    return screen_confusion(labeled)
+
+
+_O_SCREEN_CONFUSION = """
+WITH s AS (SELECT
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS n_punct,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS n_digit,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+    n_chars >= 120 AS label
+  FROM documents),
+pl AS (SELECT
+    (n_tokens >= 5 AND n_tokens <= 100000
+     AND n_nonspace / n_tokens >= 2.0 AND n_nonspace / n_tokens <= 12.0
+     AND n_punct / n_chars <= 0.30 AND n_digit / n_chars <= 0.50) AS pred,
+    label
+  FROM s),
+c AS (SELECT
+    CAST(sum(CASE WHEN pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tp,
+    CAST(sum(CASE WHEN pred AND NOT label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_fp,
+    CAST(sum(CASE WHEN NOT pred AND label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_fn,
+    CAST(sum(CASE WHEN NOT pred AND NOT label THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_tn
+  FROM pl)
+SELECT n_tp, n_fp, n_fn, n_tn,
+  CAST(CAST(n_tp AS HUGEINT) * 1000000 // nullif(n_tp + n_fp, 0)
+       AS BIGINT) AS precision_ppm,
+  CAST(CAST(n_tp AS HUGEINT) * 1000000 // nullif(n_tp + n_fn, 0)
+       AS BIGINT) AS recall_ppm,
+  CAST(2 * (CAST(n_tp AS HUGEINT) * 1000000 // nullif(n_tp + n_fp, 0))
+         * (CAST(n_tp AS HUGEINT) * 1000000 // nullif(n_tp + n_fn, 0))
+       // nullif((CAST(n_tp AS HUGEINT) * 1000000
+                  // nullif(n_tp + n_fp, 0))
+                 + (CAST(n_tp AS HUGEINT) * 1000000
+                    // nullif(n_tp + n_fn, 0)), 0) AS BIGINT) AS f1_ppm
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -6617,6 +6755,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 4: sessions 9-10 first (newest never-recorded
     # ops take the window; the displaced session-4/5 ops are
     # harness-verified in CORRECTNESS_FULL_r04.json), then session 7 ---
+    "weighted_sample": q_weighted_sample,
+    "reextract_plan": q_reextract_plan,
+    "screen_confusion": q_screen_confusion,
     "cross_source_dup": q_cross_source_dup,
     "dedup_survivorship": q_dedup_survivorship,
     "temporal_split": q_temporal_split,
@@ -6914,6 +7055,9 @@ ORACLES: dict[str, str] = {
     "dedup_survivorship": _O_DEDUP_SURVIVORSHIP,
     "temporal_split": _O_TEMPORAL_SPLIT,
     "lang_switch": _O_LANG_SWITCH,
+    "weighted_sample": _O_WEIGHTED_SAMPLE,
+    "reextract_plan": _O_REEXTRACT_PLAN,
+    "screen_confusion": _O_SCREEN_CONFUSION,
     "encoding_screen": _O_ENCODING_SCREEN,
     "novelty_curve": _O_NOVELTY_CURVE,
     "lsh_calibration": _O_LSH_CALIBRATION,

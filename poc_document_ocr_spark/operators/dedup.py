@@ -42,6 +42,7 @@ __all__ = [
     "ngram_novelty",
     "segment_dedup",
     "snapshot_diff",
+    "reextract_plan",
     "source_pair_matrix",
     "novelty_curve",
     "lsh_calibration",
@@ -1325,4 +1326,84 @@ def lsh_calibration(
         est_ppm.alias("est_ppm"),
         "mean_exact_ppm",
         "mean_abs_err_ppm",
+    )
+
+
+def reextract_plan(
+    prev: DataFrame,
+    curr: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Incremental re-extraction workload plan between two crawl snapshots.
+
+    The planning twin of :func:`snapshot_diff`: instead of reporting
+    churn, it sizes the work an idempotent extraction pipeline actually
+    has to do when the new snapshot lands — re-extract added+changed
+    documents, skip unchanged ones (their lineage rows are still valid:
+    the same anti-join-on-completed-partitions contract the pipeline's
+    resume path uses), and tombstone removed ones. ``work_chars`` is the
+    total character volume to push through the extractors (the honest
+    cost unit — extraction is char-bound, not doc-bound) and
+    ``saved_ppm`` the exact share of the new snapshot skipped — the
+    number that justifies incremental over full re-runs.
+
+    Shape: identical to snapshot_diff — (id, group, md5, length)
+    projections, ONE pinned full-outer sort-merge join on the id (both
+    sides corpus-cardinality), bounded groupBy(group) with map-side
+    partials.
+
+    Returns ``(group, n_docs, n_reextract, n_skip, n_tombstone,
+    work_chars, saved_ppm)`` where ``n_docs``/``saved_ppm`` cover the
+    NEW snapshot (tombstones counted separately).
+    """
+    ha = prev.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_ga"),
+        F.md5(F.col(text_col).cast("string")).alias("_h_a"),
+    )
+    hb = curr.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_gb"),
+        F.md5(F.col(text_col).cast("string")).alias("_h_b"),
+        F.length(text_col).cast("long").alias("_len_b"),
+    )
+    j = ha.join(hb.hint("merge"), "_id", "full_outer").select(
+        F.coalesce("_gb", "_ga").alias(group_col),
+        F.when(F.col("_h_b").isNull(), "tombstone")
+        .when(
+            F.col("_h_a").isNull() | (F.col("_h_a") != F.col("_h_b")),
+            "reextract",
+        )
+        .otherwise("skip")
+        .alias("_st"),
+        F.coalesce("_len_b", F.lit(0)).alias("_len_b"),
+    )
+    n_of = lambda s: F.sum(F.when(F.col("_st") == s, 1).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        j.groupBy(group_col)
+        .agg(
+            n_of("reextract").alias("n_reextract"),
+            n_of("skip").alias("n_skip"),
+            n_of("tombstone").alias("n_tombstone"),
+            F.sum(
+                F.when(F.col("_st") == "reextract", F.col("_len_b"))
+                .otherwise(0)
+            ).cast("long").alias("work_chars"),
+        )
+        .select(
+            group_col,
+            (F.col("n_reextract") + F.col("n_skip")).alias("n_docs"),
+            "n_reextract",
+            "n_skip",
+            "n_tombstone",
+            "work_chars",
+            F.expr(
+                "CAST(CAST(n_skip AS DECIMAL(38,0)) * 1000000"
+                " div (n_reextract + n_skip) AS BIGINT)"
+            ).alias("saved_ppm"),
+        )
     )

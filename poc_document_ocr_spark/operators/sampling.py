@@ -41,6 +41,7 @@ __all__ = [
     "length_trim",
     "k_anonymity",
     "group_sample_k",
+    "weighted_sample_k",
     "skew_report",
     "mix_drift_report",
     "source_frequency_cap",
@@ -980,4 +981,57 @@ def source_cap_kept(
         F.when(
             split_key(F.col(id_col), seed) < F.col("_thr"), 1
         ).otherwise(0),
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "w_ppm",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted without-replacement sample of exactly k rows.
+
+    The quality-weighted pick a curation pass runs ("give me 1M examples,
+    preferring high-quality ones, reproducibly"): each row draws the
+    deterministic 60-bit uniform ``u = int(md5(id ':' seed 'w')[:15])``
+    and is ranked by ``priority = u div weight`` (BIGINT floor division —
+    exact in both engines, no overflow: u < 2⁶⁰) — the k smallest
+    priorities win, so doubling a row's weight halves its expected
+    priority and selection probability rises monotonically with weight.
+    Ties (possible when weights are large enough to collapse the 60-bit
+    key, ~2⁶⁰/w distinct priorities remain) break on the id,
+    deterministically in both engines.
+    This is the integer surrogate of Efraimidis–Spirakis A-Res priority
+    sampling (keys ``u^(1/w)``; arXiv:cs/0503089 formulation) — the exact
+    ES key needs float exponentiation, which the cross-engine integer
+    contract forbids, and ``u/w`` preserves the properties that matter
+    operationally: determinism under repartitioning, exact-k output,
+    monotone weight preference, and per-weight-class uniformity.
+
+    Weights are positive integers (ppm convention); non-positive weights
+    are excluded outright (a zero-weight row must never win).
+
+    Shape: the priority is map-side; selection is ``ORDER BY … LIMIT k``
+    which Spark executes as TakeOrderedAndProject — per-partition top-k
+    heaps merged on the driver, k rows of driver traffic, NO global sort
+    and no single-task window. At 100 TB this is one scan plus a k-row
+    merge.
+
+    Returns the selected rows ``(id, weight)`` (k of them, fewer if the
+    input is smaller).
+    """
+    w = F.col(weight_col).cast("long")
+    pr = F.expr(
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING),"
+        f" ':{seed}w')), 1, 15), 16, 10) AS BIGINT)"
+        f" div CAST({weight_col} AS BIGINT)"
+    )
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), pr.alias("_pr"))
+        .orderBy("_pr", id_col)
+        .limit(k)
+        .select(id_col, "weight")
     )

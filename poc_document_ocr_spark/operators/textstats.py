@@ -50,6 +50,7 @@ __all__ = [
     "refusal_stats",
     "number_support",
     "encoding_screen",
+    "screen_confusion",
     "CTRL_CHAR_RE",
     "MOJIBAKE_MARKERS",
     "REFUSAL_RE",
@@ -1833,4 +1834,64 @@ def encoding_screen(df: DataFrame, id_col: str = "doc_id",
         n_ctrl.alias("n_ctrl"),
         n_moji.alias("n_mojibake"),
         ((n_repl + n_ctrl + n_moji) == F.lit(0)).alias("clean"),
+    )
+
+
+def screen_confusion(
+    df: DataFrame,
+    pred_col: str = "pred",
+    label_col: str = "label",
+) -> DataFrame:
+    """Exact confusion metrics of a boolean screen against labels.
+
+    The quantitative half of the rater-audit pair: where
+    :func:`screen_agreement` measures whether two screens AGREE (Cohen's
+    kappa, no ground truth), this measures how one screen performs against
+    a labeled sample — TP/FP/FN/TN plus precision / recall / F1 as exact
+    ppm integers. Run on the (bounded) labeled audit set before a screen
+    is promoted into the corpus funnel: a screen with high agreement but
+    low recall is two raters sharing a blind spot, and only this view
+    shows it. F1 is computed from the ppm precision/recall themselves
+    (``2·p·r div (p+r)``) so the oracle replays it exactly.
+
+    Shape: ONE conditional-sum fold to a single row — map-side partials,
+    one 1-row exchange. At 100 TB the labeled set is sample-sized anyway;
+    the operator also runs unchanged over a full corpus of derived
+    labels.
+
+    Returns one row ``(n_tp, n_fp, n_fn, n_tn, precision_ppm,
+    recall_ppm, f1_ppm)`` (ppm fields NULL on an empty denominator).
+    """
+    p = F.col(pred_col)
+    y = F.col(label_col)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    folded = df.agg(
+        cnt(p & y).alias("n_tp"),
+        cnt(p & ~y).alias("n_fp"),
+        cnt(~p & y).alias("n_fn"),
+        cnt(~p & ~y).alias("n_tn"),
+    )
+    return folded.select(
+        "n_tp",
+        "n_fp",
+        "n_fn",
+        "n_tn",
+        F.expr(
+            "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_tp + n_fp, 0) AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_tp + n_fn, 0) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(2 * (CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_tp + n_fp, 0))"
+            " * (CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_tp + n_fn, 0))"
+            " div nullif((CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_tp + n_fp, 0))"
+            " + (CAST(n_tp AS DECIMAL(38,0)) * 1000000"
+            " div nullif(n_tp + n_fn, 0)), 0) AS BIGINT)"
+        ).alias("f1_ppm"),
     )

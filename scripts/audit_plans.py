@@ -1332,6 +1332,42 @@ def audit(spark, sf_dir: str):
         f"SMJ={p.count('SortMergeJoin')}",
     )
 
+    # --- session-11 ops ----------------------------------------------------
+    # weighted_sample: ORDER BY + LIMIT k must execute as
+    # TakeOrderedAndProject (per-partition heaps, k rows to the driver),
+    # never a global Sort
+    ws = ep.QUERIES["weighted_sample"](spark, sf_dir)
+    p = plan_of(ws)
+    check(
+        "weighted_sample: TakeOrderedAndProject top-k (no global sort)",
+        "TakeOrderedAndProject" in p
+        and "Sort " not in p.replace("TakeOrderedAndProject", ""),
+        "TakeOrderedAndProject present",
+    )
+
+    # reextract_plan: ONE pinned full-outer sort-merge join on the id,
+    # bounded source rollup with map-side partials, no broadcast of
+    # either corpus-cardinality side
+    rp = ep.QUERIES["reextract_plan"](spark, sf_dir)
+    p = plan_of(rp)
+    check(
+        "reextract_plan: pinned full-outer SMJ, map-side partials, no"
+        " corpus broadcast",
+        "SortMergeJoin" in p and "FullOuter" in p
+        and "partial_sum" in p and "BroadcastExchange" not in p,
+        f"SMJ FullOuter={'FullOuter' in p}",
+    )
+
+    # screen_confusion: one fold — a single pair of partial/final
+    # aggregates over the scan, no join, no window
+    sc = ep.QUERIES["screen_confusion"](spark, sf_dir)
+    p = plan_of(sc)
+    check(
+        "screen_confusion: single fold (partial agg, no join/window)",
+        "partial_sum" in p and "Join" not in p and "Window" not in p,
+        "one conditional-sum fold",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -2726,3 +2726,71 @@ def test_lsh_calibration_exact_on_identical_pair(spark):
     assert r["est_ppm"] == 1_000_000
     assert r["mean_exact_ppm"] == 1_000_000
     assert r["mean_abs_err_ppm"] == 0
+
+
+def test_weighted_sample_k_exact_k_and_determinism(spark):
+    from poc_document_ocr_spark.operators.sampling import weighted_sample_k
+
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, w_ppm long")
+    out = weighted_sample_k(df, k=50).collect()
+    assert len(out) == 50
+    # 1000:1 weights → the heavy class must dominate the pick
+    heavy = sum(1 for r in out if r["weight"] == 1000)
+    assert heavy >= 45
+    # deterministic under repartitioning
+    again = weighted_sample_k(df.repartition(7), k=50).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again
+    )
+
+
+def test_weighted_sample_k_excludes_nonpositive(spark):
+    from poc_document_ocr_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id long, w_ppm long"
+    )
+    out = weighted_sample_k(df, k=10).collect()
+    assert [r["doc_id"] for r in out] == [3]
+
+
+def test_reextract_plan_classifies_and_sizes_work(spark):
+    from poc_document_ocr_spark.operators.dedup import reextract_plan
+
+    prev = spark.createDataFrame(
+        [(1, "s", "alpha"), (2, "s", "beta"), (3, "s", "gamma")],
+        "doc_id long, source string, text string",
+    )
+    curr = spark.createDataFrame(
+        # 1 unchanged (skip), 2 changed, 3 removed (tombstone), 4 added
+        [(1, "s", "alpha"), (2, "s", "beta22"), (4, "s", "dd")],
+        "doc_id long, source string, text string",
+    )
+    (r,) = reextract_plan(prev, curr).collect()
+    assert r["n_docs"] == 3 and r["n_reextract"] == 2
+    assert r["n_skip"] == 1 and r["n_tombstone"] == 1
+    # work = chars of changed doc 2 ('beta22'=6) + added doc 4 ('dd'=2)
+    assert r["work_chars"] == 8
+    assert r["saved_ppm"] == 333_333
+
+
+def test_screen_confusion_exact_metrics_and_null_denominators(spark):
+    from poc_document_ocr_spark.operators.textstats import screen_confusion
+
+    rows = [(True, True)] * 3 + [(True, False)] * 1 + \
+           [(False, True)] * 2 + [(False, False)] * 4
+    df = spark.createDataFrame(rows, "pred boolean, label boolean")
+    (r,) = screen_confusion(df).collect()
+    assert (r["n_tp"], r["n_fp"], r["n_fn"], r["n_tn"]) == (3, 1, 2, 4)
+    assert r["precision_ppm"] == 750_000
+    assert r["recall_ppm"] == 600_000
+    # f1 from the ppm p/r themselves: 2*750000*600000 div 1350000
+    assert r["f1_ppm"] == (2 * 750_000 * 600_000) // 1_350_000
+    # all-negative predictions → precision undefined, not a crash
+    neg = spark.createDataFrame(
+        [(False, True), (False, False)], "pred boolean, label boolean"
+    )
+    (n,) = screen_confusion(neg).collect()
+    assert n["precision_ppm"] is None and n["f1_ppm"] is None
+    assert n["recall_ppm"] == 0
