@@ -84,6 +84,29 @@ def _tokens(text_col: Column) -> Column:
     return F.split(text_col, " ")
 
 
+#: the ASCII [A-Za-z0-9 ] class as a translate() strip set. Char-class
+#: counting here uses translate(), NOT regexp_replace: evaluating two
+#: DIFFERENT char-class Patterns (e.g. "[^0-9]" and "[A-Za-z0-9 ]") in
+#: the same task degrades ~25x on this JVM (measured 2s -> 47s over
+#: 1.88M rows — the Pattern predicate call site goes megamorphic and
+#: never JIT-inlines), while each class alone is fast. translate() is a
+#: plain char-map, immune, and gives identical counts for fixed ASCII
+#: sets.
+_ALNUM_SPACE = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+)
+_LETTERS = _ALNUM_SPACE[:52]
+_UPPER = _ALNUM_SPACE[:26]
+_DIGITS = "0123456789"
+
+
+def _n_removed(text: Column, strip_set: str) -> Column:
+    """Count of chars in ``strip_set`` = length drop after translate()."""
+    return (
+        F.length(text) - F.length(F.translate(text, strip_set, ""))
+    ).cast("long")
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document token/quality stats.
@@ -96,9 +119,9 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
     toks = _tokens(text)
     n_tokens = F.size(toks).cast("long")
     n_chars = F.length(text).cast("long")
-    # chars excluding separators
-    n_nonspace = F.length(F.regexp_replace(text, " ", "")).cast("long")
-    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    # chars excluding separators (translate, not regex — see _ALNUM_SPACE)
+    n_nonspace = F.length(F.translate(text, " ", "")).cast("long")
+    n_alpha = _n_removed(text, _LETTERS)
     n_stop = F.size(
         F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
     ).cast("long")
@@ -164,11 +187,10 @@ def quality_keep(text: Column) -> Column:
     queries evaluate it in the same single scan)."""
     n_chars = F.length(text).cast("long")
     n_tokens = F.size(_tokens(text)).cast("long")
-    n_nonspace = F.length(F.regexp_replace(text, " ", "")).cast("long")
-    n_punct = F.length(
-        F.regexp_replace(text, "[A-Za-z0-9 ]", "")
-    ).cast("long")
-    n_digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long")
+    # translate()-based class counts, NOT regexp_replace — see _ALNUM_SPACE
+    n_nonspace = F.length(F.translate(text, " ", "")).cast("long")
+    n_punct = F.length(F.translate(text, _ALNUM_SPACE, "")).cast("long")
+    n_digit = _n_removed(text, _DIGITS)
     avg_tok = n_nonspace / n_tokens
     r = QUALITY_RULES
     return (
@@ -195,12 +217,11 @@ def quality_score(df: DataFrame, id_col: str = "doc_id",
     n_chars = F.length(text).cast("long")
     toks = _tokens(text)
     n_tokens = F.size(toks).cast("long")
-    n_nonspace = F.length(F.regexp_replace(text, " ", "")).cast("long")
-    n_punct = F.length(
-        F.regexp_replace(text, "[A-Za-z0-9 ]", "")
-    ).cast("long")
-    n_digit = F.length(F.regexp_replace(text, "[^0-9]", "")).cast("long")
-    n_upper = F.length(F.regexp_replace(text, "[^A-Z]", "")).cast("long")
+    # translate()-based class counts, NOT regexp_replace — see _ALNUM_SPACE
+    n_nonspace = F.length(F.translate(text, " ", "")).cast("long")
+    n_punct = F.length(F.translate(text, _ALNUM_SPACE, "")).cast("long")
+    n_digit = _n_removed(text, _DIGITS)
+    n_upper = _n_removed(text, _UPPER)
     avg_tok = n_nonspace / n_tokens
     punct_ratio = n_punct / n_chars
     digit_ratio = n_digit / n_chars

@@ -1,0 +1,155 @@
+"""Scale points for the round-4 SESSION-11 operators (weighted
+without-replacement sampling, incremental re-extraction plan, screen
+confusion audit — none had a corpus-scale measurement yet).
+
+Inputs, all deterministic (same harness family as bench_s9_scale.py):
+
+* documents — the extracted texts of the 1.88M-turn bench corpus with
+  20 hash-derived crawl sources (reused from bench_s9_scale);
+* next snapshot — the corpus with ~10% of ids tombstoned, ~20% content-
+  changed (trailing token appended) and ~10% brand-new ids at
+  ``doc_id + 10^12`` — the crawl-churn shape reextract_plan sizes.
+
+One timed run per op after a small-slice warm-up; per-window hypervisor
+steal share sampled (>2% = soft number). Run after bench.py populated
+``.bench_cache``::
+
+    python scripts/bench_s11_scale.py [op ...]            # 1.88M rows
+    SPARK_GRAFT_BENCH_SCALE=1 python scripts/bench_s11_scale.py  # 18.8M
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from poc_document_ocr_spark.session import get_spark
+from scripts._bench_common import steal_sample as _steal_sample
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: audit-sample size for the weighted pick (driver holds k rows — the
+#: TakeOrdered merge cost under test, not a toy k)
+_SAMPLE_K = 100_000
+
+
+def next_snapshot(docs):
+    """Planted crawl churn at corpus cardinality: drop ~10% of ids,
+    change ~20% (trailing token), keep the rest byte-identical, and add
+    ~10% new ids — the q_reextract_plan shape."""
+    b = F.pmod(F.xxhash64("doc_id", F.lit("churn")), F.lit(10))
+    kept = docs.filter(b >= 1).select(
+        "doc_id",
+        F.when(b <= 2, F.concat("text", F.lit(" changed")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    added = docs.filter(b == 0).select(
+        (F.col("doc_id") + F.lit(10**12)).alias("doc_id"),
+        F.concat("text", F.lit(" fresh")).alias("text"),
+        "source",
+    )
+    return kept.unionByName(added)
+
+
+def weighted_sample_job(docs):
+    from poc_document_ocr_spark.operators.sampling import weighted_sample_k
+
+    wd = docs.select(
+        "doc_id",
+        ((F.pmod(F.col("doc_id"), F.lit(10)) + 1) * 1000).alias("w_ppm"),
+    )
+    return weighted_sample_k(wd, k=_SAMPLE_K)
+
+
+def reextract_job(docs, snap):
+    from poc_document_ocr_spark.operators.dedup import reextract_plan
+
+    return reextract_plan(docs, snap)
+
+
+def confusion_job(docs):
+    from poc_document_ocr_spark.operators.textstats import (
+        quality_keep,
+        screen_confusion,
+    )
+
+    labeled = docs.select(
+        quality_keep(F.col("text")).alias("pred"),
+        (F.length("text") >= 120).alias("label"),
+    )
+    return screen_confusion(labeled)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
+    only = set(sys.argv[1:])
+    spark = get_spark(
+        "bench_s11_scale", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)
+        },
+    )
+
+    extracted = spark.read.parquet(
+        os.path.join(REPO, ".bench_cache", f"extracted_{scale}.parquet")
+    )
+    docs = extracted.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+        F.concat(
+            F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(20))
+        ).alias("source"),
+    )
+    snap = next_snapshot(docs)
+
+    def consume(df):
+        cols = [F.col(c) for c in df.columns]
+        return df.select(F.xxhash64(*cols).alias("_h")).agg(
+            F.expr("bit_xor(_h)")
+        ).collect()
+
+    jobs = {
+        "weighted_sample": lambda: consume(weighted_sample_job(docs)),
+        "reextract_plan": lambda: consume(reextract_job(docs, snap)),
+        "screen_confusion": lambda: consume(confusion_job(docs)),
+    }
+    unknown = only - set(jobs)
+    if unknown:
+        raise SystemExit(f"unknown op name(s): {sorted(unknown)}; "
+                         f"choose from {sorted(jobs)}")
+    selected = {n: f for n, f in jobs.items() if not only or n in only}
+
+    small_d = docs.limit(5000).localCheckpoint()
+    small_s = next_snapshot(small_d).localCheckpoint()
+    warmups = {
+        "weighted_sample": lambda: consume(weighted_sample_job(small_d)),
+        "reextract_plan": lambda: consume(reextract_job(small_d, small_s)),
+        "screen_confusion": lambda: consume(confusion_job(small_d)),
+    }
+    for name in selected:
+        warmups[name]()
+
+    timings, steal = {}, {}
+    for name, fn in selected.items():
+        spark.catalog.clearCache()
+        s0, j0 = _steal_sample()
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 2)
+        s1, j1 = _steal_sample()
+        steal[name] = round((s1 - s0) / max(j1 - j0, 1), 4)
+
+    print(json.dumps({"scale": scale, "timings": timings, "steal": steal}))
+
+
+if __name__ == "__main__":
+    main()

@@ -2794,3 +2794,41 @@ def test_screen_confusion_exact_metrics_and_null_denominators(spark):
     (n,) = screen_confusion(neg).collect()
     assert n["precision_ppm"] is None and n["f1_ppm"] is None
     assert n["recall_ppm"] == 0
+
+
+def test_quality_counts_use_translate_not_class_regex(spark):
+    """Two different char-class regexp_replace patterns in one task run
+    ~25x slower than either alone (measured 2s -> 47s at 1.88M rows —
+    see BENCH.md session-11); the class counts must stay translate()-
+    based. Guards quality_keep/quality_score/token_stats."""
+    from poc_document_ocr_spark.operators.textstats import (
+        quality_score,
+        token_stats,
+    )
+    import re
+
+    df = spark.createDataFrame(
+        [(1, "Hello world 42!")], "doc_id long, text string"
+    )
+    for out in (quality_score(df), token_stats(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "translate(" in plan
+        # no char-class regexp_replace patterns anywhere in the plan
+        assert not re.search(r"regexp_replace\([^)]*\[", plan), plan
+
+
+def test_quality_translate_counts_match_regex_semantics(spark):
+    from poc_document_ocr_spark.operators.textstats import quality_score
+
+    text = "Ab1 ,.; 99x ÉÜ\t—"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (r,) = quality_score(df).collect()
+    import re as _re
+
+    n_chars = len(text)
+    n_punct = len(_re.sub(r"[A-Za-z0-9 ]", "", text))
+    n_digit = len(_re.sub(r"[^0-9]", "", text))
+    n_upper = len(_re.sub(r"[^A-Z]", "", text))
+    assert r["n_punct"] == n_punct
+    assert r["digit_ratio"] == n_digit / n_chars
+    assert r["upper_ratio"] == n_upper / n_chars
