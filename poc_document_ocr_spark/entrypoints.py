@@ -6742,6 +6742,195 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-12 ops: multi-rater Fleiss kappa, mix concentration,
+# packing padding waste
+# ---------------------------------------------------------------------------
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across the THREE map-only screens the funnel chains
+    (Gopher quality, blocklist, encoding health) — all three raters are
+    column expressions in ONE scan projection, then a single fold."""
+    from .operators.textstats import (
+        CTRL_CHAR_RE,
+        MOJIBAKE_MARKERS,
+        blocklist_keep,
+        fleiss_kappa,
+        quality_keep,
+    )
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+
+    def _cnt(marker: str):
+        return (
+            n_chars - F.length(F.replace(text, F.lit(marker)))
+        ).cast("long")
+
+    n_ctrl = (
+        n_chars - F.length(F.regexp_replace(text, CTRL_CHAR_RE, ""))
+    ).cast("long")
+    clean = (
+        _cnt("�")
+        + n_ctrl
+        + _cnt(MOJIBAKE_MARKERS[0])
+        + _cnt(MOJIBAKE_MARKERS[1])
+    ) == F.lit(0)
+    labeled = docs.select(
+        quality_keep(text).alias("keep_a"),
+        blocklist_keep(text).alias("keep_b"),
+        clean.alias("keep_c"),
+    )
+    return fleiss_kappa(labeled, ("keep_a", "keep_b", "keep_c"))
+
+
+_O_FLEISS_KAPPA = """
+WITH s AS (SELECT
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS n_punct,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS n_digit,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+    CAST(length(text)
+         - length(regexp_replace(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+         AS BIGINT)
+      + CAST(length(text) - length(replace(text, chr(65533), ''))
+         AS BIGINT)
+      + CAST((length(text) - length(replace(text, chr(195), '')))
+         + (length(text) - length(replace(text, chr(226), '')))
+         AS BIGINT) AS n_artifacts
+  FROM documents),
+r AS (SELECT
+    (n_tokens >= 5 AND n_tokens <= 100000
+     AND n_nonspace / n_tokens >= 2.0 AND n_nonspace / n_tokens <= 12.0
+     AND n_punct / n_chars <= 0.30 AND n_digit / n_chars <= 0.50)
+      AS keep_a,
+    (len(toks) = 0 OR
+     CAST(len(list_filter(toks,
+       x -> list_contains(['slow','spam','junk','vector'], x)))
+       AS BIGINT) * 1000000 < 60001 * CAST(len(toks) AS BIGINT))
+      AS keep_b,
+    n_artifacts = 0 AS keep_c
+  FROM s),
+k AS (SELECT (CAST(keep_a AS INT) + CAST(keep_b AS INT)
+              + CAST(keep_c AS INT)) AS k FROM r),
+c AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        CAST(sum(k) AS BIGINT) AS n_keep_votes,
+        CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS BIGINT) AS s
+      FROM k),
+p AS (SELECT n_items, n_keep_votes,
+        CAST(CAST(s AS HUGEINT) * 1000000
+             // (CAST(n_items AS HUGEINT) * 6) AS BIGINT) AS pbar_ppm,
+        CAST(CAST(n_keep_votes AS HUGEINT) * 1000000
+             // (CAST(n_items AS HUGEINT) * 3) AS BIGINT) AS pk,
+        CAST((CAST(n_items AS HUGEINT) * 3 - n_keep_votes) * 1000000
+             // (CAST(n_items AS HUGEINT) * 3) AS BIGINT) AS pd
+      FROM c),
+e AS (SELECT n_items, n_keep_votes, pbar_ppm,
+        CAST((pk * pk + pd * pd) // 1000000 AS BIGINT) AS pe_ppm
+      FROM p)
+SELECT n_items, CAST(3 AS INT) AS n_raters, n_keep_votes, pbar_ppm,
+  pe_ppm,
+  CAST(CASE WHEN pe_ppm = 1000000 THEN NULL
+       WHEN pbar_ppm >= pe_ppm THEN
+         (pbar_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+       ELSE
+         -((pe_ppm - pbar_ppm) * 1000000 // (1000000 - pe_ppm))
+       END AS BIGINT) AS kappa_ppm
+FROM e
+"""
+
+
+def q_mix_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted source-concentration audit of the corpus mix:
+    exact-ppm HHI, Gini (sorted-rank identity — no pairwise join), and
+    top-source share; one bounded groupBy(source), everything after
+    runs on the |sources|-row aggregate."""
+    from .operators.sampling import mix_concentration
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return mix_concentration(src, group_col="source",
+                             weight_col="n_tokens")
+
+
+_O_MIX_CONCENTRATION = """
+WITH g AS (SELECT source,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+      FROM documents GROUP BY 1),
+gp AS (SELECT w FROM g WHERE w > 0),
+rk AS (SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS i
+       FROM gp),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+          CAST(sum(w) AS BIGINT) AS total_w,
+          CAST(max(w) AS BIGINT) AS top1,
+          sum(CAST(i AS HUGEINT) * w) AS iw
+        FROM rk),
+sh AS (SELECT CAST(CAST(w AS HUGEINT) * 1000000 // total_w AS BIGINT)
+          AS share_ppm
+       FROM rk, tot),
+hh AS (SELECT CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm)
+          // 1000000 AS BIGINT) AS hhi_ppm FROM sh)
+SELECT n_groups, total_w,
+  CAST(CAST(top1 AS HUGEINT) * 1000000 // total_w AS BIGINT)
+    AS top1_ppm,
+  hhi_ppm,
+  CAST((2 * iw - (CAST(n_groups AS HUGEINT) + 1) * total_w) * 1000000
+       // (CAST(n_groups AS HUGEINT) * total_w) AS BIGINT) AS gini_ppm
+FROM tot, hh
+"""
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard padding/overflow audit of the contiguous packing: pad
+    and overflow tokens against n_packs×budget capacity plus exact-ppm
+    fill rate; the (shard, pack) rollup reuses the packing window's
+    shard partitioning."""
+    from .operators.sampling import (
+        pack_contiguous,
+        padding_waste,
+        shard_assign,
+    )
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_contiguous(
+        shard_assign(with_tokens, n_shards=8, seed=0), budget=_PACK_BUDGET
+    )
+    return padding_waste(packed, budget=_PACK_BUDGET)
+
+
+_O_PADDING_WASTE = f"""
+WITH pp AS (SELECT shard, pack_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS tok
+      FROM ({_O_SHARD_PACK}) sp GROUP BY 1, 2)
+SELECT shard,
+  CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS used_tokens,
+  CAST(count(*) * {_PACK_BUDGET} AS BIGINT) AS capacity,
+  CAST(sum(greatest({_PACK_BUDGET} - tok, 0)) AS BIGINT) AS pad_tokens,
+  CAST(sum(greatest(tok - {_PACK_BUDGET}, 0)) AS BIGINT)
+    AS overflow_tokens,
+  CAST(CAST(sum(least(tok, {_PACK_BUDGET})) AS HUGEINT) * 1000000
+       // (count(*) * {_PACK_BUDGET}) AS BIGINT) AS fill_ppm
+FROM pp GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # 72 registered queries have never had a driver-recorded row (more
@@ -6755,6 +6944,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 4: sessions 9-10 first (newest never-recorded
     # ops take the window; the displaced session-4/5 ops are
     # harness-verified in CORRECTNESS_FULL_r04.json), then session 7 ---
+    "fleiss_kappa": q_fleiss_kappa,
+    "mix_concentration": q_mix_concentration,
+    "padding_waste": q_padding_waste,
     "weighted_sample": q_weighted_sample,
     "reextract_plan": q_reextract_plan,
     "screen_confusion": q_screen_confusion,
@@ -7058,6 +7250,9 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _O_WEIGHTED_SAMPLE,
     "reextract_plan": _O_REEXTRACT_PLAN,
     "screen_confusion": _O_SCREEN_CONFUSION,
+    "fleiss_kappa": _O_FLEISS_KAPPA,
+    "mix_concentration": _O_MIX_CONCENTRATION,
+    "padding_waste": _O_PADDING_WASTE,
     "encoding_screen": _O_ENCODING_SCREEN,
     "novelty_curve": _O_NOVELTY_CURVE,
     "lsh_calibration": _O_LSH_CALIBRATION,

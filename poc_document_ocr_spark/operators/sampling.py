@@ -42,6 +42,8 @@ __all__ = [
     "k_anonymity",
     "group_sample_k",
     "weighted_sample_k",
+    "mix_concentration",
+    "padding_waste",
     "skew_report",
     "mix_drift_report",
     "source_frequency_cap",
@@ -1034,4 +1036,154 @@ def weighted_sample_k(
         .orderBy("_pr", id_col)
         .limit(k)
         .select(id_col, "weight")
+    )
+
+
+def mix_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Source-concentration audit of the corpus mix, integer-exact.
+
+    Where :func:`mix_drift` compares two mixes, this scores ONE mix's
+    concentration — the "is the corpus secretly three domains in a
+    trench coat" check a release audit runs: Herfindahl–Hirschman index
+    (sum of squared shares; 1e6 = monoculture, 1e6/n = uniform), Gini
+    coefficient of the group-size distribution, and the largest
+    group's share, all as exact ppm integers both engines reproduce.
+
+    Gini uses the sorted-rank identity ``G = (2·Σᵢ i·w₍ᵢ₎ − (n+1)·ΣW)
+    / (n·ΣW)`` (ascending weights, 1-based rank) — no O(n²) pairwise
+    join, and ties don't affect the sum so any stable order works.
+    HHI floors each share to ppm FIRST and then sums the squares
+    (``Σ share_ppm² div 1e6``), the order the oracle replays.
+
+    Shape: ONE groupBy to the bounded group domain with map-side
+    partials; the rank window and totals cross-join run on the
+    |groups|-row aggregate (driver-trivial at any corpus size — the
+    mixture_weights argument). Numerators widen to DECIMAL(38,0)
+    before the integral divides (rank·weight reaches ~1e15 at 100 TB;
+    BIGINT multiply would overflow under ANSI).
+
+    Returns one row ``(n_groups, total_w, top1_ppm, hhi_ppm,
+    gini_ppm)``; a single group yields gini 0 and hhi/top1 1e6.
+    """
+    w = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).cast("long")
+    )
+    per_group = (
+        df.groupBy(group_col).agg(w.alias("_w")).filter(F.col("_w") > 0)
+    )
+    # ONE linear chain over the bounded aggregate (no branch re-derives
+    # the corpus scan — audited): rank + total via windows on the
+    # |groups|-row table, per-group share, then a single fold
+    ranked = per_group.select(
+        "_w",
+        F.row_number()
+        .over(W.orderBy(F.col("_w").asc(), F.col(group_col).asc()))
+        .cast("long")
+        .alias("_i"),
+    ).withColumn(
+        "_tot",
+        F.sum("_w").over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("long"),
+    ).withColumn(
+        "_share_ppm",
+        F.expr(
+            "CAST(CAST(_w AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)"
+        ),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("_tot").cast("long").alias("total_w"),
+        F.max("_w").cast("long").alias("_top1"),
+        F.sum(F.expr("CAST(_i AS DECIMAL(38,0)) * _w")).alias("_iw"),
+        F.expr(
+            "CAST(sum(CAST(_share_ppm AS DECIMAL(38,0)) * _share_ppm)"
+            " div 1000000 AS BIGINT)"
+        ).alias("hhi_ppm"),
+    ).select(
+        "n_groups",
+        "total_w",
+        F.expr(
+            "CAST(CAST(_top1 AS DECIMAL(38,0)) * 1000000 div total_w"
+            " AS BIGINT)"
+        ).alias("top1_ppm"),
+        "hhi_ppm",
+        F.expr(
+            "CAST((2 * _iw - (CAST(n_groups AS DECIMAL(38,0)) + 1)"
+            " * total_w) * 1000000"
+            " div (CAST(n_groups AS DECIMAL(38,0)) * total_w) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def padding_waste(
+    packed: DataFrame,
+    budget: int,
+    part_col: str = "shard",
+    tokens_col: str = "n_tokens",
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Per-shard padding/overflow audit of a contiguous packing.
+
+    The loader-efficiency twin of the pack manifest: greedy contiguous
+    packing (:func:`pack_contiguous`) leaves two kinds of waste — packs
+    that close UNDER budget (their tail is padding the trainer burns
+    attention on) and packs whose boundary-straddling last document
+    runs them OVER budget (tokens the loader truncates or re-splits).
+    This rolls both up per shard: total padding and overflow tokens
+    against the ``n_packs × budget`` capacity, plus the exact-ppm fill
+    rate — the number that decides whether the packing budget or the
+    document chunking needs retuning before a run burns cluster-months.
+
+    Shape: groupBy(part, pack) REUSES the packing window's (part)
+    partitioning (one Exchange total, the pack-manifest argument),
+    then a bounded per-shard rollup with map-side partials.
+
+    Returns ``(part_col, n_packs, n_docs, used_tokens, capacity,
+    pad_tokens, overflow_tokens, fill_ppm)`` where ``fill_ppm =
+    min(pack_tokens, budget)·1e6 div capacity`` (the share of paid-for
+    context actually filled with real tokens).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    per_pack = packed.groupBy(part_col, pack_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_docs"),
+        F.sum(tokens_col).cast("long").alias("_tok"),
+    )
+    b = F.lit(budget).cast("long")
+    return (
+        per_pack.groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.sum("_tok").cast("long").alias("used_tokens"),
+            F.sum(F.greatest(b - F.col("_tok"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum(F.greatest(F.col("_tok") - b, F.lit(0).cast("long")))
+            .cast("long")
+            .alias("overflow_tokens"),
+            F.sum(F.least(F.col("_tok"), b)).cast("long").alias("_filled"),
+        )
+        .select(
+            part_col,
+            "n_packs",
+            "n_docs",
+            "used_tokens",
+            (F.col("n_packs") * budget).cast("long").alias("capacity"),
+            "pad_tokens",
+            "overflow_tokens",
+            F.expr(
+                f"CAST(CAST(_filled AS DECIMAL(38,0)) * 1000000"
+                f" div (n_packs * {budget}) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
     )

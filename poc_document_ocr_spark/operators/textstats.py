@@ -51,6 +51,7 @@ __all__ = [
     "number_support",
     "encoding_screen",
     "screen_confusion",
+    "fleiss_kappa",
     "CTRL_CHAR_RE",
     "MOJIBAKE_MARKERS",
     "REFUSAL_RE",
@@ -1915,4 +1916,87 @@ def screen_confusion(
             " + (CAST(n_tp AS DECIMAL(38,0)) * 1000000"
             " div nullif(n_tp + n_fn, 0)), 0) AS BIGINT)"
         ).alias("f1_ppm"),
+    )
+
+
+def fleiss_kappa(
+    labels: DataFrame,
+    rater_cols: tuple[str, ...] = ("keep_a", "keep_b", "keep_c"),
+) -> DataFrame:
+    """Fleiss' kappa across n boolean quality raters, integer-exact.
+
+    The multi-rater generalization of :func:`screen_agreement`: when a
+    curation funnel chains THREE or more independent keep/drop screens
+    (Gopher heuristics, blocklist, encoding health, an LM band …),
+    pairwise Cohen's kappas miss shared blind spots — Fleiss measures
+    how much ALL raters agree beyond chance in one number (Fleiss
+    1971). Per item with k keep-votes out of n raters, the agreeing
+    pair count is ``k(k-1) + (n-k)(n-k-1)`` of ``n(n-1)`` ordered
+    pairs; ``P̄`` averages that over items, ``P̄ₑ`` is the chance
+    agreement from the pooled category shares, and
+    ``κ = (P̄ − P̄ₑ) / (1 − P̄ₑ)``.
+
+    All arithmetic is exact ppm integer, the :func:`screen_agreement`
+    conventions: the pair-count numerator sums as BIGINT and widens to
+    DECIMAL(38,0) before the single integral division; ``P̄ₑ`` squares
+    the two category ppm shares and divides by 1e6 once; κ may be
+    negative while Spark's ``div`` truncates and DuckDB's ``//``
+    floors, so the sign is factored out and both engines divide
+    non-negative integers only.
+
+    Shape: one map-side conditional-sum fold to a single row — the
+    vote count per item is a plain column expression, so at 100 TB the
+    whole audit rides the same scan that evaluates the screens.
+
+    Returns one row ``(n_items, n_raters, n_keep_votes, pbar_ppm,
+    pe_ppm, kappa_ppm)``; ``kappa_ppm`` is NULL when ``P̄ₑ = 1``
+    (degenerate unanimous-everywhere table).
+    """
+    n = len(rater_cols)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs at least 2 raters")
+    k = sum(F.col(c).cast("int") for c in rater_cols).cast("long")
+    pair_num = (k * (k - 1) + (n - k) * (n - k - 1)).cast("long")
+    c = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(k).cast("long").alias("n_keep_votes"),
+        F.sum(pair_num).cast("long").alias("_s"),
+    )
+    return c.select(
+        "n_items",
+        F.lit(n).cast("int").alias("n_raters"),
+        "n_keep_votes",
+        F.expr(
+            f"CAST(CAST(_s AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST(n_items AS DECIMAL(38,0)) * {n * (n - 1)})"
+            f" AS BIGINT)"
+        ).alias("pbar_ppm"),
+        F.expr(
+            f"CAST(CAST(n_keep_votes AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST(n_items AS DECIMAL(38,0)) * {n}) AS BIGINT)"
+        ).alias("_pk"),
+        F.expr(
+            f"CAST((CAST(n_items AS DECIMAL(38,0)) * {n} - n_keep_votes)"
+            f" * 1000000"
+            f" div (CAST(n_items AS DECIMAL(38,0)) * {n}) AS BIGINT)"
+        ).alias("_pd"),
+    ).select(
+        "n_items",
+        "n_raters",
+        "n_keep_votes",
+        "pbar_ppm",
+        F.expr("(_pk * _pk + _pd * _pd) div 1000000").cast("long").alias(
+            "pe_ppm"
+        ),
+    ).select(
+        "*",
+        F.expr(
+            """CASE WHEN pe_ppm = 1000000 THEN NULL
+                 WHEN pbar_ppm >= pe_ppm THEN
+                   (pbar_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)
+                 ELSE
+                   -((pe_ppm - pbar_ppm) * 1000000
+                     div (1000000 - pe_ppm))
+               END"""
+        ).cast("long").alias("kappa_ppm"),
     )

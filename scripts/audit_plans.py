@@ -1332,6 +1332,46 @@ def audit(spark, sf_dir: str):
         f"SMJ={p.count('SortMergeJoin')}",
     )
 
+    # --- session-12 ops ----------------------------------------------------
+    # fleiss_kappa: all three raters are column expressions in ONE scan
+    # projection — a single partial/final fold, no join of rater frames,
+    # no window, exactly one parquet scan
+    fk = ep.QUERIES["fleiss_kappa"](spark, sf_dir)
+    p = plan_of(fk)
+    check(
+        "fleiss_kappa: three raters fused into one scan (single fold,"
+        " no join/window)",
+        "partial_count" in p and "Window" not in p
+        and "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+        and p.count("FileScan parquet") == 1,
+        f"parquet scans = {p.count('FileScan parquet')}",
+    )
+
+    # mix_concentration: ONE corpus scan feeding the bounded
+    # groupBy(source) with map-side partials; the rank window and the
+    # two totals cross-joins run on the |sources|-row aggregate only
+    mc = ep.QUERIES["mix_concentration"](spark, sf_dir)
+    p = plan_of(mc)
+    check(
+        "mix_concentration: one corpus scan, map-side partials, bounded"
+        " window",
+        p.count("FileScan parquet") == 1 and "partial_count" in p,
+        f"parquet scans = {p.count('FileScan parquet')}",
+    )
+
+    # padding_waste: the (shard, pack) rollup and the shard rollup both
+    # reuse the packing window's hash(shard) partitioning — ONE Exchange
+    # end-to-end (the shard_pack/pack_manifest rule)
+    pw = ep.QUERIES["padding_waste"](spark, sf_dir)
+    p = plan_of(pw)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "padding_waste: ONE shuffle (rollups reuse the pack window's"
+        " shard partitioning)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+
     # --- session-11 ops ----------------------------------------------------
     # weighted_sample: ORDER BY + LIMIT k must execute as
     # TakeOrderedAndProject (per-partition heaps, k rows to the driver),

@@ -88,6 +88,68 @@ def confusion_job(docs):
     return screen_confusion(labeled)
 
 
+def fleiss_job(docs):
+    """The q_fleiss_kappa shape: three map-only raters in one scan
+    projection, single fold."""
+    from poc_document_ocr_spark.operators.textstats import (
+        CTRL_CHAR_RE,
+        MOJIBAKE_MARKERS,
+        blocklist_keep,
+        fleiss_kappa,
+        quality_keep,
+    )
+
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+
+    def _cnt(marker):
+        return (n_chars - F.length(F.replace(text, F.lit(marker)))).cast(
+            "long"
+        )
+
+    n_ctrl = (
+        n_chars - F.length(F.regexp_replace(text, CTRL_CHAR_RE, ""))
+    ).cast("long")
+    clean = (
+        _cnt("�") + n_ctrl
+        + _cnt(MOJIBAKE_MARKERS[0]) + _cnt(MOJIBAKE_MARKERS[1])
+    ) == F.lit(0)
+    labeled = docs.select(
+        quality_keep(text).alias("keep_a"),
+        blocklist_keep(text).alias("keep_b"),
+        clean.alias("keep_c"),
+    )
+    return fleiss_kappa(labeled, ("keep_a", "keep_b", "keep_c"))
+
+
+def mix_conc_job(docs):
+    from poc_document_ocr_spark.operators.sampling import mix_concentration
+
+    src = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return mix_concentration(src, group_col="source",
+                             weight_col="n_tokens")
+
+
+def padding_job(docs):
+    from poc_document_ocr_spark.operators.sampling import (
+        pack_contiguous,
+        padding_waste,
+        shard_assign,
+    )
+
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_contiguous(
+        shard_assign(with_tokens, n_shards=64, seed=0), budget=1000
+    )
+    return padding_waste(packed, budget=1000)
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
@@ -121,6 +183,9 @@ def main() -> None:
         "weighted_sample": lambda: consume(weighted_sample_job(docs)),
         "reextract_plan": lambda: consume(reextract_job(docs, snap)),
         "screen_confusion": lambda: consume(confusion_job(docs)),
+        "fleiss_kappa": lambda: consume(fleiss_job(docs)),
+        "mix_concentration": lambda: consume(mix_conc_job(docs)),
+        "padding_waste": lambda: consume(padding_job(docs)),
     }
     unknown = only - set(jobs)
     if unknown:
@@ -134,6 +199,9 @@ def main() -> None:
         "weighted_sample": lambda: consume(weighted_sample_job(small_d)),
         "reextract_plan": lambda: consume(reextract_job(small_d, small_s)),
         "screen_confusion": lambda: consume(confusion_job(small_d)),
+        "fleiss_kappa": lambda: consume(fleiss_job(small_d)),
+        "mix_concentration": lambda: consume(mix_conc_job(small_d)),
+        "padding_waste": lambda: consume(padding_job(small_d)),
     }
     for name in selected:
         warmups[name]()

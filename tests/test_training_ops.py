@@ -2832,3 +2832,98 @@ def test_quality_translate_counts_match_regex_semantics(spark):
     assert r["n_punct"] == n_punct
     assert r["digit_ratio"] == n_digit / n_chars
     assert r["upper_ratio"] == n_upper / n_chars
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    from poc_document_ocr_spark.operators.textstats import fleiss_kappa
+
+    # votes k per item: 3,0,2,1 -> S = 6+6+2+2 = 16, K = 6, N = 4, n = 3
+    rows = [
+        (True, True, True),
+        (False, False, False),
+        (True, True, False),
+        (True, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "keep_a boolean, keep_b boolean, keep_c boolean"
+    )
+    (r,) = fleiss_kappa(df, ("keep_a", "keep_b", "keep_c")).collect()
+    assert r["n_items"] == 4 and r["n_raters"] == 3
+    assert r["n_keep_votes"] == 6
+    assert r["pbar_ppm"] == 16 * 1_000_000 // 24
+    assert r["pe_ppm"] == 500_000  # pk = pd = 500000
+    assert r["kappa_ppm"] == (666_666 - 500_000) * 1_000_000 // 500_000
+
+
+def test_fleiss_kappa_negative_and_degenerate(spark):
+    from poc_document_ocr_spark.operators.textstats import fleiss_kappa
+
+    # every item split 1/2 or 2/1 with pooled shares 50/50: worse than
+    # chance -> negative kappa, floored like DuckDB's //
+    rows = [
+        (True, False, False),
+        (True, True, False),
+        (False, True, False),
+        (False, True, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "keep_a boolean, keep_b boolean, keep_c boolean"
+    )
+    (r,) = fleiss_kappa(df, ("keep_a", "keep_b", "keep_c")).collect()
+    assert r["pbar_ppm"] == 8 * 1_000_000 // 24
+    assert r["pe_ppm"] == 500_000
+    assert r["kappa_ppm"] == -((500_000 - 333_333) * 1_000_000 // 500_000)
+    # unanimous keep everywhere -> pe = 1e6 -> NULL, not a crash
+    uni = spark.createDataFrame(
+        [(True, True, True)] * 3,
+        "keep_a boolean, keep_b boolean, keep_c boolean",
+    )
+    (u,) = fleiss_kappa(uni, ("keep_a", "keep_b", "keep_c")).collect()
+    assert u["pe_ppm"] == 1_000_000 and u["kappa_ppm"] is None
+
+
+def test_mix_concentration_hand_computed(spark):
+    from poc_document_ocr_spark.operators.sampling import mix_concentration
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 2)], "source string, w long"
+    )
+    (r,) = mix_concentration(df, weight_col="w").collect()
+    assert r["n_groups"] == 3 and r["total_w"] == 4
+    assert r["top1_ppm"] == 500_000
+    # shares 250000,250000,500000 -> hhi = sum(sq) div 1e6
+    assert r["hhi_ppm"] == (
+        250_000**2 + 250_000**2 + 500_000**2
+    ) // 1_000_000
+    # sorted weights 1,1,2: iw = 9 -> (2*9 - 4*4) * 1e6 div 12
+    assert r["gini_ppm"] == 2 * 1_000_000 // 12
+
+
+def test_mix_concentration_uniform_and_count_weight(spark):
+    from poc_document_ocr_spark.operators.sampling import mix_concentration
+
+    rows = [(s,) for s in ["a", "b", "c", "d"] for _ in range(5)]
+    df = spark.createDataFrame(rows, "source string")
+    (r,) = mix_concentration(df).collect()  # weight = row count
+    assert r["n_groups"] == 4 and r["total_w"] == 20
+    assert r["gini_ppm"] == 0
+    assert r["hhi_ppm"] == 250_000
+    assert r["top1_ppm"] == 250_000
+
+
+def test_padding_waste_pad_overflow_and_fill(spark):
+    from poc_document_ocr_spark.operators.sampling import padding_waste
+
+    rows = [
+        ("s", 0, 1, 10),  # exactly at budget
+        ("s", 1, 2, 4), ("s", 1, 3, 3),  # under: pad 3
+        ("s", 2, 4, 13),  # over: overflow 3
+    ]
+    df = spark.createDataFrame(
+        rows, "shard string, pack_id long, doc_id long, n_tokens long"
+    )
+    (r,) = padding_waste(df, budget=10).collect()
+    assert r["n_packs"] == 3 and r["n_docs"] == 4
+    assert r["used_tokens"] == 30 and r["capacity"] == 30
+    assert r["pad_tokens"] == 3 and r["overflow_tokens"] == 3
+    assert r["fill_ppm"] == 27 * 1_000_000 // 30
