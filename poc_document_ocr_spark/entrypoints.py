@@ -6604,6 +6604,74 @@ FROM pp GROUP BY 1
 """
 
 
+def q_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point sweep over the near-dup corpus: for each
+    (bands × rows) split of the 16-hash signatures, candidate-pair
+    volume plus the sketch-estimated quality mix (strong ≥ 0.7 / junk
+    < 0.3 / mean est) — the tuning table a 100 TB dedup pass derives on
+    a sample before committing the band choice. ONE shared signature
+    materialization, per config a banding groupBy + bucket equi-join +
+    pinned SMJ match counting."""
+    from .operators.dedup import lsh_band_sweep
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    sigs = minhash_signatures(word_shingles(corpus), num_hashes=16)
+    return lsh_band_sweep(sigs, num_hashes=16,
+                          rows_per_band_configs=(2, 4, 8))
+
+
+def _o_band_sweep_cfg(r: int) -> str:
+    b = 16 // r
+    return f"""
+bands{r} AS (SELECT doc_id, CAST(floor(k / {r}.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+prs{r} AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands{r} a JOIN bands{r} b
+           ON a.band = b.band AND a.sig = b.sig
+         WHERE a.doc_id < b.doc_id),
+m{r} AS (SELECT p.id_a, p.id_b,
+        CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+          AS matches
+       FROM prs{r} p
+       JOIN mh a ON a.doc_id = p.id_a
+       JOIN mh b ON b.doc_id = p.id_b AND b.k = a.k
+       GROUP BY 1, 2),
+e{r} AS (SELECT CAST(CAST(matches AS HUGEINT) * 1000000 // 16 AS BIGINT)
+          AS est FROM m{r}),
+a{r} AS (SELECT CAST({r} AS INT) AS rows_per_band,
+        CAST({b} AS INT) AS n_bands,
+        CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CAST(est AS HUGEINT)) // nullif(count(*), 0) AS BIGINT)
+          AS mean_est_ppm,
+        CAST(sum(CASE WHEN est >= 700000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_strong,
+        CAST(sum(CASE WHEN est < 300000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_weak
+       FROM e{r})"""
+
+
+_O_LSH_BAND_SWEEP = (
+    f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST(range(0, 16)) AS ks(k)
+       GROUP BY doc_id, k),"""
+    + ",".join(_o_band_sweep_cfg(r) for r in (2, 4, 8))
+    + """
+SELECT * FROM a2 UNION ALL SELECT * FROM a4 UNION ALL SELECT * FROM a8
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Session-11 ops: weighted sampling, incremental re-extraction plan,
 # screen confusion metrics
@@ -6944,6 +7012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 4: sessions 9-10 first (newest never-recorded
     # ops take the window; the displaced session-4/5 ops are
     # harness-verified in CORRECTNESS_FULL_r04.json), then session 7 ---
+    "lsh_band_sweep": q_lsh_band_sweep,
     "fleiss_kappa": q_fleiss_kappa,
     "mix_concentration": q_mix_concentration,
     "padding_waste": q_padding_waste,
@@ -7250,6 +7319,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _O_WEIGHTED_SAMPLE,
     "reextract_plan": _O_REEXTRACT_PLAN,
     "screen_confusion": _O_SCREEN_CONFUSION,
+    "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,
     "padding_waste": _O_PADDING_WASTE,

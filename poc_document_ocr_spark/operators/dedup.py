@@ -46,6 +46,7 @@ __all__ = [
     "source_pair_matrix",
     "novelty_curve",
     "lsh_calibration",
+    "lsh_band_sweep",
     "dedup_survivorship",
     "template_segments",
     "DEMO_PROFILE",
@@ -1407,3 +1408,86 @@ def reextract_plan(
             ).alias("saved_ppm"),
         )
     )
+
+
+def lsh_band_sweep(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    rows_per_band_configs: tuple[int, ...] = (2, 4, 8),
+) -> DataFrame:
+    """LSH operating-point sweep: candidate volume + quality per (b×r).
+
+    Choosing the band/row split is THE cost lever of a 100 TB dedup
+    pass: more bands (fewer rows per band) catches lower-Jaccard pairs
+    but explodes the candidate volume the verifier must touch; fewer,
+    wider bands miss near-dups. The S-curve ``P(candidate) =
+    1-(1-j^r)^b`` gives the theory; this sweep gives the empirical
+    operating point on YOUR corpus sample: for each config, the
+    candidate-pair count plus the sketch-estimated quality mix — how
+    many candidates look strong (est ≥ 0.7), how many look like junk
+    (est < 0.3, the wasted-verification share), and the mean estimate.
+
+    Shape: the signature table is materialized ONCE (localCheckpoint —
+    the lsh_candidate_pairs ownership convention) and every config
+    re-bands it: per config one banding groupBy + one bucket equi-join
+    + two pinned sort-merge joins for the match counting (both sides
+    corpus-cardinality — the banned-broadcast class), folding to ONE
+    row. Run on a sample before the full pass, like lsh_calibration.
+
+    Returns one row per config: ``(rows_per_band, n_bands, n_pairs,
+    mean_est_ppm, n_strong, n_weak)``; ``mean_est_ppm`` is NULL when a
+    config yields no candidates.
+    """
+    for r in rows_per_band_configs:
+        if num_hashes % r:
+            raise ValueError(
+                f"num_hashes={num_hashes} not divisible by"
+                f" rows_per_band={r}"
+            )
+    sigs = signatures.localCheckpoint(eager=True)
+    sa = sigs.select(F.col(id_col).alias("id_a"), "k",
+                     F.col("h").alias("_ha"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), "k",
+                     F.col("h").alias("_hb"))
+    outs = []
+    for r in rows_per_band_configs:
+        pairs = lsh_candidate_pairs(sigs, id_col=id_col, rows_per_band=r)
+        m = (
+            pairs.join(sa.hint("merge"), "id_a")
+            .join(sb.hint("merge"), ["id_b", "k"])
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum(
+                    F.when(F.col("_ha") == F.col("_hb"), 1).otherwise(0)
+                ).cast("long").alias("_matches")
+            )
+        )
+        est = F.expr(
+            f"CAST(CAST(_matches AS DECIMAL(38,0)) * 1000000"
+            f" div {num_hashes} AS BIGINT)"
+        )
+        outs.append(
+            m.select(est.alias("_est")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.expr(
+                    "CAST(sum(CAST(_est AS DECIMAL(38,0)))"
+                    " div nullif(count(1), 0) AS BIGINT)"
+                ).alias("mean_est_ppm"),
+                F.sum(F.when(F.col("_est") >= 700_000, 1).otherwise(0))
+                .cast("long").alias("n_strong"),
+                F.sum(F.when(F.col("_est") < 300_000, 1).otherwise(0))
+                .cast("long").alias("n_weak"),
+            ).select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(num_hashes // r).cast("int").alias("n_bands"),
+                "n_pairs",
+                "mean_est_ppm",
+                "n_strong",
+                "n_weak",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -1372,6 +1372,20 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
+    # lsh_band_sweep: per config the pair->sig match counting is pinned
+    # sort-merge (two SMJ per config, both sides corpus-cardinality),
+    # no cartesian / nested loop anywhere in the union
+    bs = ep.QUERIES["lsh_band_sweep"](spark, sf_dir)
+    p = plan_of(bs)
+    n_smj = p.count("SortMergeJoin")
+    check(
+        "lsh_band_sweep: pinned SMJ match counting per config, no"
+        " cartesian",
+        n_smj >= 6 and "CartesianProduct" not in p
+        and "BroadcastNestedLoop" not in p,
+        f"SMJ={n_smj}",
+    )
+
     # --- session-11 ops ----------------------------------------------------
     # weighted_sample: ORDER BY + LIMIT k must execute as
     # TakeOrderedAndProject (per-partition heaps, k rows to the driver),

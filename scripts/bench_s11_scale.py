@@ -150,6 +150,22 @@ def padding_job(docs):
     return padding_waste(packed, budget=1000)
 
 
+def band_sweep_job(docs):
+    """The q_lsh_band_sweep shape on a deterministic 10% sample — the
+    production convention (the sweep tunes parameters BEFORE the full
+    pass; lsh_calibration's full-corpus point covers the worst case)."""
+    from poc_document_ocr_spark.operators.dedup import (
+        lsh_band_sweep,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+    sigs = minhash_signatures(word_shingles(sample), num_hashes=16)
+    return lsh_band_sweep(sigs, num_hashes=16,
+                          rows_per_band_configs=(2, 4, 8))
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
@@ -186,6 +202,7 @@ def main() -> None:
         "fleiss_kappa": lambda: consume(fleiss_job(docs)),
         "mix_concentration": lambda: consume(mix_conc_job(docs)),
         "padding_waste": lambda: consume(padding_job(docs)),
+        "lsh_band_sweep": lambda: consume(band_sweep_job(docs)),
     }
     unknown = only - set(jobs)
     if unknown:
@@ -202,6 +219,7 @@ def main() -> None:
         "fleiss_kappa": lambda: consume(fleiss_job(small_d)),
         "mix_concentration": lambda: consume(mix_conc_job(small_d)),
         "padding_waste": lambda: consume(padding_job(small_d)),
+        "lsh_band_sweep": lambda: consume(band_sweep_job(small_d)),
     }
     for name in selected:
         warmups[name]()

@@ -2927,3 +2927,35 @@ def test_padding_waste_pad_overflow_and_fill(spark):
     assert r["used_tokens"] == 30 and r["capacity"] == 30
     assert r["pad_tokens"] == 3 and r["overflow_tokens"] == 3
     assert r["fill_ppm"] == 27 * 1_000_000 // 30
+
+
+def test_lsh_band_sweep_identical_pair_all_configs(spark):
+    from poc_document_ocr_spark.operators.dedup import (
+        lsh_band_sweep,
+        minhash_signatures,
+        word_shingles,
+    )
+    import pytest
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "completely different words here now")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(word_shingles(docs), num_hashes=16)
+    rows = {
+        r["rows_per_band"]: r
+        for r in lsh_band_sweep(
+            sigs, num_hashes=16, rows_per_band_configs=(2, 4, 8)
+        ).collect()
+    }
+    assert set(rows) == {2, 4, 8}
+    for rpb, r in rows.items():
+        assert r["n_bands"] == 16 // rpb
+        # the identical pair matches every band at every config
+        assert r["n_pairs"] >= 1
+        assert r["n_strong"] >= 1  # est = 1e6 for the identical pair
+    # the wider the band, the (weakly) fewer candidates
+    assert rows[2]["n_pairs"] >= rows[8]["n_pairs"]
+    with pytest.raises(ValueError):
+        lsh_band_sweep(sigs, num_hashes=16, rows_per_band_configs=(3,))
