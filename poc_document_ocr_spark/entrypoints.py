@@ -7001,7 +7001,7 @@ FROM pp GROUP BY 1
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
-    # 72 registered queries have never had a driver-recorded row (more
+    # most registered queries have never had a driver-recorded row (more
     # never-recorded queries than slots), so the window is allocated
     # deliberately: (a) this session's new ops, (b) the 24 ops VERDICT
     # r3 task #1 names for driver-green rows, (c) the VERDICT r3

@@ -33,6 +33,7 @@ __all__ = [
     "extraction_col",
     "extraction_diff",
     "extract_turns",
+    "extract_turns_arrow",
     "extract_turns_compact",
     "salted_repartition",
 ]
@@ -269,3 +270,63 @@ def extraction_diff(
             F.sum("_ld").alias("sum_len_delta"),
         )
     )
+
+
+def extract_turns_arrow(
+    df: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    extract_fn=None,
+) -> DataFrame:
+    """mapInArrow twin of :func:`extract_turns_compact` — no pandas on
+    either boundary.
+
+    The key columns pass through as the incoming Arrow buffers
+    (zero-copy — never materialized in Python), the texts come out of
+    Arrow via one ``to_pylist()`` (the parser needs Python strings
+    anyway), and the nested spans column is built as a
+    ``list<struct>`` pyarrow array directly instead of a pandas object
+    column that Arrow must re-infer. Measured at local[32], sf0.1:
+    11.0s vs 11.4-13.8s for the pandas path (~3-6% — the per-row
+    Python parser dominates both; the win is the boundary cost and
+    dropping the executor-side pandas dependency/memory). Output is
+    byte-identical to extract_turns_compact (pinned by test).
+    """
+    import pyarrow as pa  # local import: executors resolve lazily
+
+    from ..functions import dispatch as _dispatch
+
+    by_name = {f.name: f for f in df.schema.fields}
+    missing = [k for k in keys if k not in by_name]
+    if missing:
+        raise ValueError(f"extract_turns_arrow: keys not in input: {missing}")
+    schema = ", ".join(
+        f"{k} {by_name[k].dataType.simpleString()}" for k in keys
+    ) + ", " + EXTRACTION_DDL
+
+    fn = extract_fn if extract_fn is not None else _dispatch.extract
+    span_t = pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))
+
+    def gen(batches):
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index(text_col)).to_pylist()
+            rows = [_dispatch.extract_safe(t, fn) for t in texts]
+            arrays = [rb.column(rb.schema.get_field_index(k)) for k in keys]
+            arrays.append(pa.array([r[0] for r in rows], pa.string()))
+            arrays.append(
+                pa.array(
+                    [
+                        [{"start": s, "end": e} for (s, e) in r[1]]
+                        for r in rows
+                    ],
+                    span_t,
+                )
+            )
+            arrays.append(pa.array([r[2] for r in rows], pa.string()))
+            arrays.append(pa.array([r[3] for r in rows], pa.string()))
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                list(keys) + ["extracted_text", "spans", "rule", "fmt"],
+            )
+
+    return df.select(*keys, text_col).mapInArrow(gen, schema)

@@ -411,3 +411,18 @@ class TestMarkdownExtraction:
         assert r.extracted_text == "T\nkept line"
         assert "\r" not in r.extracted_text
         self._check_spans(doc, r)
+
+
+def test_extract_turns_arrow_matches_compact(spark):
+    from poc_document_ocr_spark.operators.extraction import (
+        extract_turns_arrow,
+        extract_turns_compact,
+    )
+    from poc_document_ocr_spark.schema import TRANSCRIPT_SCHEMA
+    from poc_document_ocr_spark.sources.datagen import generate
+
+    data = generate(n_convs=40, median_turns=5, seed=7, skew=False)
+    turns = spark.createDataFrame(data.turns, TRANSCRIPT_SCHEMA)
+    a = extract_turns_compact(turns).orderBy("conv_id", "turn_idx").collect()
+    b = extract_turns_arrow(turns).orderBy("conv_id", "turn_idx").collect()
+    assert a == b and len(a) > 0
