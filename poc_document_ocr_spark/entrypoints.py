@@ -6672,6 +6672,159 @@ SELECT * FROM a2 UNION ALL SELECT * FROM a4 UNION ALL SELECT * FROM a8
 )
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet in one row — the release-card numbers
+    (Datasheets for Datasets, Gebru et al. 1803.09010) a training run
+    records next to every corpus snapshot: volume (docs, tokens), exact
+    dedup rate, the three screen pass-rates (Gopher quality, blocklist,
+    encoding health), and the language mix (count + top language with
+    its exact ppm share).
+
+    Composition shape: ONE per-doc projection evaluates every map-only
+    signal (tokens, three screens, lang, content fingerprint) and is
+    checkpointed lazily (the curate_pipeline convention) because TWO
+    aggregates consume it — the global fold (with its two-phase
+    count(distinct fp)) and the bounded lang rollup; without the
+    checkpoint each would re-run the screens over the full text. All
+    ratios are exact ppm integers.
+    """
+    from .operators.textstats import (
+        CTRL_CHAR_RE,
+        MOJIBAKE_MARKERS,
+        blocklist_keep,
+        quality_keep,
+    )
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    n_chars = F.length(text).cast("long")
+
+    def _cnt(marker: str):
+        return (
+            n_chars - F.length(F.replace(text, F.lit(marker)))
+        ).cast("long")
+
+    n_ctrl = (
+        n_chars - F.length(F.regexp_replace(text, CTRL_CHAR_RE, ""))
+    ).cast("long")
+    clean = (
+        _cnt("�")
+        + n_ctrl
+        + _cnt(MOJIBAKE_MARKERS[0])
+        + _cnt(MOJIBAKE_MARKERS[1])
+    ) == F.lit(0)
+    per_doc = docs.select(
+        F.size(F.split(text, " ")).cast("long").alias("n_tokens"),
+        quality_keep(text).cast("int").alias("q"),
+        blocklist_keep(text).cast("int").alias("b"),
+        clean.cast("int").alias("e"),
+        F.col("lang"),
+        F.md5(text).alias("fp"),
+    ).localCheckpoint(eager=False)
+    fold = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique_docs"),
+        F.sum("q").cast("long").alias("_nq"),
+        F.sum("b").cast("long").alias("_nb"),
+        F.sum("e").cast("long").alias("_ne"),
+    )
+    lang = (
+        per_doc.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.min(
+                F.struct(
+                    (-F.col("_cnt")).alias("neg"), F.col("lang")
+                )
+            ).alias("_best"),
+        )
+        .select(
+            "n_langs",
+            F.col("_best.lang").alias("top_lang"),
+            (-F.col("_best.neg")).cast("long").alias("_top_cnt"),
+        )
+    )
+    ppm = lambda num, den: F.expr(
+        f"CAST(CAST({num} AS DECIMAL(38,0)) * 1000000 div {den}"
+        f" AS BIGINT)"
+    )
+    return fold.crossJoin(F.broadcast(lang)).select(
+        "n_docs",
+        "n_tokens",
+        "n_unique_docs",
+        ppm("n_docs - n_unique_docs", "n_docs").alias("dup_ppm"),
+        ppm("_nq", "n_docs").alias("quality_keep_ppm"),
+        ppm("_nb", "n_docs").alias("blocklist_keep_ppm"),
+        ppm("_ne", "n_docs").alias("encoding_clean_ppm"),
+        "n_langs",
+        "top_lang",
+        ppm("_top_cnt", "n_docs").alias("top_lang_ppm"),
+    )
+
+
+_O_CORPUS_CARD = """
+WITH s AS (SELECT
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+      AS n_punct,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+      AS n_digit,
+    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks,
+    CAST(length(text)
+         - length(regexp_replace(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+         AS BIGINT)
+      + CAST(length(text) - length(replace(text, chr(65533), ''))
+         AS BIGINT)
+      + CAST((length(text) - length(replace(text, chr(195), '')))
+         + (length(text) - length(replace(text, chr(226), '')))
+         AS BIGINT) AS n_artifacts,
+    lang, md5(text) AS fp
+  FROM documents),
+r AS (SELECT n_tokens, lang, fp,
+    CAST((n_tokens >= 5 AND n_tokens <= 100000
+     AND n_nonspace / n_tokens >= 2.0 AND n_nonspace / n_tokens <= 12.0
+     AND n_punct / n_chars <= 0.30 AND n_digit / n_chars <= 0.50)
+      AS INT) AS q,
+    CAST((len(toks) = 0 OR
+     CAST(len(list_filter(toks,
+       x -> list_contains(['slow','spam','junk','vector'], x)))
+       AS BIGINT) * 1000000 < 60001 * CAST(len(toks) AS BIGINT))
+      AS INT) AS b,
+    CAST(n_artifacts = 0 AS INT) AS e
+  FROM s),
+f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+        CAST(sum(q) AS BIGINT) AS nq,
+        CAST(sum(b) AS BIGINT) AS nb,
+        CAST(sum(e) AS BIGINT) AS ne
+      FROM r),
+lc AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM r GROUP BY 1),
+lg AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+         min(struct_pack(neg := -cnt, lang := lang)) AS best
+       FROM lc)
+SELECT n_docs, n_tokens, n_unique_docs,
+  CAST(CAST(n_docs - n_unique_docs AS HUGEINT) * 1000000 // n_docs
+       AS BIGINT) AS dup_ppm,
+  CAST(CAST(nq AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    AS quality_keep_ppm,
+  CAST(CAST(nb AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    AS blocklist_keep_ppm,
+  CAST(CAST(ne AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    AS encoding_clean_ppm,
+  n_langs,
+  best.lang AS top_lang,
+  CAST(CAST(-best.neg AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    AS top_lang_ppm
+FROM f, lg
+"""
+
+
 # ---------------------------------------------------------------------------
 # Session-11 ops: weighted sampling, incremental re-extraction plan,
 # screen confusion metrics
@@ -7012,6 +7165,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (a) new in round 4: sessions 9-10 first (newest never-recorded
     # ops take the window; the displaced session-4/5 ops are
     # harness-verified in CORRECTNESS_FULL_r04.json), then session 7 ---
+    "corpus_card": q_corpus_card,
     "lsh_band_sweep": q_lsh_band_sweep,
     "fleiss_kappa": q_fleiss_kappa,
     "mix_concentration": q_mix_concentration,
@@ -7319,6 +7473,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": _O_WEIGHTED_SAMPLE,
     "reextract_plan": _O_REEXTRACT_PLAN,
     "screen_confusion": _O_SCREEN_CONFUSION,
+    "corpus_card": _O_CORPUS_CARD,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -1332,6 +1332,21 @@ def audit(spark, sf_dir: str):
         f"SMJ={p.count('SortMergeJoin')}",
     )
 
+    # corpus_card: the per-doc screen projection is a LAZY checkpoint
+    # consumed by TWO aggregates (global fold with two-phase distinct +
+    # bounded lang rollup) — downstream plan has ZERO parquet re-scans
+    # (screens run once); the lang side joins as a 1-row broadcast
+    cc = ep.QUERIES["corpus_card"](spark, sf_dir)
+    p = plan_of(cc)
+    n_scan = len(re.findall(r"Scan parquet|FileScan", p))
+    check(
+        "corpus_card: screens run ONCE into the lazy checkpoint (zero"
+        " parquet re-scans), no cartesian",
+        n_scan == 0 and "CartesianProduct" not in p
+        and "EvalPython" not in p,
+        f"parquet scans = {n_scan}",
+    )
+
     # --- session-12 ops ----------------------------------------------------
     # fleiss_kappa: all three raters are column expressions in ONE scan
     # projection — a single partial/final fold, no join of rater frames,

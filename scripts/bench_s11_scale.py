@@ -166,6 +166,52 @@ def band_sweep_job(docs):
                           rows_per_band_configs=(2, 4, 8))
 
 
+def corpus_card_job(docs):
+    """The q_corpus_card composition at corpus cardinality: one lazily
+    checkpointed per-doc screen projection -> global fold (two-phase
+    count-distinct) + bounded lang rollup."""
+    from pyspark.sql import functions as FF
+    import poc_document_ocr_spark.entrypoints as ep
+
+    class _FakeSpark:
+        pass
+
+    # re-create the q_corpus_card body over the bench corpus (the query
+    # itself loads testdata views; the shape is identical)
+    from poc_document_ocr_spark.operators.textstats import (
+        CTRL_CHAR_RE, MOJIBAKE_MARKERS, blocklist_keep, quality_keep,
+    )
+    text = FF.col("text")
+    n_chars = FF.length(text).cast("long")
+    cnt = lambda m: (n_chars - FF.length(FF.replace(text, FF.lit(m)))).cast("long")
+    n_ctrl = (n_chars - FF.length(FF.regexp_replace(text, CTRL_CHAR_RE, ""))).cast("long")
+    clean = (cnt("\ufffd") + n_ctrl + cnt(MOJIBAKE_MARKERS[0]) + cnt(MOJIBAKE_MARKERS[1])) == FF.lit(0)
+    per_doc = docs.select(
+        FF.size(FF.split(text, " ")).cast("long").alias("n_tokens"),
+        quality_keep(text).cast("int").alias("q"),
+        blocklist_keep(text).cast("int").alias("b"),
+        clean.cast("int").alias("e"),
+        FF.concat(FF.lit("lang"), FF.pmod(FF.xxhash64("doc_id"), FF.lit(5))).alias("lang"),
+        FF.md5(text).alias("fp"),
+    ).localCheckpoint(eager=False)
+    fold = per_doc.agg(
+        FF.count(FF.lit(1)).cast("long").alias("n_docs"),
+        FF.sum("n_tokens").cast("long").alias("n_tokens"),
+        FF.countDistinct("fp").cast("long").alias("n_unique_docs"),
+        FF.sum("q").cast("long").alias("_nq"),
+        FF.sum("b").cast("long").alias("_nb"),
+        FF.sum("e").cast("long").alias("_ne"),
+    )
+    lang = (per_doc.groupBy("lang").agg(FF.count(FF.lit(1)).cast("long").alias("_cnt"))
+        .agg(FF.count(FF.lit(1)).cast("long").alias("n_langs"),
+             FF.min(FF.struct((-FF.col("_cnt")).alias("neg"), FF.col("lang"))).alias("_best"))
+        .select("n_langs", FF.col("_best.lang").alias("top_lang"),
+                (-FF.col("_best.neg")).cast("long").alias("_top_cnt")))
+    return fold.crossJoin(FF.broadcast(lang)).select(
+        "n_docs", "n_tokens", "n_unique_docs", "_nq", "_nb", "_ne",
+        "n_langs", "top_lang", "_top_cnt")
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
@@ -203,6 +249,7 @@ def main() -> None:
         "mix_concentration": lambda: consume(mix_conc_job(docs)),
         "padding_waste": lambda: consume(padding_job(docs)),
         "lsh_band_sweep": lambda: consume(band_sweep_job(docs)),
+        "corpus_card": lambda: consume(corpus_card_job(docs)),
     }
     unknown = only - set(jobs)
     if unknown:
@@ -220,6 +267,7 @@ def main() -> None:
         "mix_concentration": lambda: consume(mix_conc_job(small_d)),
         "padding_waste": lambda: consume(padding_job(small_d)),
         "lsh_band_sweep": lambda: consume(band_sweep_job(small_d)),
+        "corpus_card": lambda: consume(corpus_card_job(small_d)),
     }
     for name in selected:
         warmups[name]()
