@@ -6672,6 +6672,76 @@ SELECT * FROM a2 UNION ALL SELECT * FROM a4 UNION ALL SELECT * FROM a8
 )
 
 
+#: the near-dup corpus with provenance labels — base docs keep their
+#: crawl source, the planted trailing-token copies land under 'mirror',
+#: so every planted cluster is exactly 2 labels at 50/50 purity
+_CORPUS_NEAR_SRC = """
+  SELECT doc_id, text, source FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+    text || ' extra trailing token' AS text, 'mirror' AS source
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 < 2
+"""
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster: size, distinct source count, majority
+    source + exact-ppm purity — the attribution view that shows which
+    dedup clusters are one source's re-crawls vs cross-source
+    syndication families. LSH pairs → connected components → one
+    AQE-decided label join + two bounded groupBys."""
+    from .operators.dedup import cluster_purity, connected_components
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR_SRC}) c", "documents"
+    )
+    pairs = lsh_candidate_pairs(minhash_signatures(word_shingles(corpus)))
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    return cluster_purity(comp, corpus.select("doc_id", "source"))
+
+
+_O_CLUSTER_PURITY = f"""
+WITH RECURSIVE corpus AS ({_CORPUS_NEAR_SRC}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+mh AS (SELECT doc_id, k,
+         min(md5(CAST(k AS STRING) || '|' || shingle)) AS h
+       FROM sh, UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS ks(k)
+       GROUP BY doc_id, k),
+bands AS (SELECT doc_id, CAST(floor(k / 4.0) AS INT) AS band,
+            md5(string_agg(h, '' ORDER BY k)) AS sig
+          FROM mh GROUP BY doc_id, 2),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+          WHERE a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(node, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r
+),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+cl AS (SELECT m.component, c.source AS lab,
+         CAST(count(*) AS BIGINT) AS cnt
+       FROM comp m JOIN corpus c ON c.doc_id = m.node
+       GROUP BY 1, 2),
+pc AS (SELECT component, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_labels,
+         min(struct_pack(neg := -cnt, lab := lab)) AS best
+       FROM cl GROUP BY 1)
+SELECT component, n_docs, n_labels, best.lab AS top_label,
+  CAST(CAST(-best.neg AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+    AS purity_ppm
+FROM pc WHERE n_docs >= 2
+"""
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet in one row — the release-card numbers
     (Datasheets for Datasets, Gebru et al. 1803.09010) a training run
@@ -7166,6 +7236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ops take the window; the displaced session-4/5 ops are
     # harness-verified in CORRECTNESS_FULL_r04.json), then session 7 ---
     "corpus_card": q_corpus_card,
+    "cluster_purity": q_cluster_purity,
     "lsh_band_sweep": q_lsh_band_sweep,
     "fleiss_kappa": q_fleiss_kappa,
     "mix_concentration": q_mix_concentration,
@@ -7474,6 +7545,7 @@ ORACLES: dict[str, str] = {
     "reextract_plan": _O_REEXTRACT_PLAN,
     "screen_confusion": _O_SCREEN_CONFUSION,
     "corpus_card": _O_CORPUS_CARD,
+    "cluster_purity": _O_CLUSTER_PURITY,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -47,6 +47,7 @@ __all__ = [
     "novelty_curve",
     "lsh_calibration",
     "lsh_band_sweep",
+    "cluster_purity",
     "dedup_survivorship",
     "template_segments",
     "DEMO_PROFILE",
@@ -1491,3 +1492,63 @@ def lsh_band_sweep(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def cluster_purity(
+    components: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    label_col: str = "source",
+    min_size: int = 2,
+) -> DataFrame:
+    """Label homogeneity of each near-dup cluster.
+
+    The attribution question cross_source_dup answers pairwise, asked at
+    cluster grain: is each dedup cluster one source's content (pure —
+    re-crawls, mirrors within a site) or a cross-source syndication
+    family (mixed — the clusters where canonical-keeper choice silently
+    decides which SOURCE survives)? Per cluster of ``min_size``+ docs:
+    size, distinct label count, the majority label (deterministic
+    min-struct tie-break, the zipf convention) and its exact-ppm share.
+
+    Shape: one equi-join of the (id, component) assignment against the
+    (id, label) projection — both corpus-cardinality, strategy left to
+    AQE (never broadcast) — then groupBy(component, label) with
+    map-side partials and a windowless min(struct) majority pick per
+    cluster. Output is cluster-grain, like canonical_docs.
+
+    Returns ``(component, n_docs, n_labels, top_label, purity_ppm)``.
+    """
+    lab = labels.select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lab")
+    )
+    j = components.select(
+        F.col(id_col) if id_col in components.columns
+        else F.col("node").alias(id_col),
+        comp_col,
+    ).join(lab, F.col(id_col) == F.col("_id"))
+    cl = j.groupBy(comp_col, "_lab").agg(
+        F.count(F.lit(1)).cast("long").alias("_cnt")
+    )
+    return (
+        cl.groupBy(comp_col)
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.min(
+                F.struct((-F.col("_cnt")).alias("neg"), F.col("_lab"))
+            ).alias("_best"),
+        )
+        .filter(F.col("n_docs") >= min_size)
+        .select(
+            comp_col,
+            "n_docs",
+            "n_labels",
+            F.col("_best._lab").alias("top_label"),
+            F.expr(
+                "CAST(CAST(-_best.neg AS DECIMAL(38,0)) * 1000000"
+                " div n_docs AS BIGINT)"
+            ).alias("purity_ppm"),
+        )
+    )
