@@ -7236,7 +7236,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ops take the window; the displaced session-4/5 ops are
     # harness-verified in CORRECTNESS_FULL_r04.json), then session 7 ---
     "corpus_card": q_corpus_card,
-    "cluster_purity": q_cluster_purity,
     "lsh_band_sweep": q_lsh_band_sweep,
     "fleiss_kappa": q_fleiss_kappa,
     "mix_concentration": q_mix_concentration,
@@ -7290,6 +7289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_cells": q_kmeans_cells,
     # --- (c) VERDICT r3 tasks 3 / 4 / 8 deliverables ---
     "semantic_dedup": q_semantic_dedup,
+    "cluster_purity": q_cluster_purity,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
     # --- (d) round-4 session-6 ops ---
