@@ -6742,6 +6742,129 @@ FROM pc WHERE n_docs >= 2
 """
 
 
+#: exact integer constants of the HLL estimate alpha_m·m²·2^57 (m=256,
+#: alpha_m carries another factor of m, hence m³) — shared verbatim with
+#: the DuckDB oracle so both engines divide the same numbers (see
+#: operators/sketches.py for the derivation)
+_HLL_NUM = 7213 * 1000 * 256 * 256 * 256 * (1 << 57)
+_HLL_DEN = 10000 * (1000 * 256 + 1079)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct word-3-gram cardinality, exact vs a
+    deterministic HyperLogLog sketch — the bounded-state distinct
+    counter (≤256 mergeable register rows per group) that replaces
+    count(DISTINCT) shuffles at 100 TB, with the estimate's error made
+    visible next to the exact baseline."""
+    from .operators.sketches import hll_distinct
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("gram"),
+    )
+    return hll_distinct(grams, group_col="lang", value_col="gram")
+
+
+_O_HLL_RHO = (
+    "CASE WHEN ltrim(substring(h, 3, 14), '0') = '' THEN 57"
+    " ELSE 4 * (14 - length(ltrim(substring(h, 3, 14), '0')))"
+    " + (CASE WHEN substring(ltrim(substring(h, 3, 14), '0'), 1, 1) = '1'"
+    "         THEN 3"
+    "    WHEN substring(ltrim(substring(h, 3, 14), '0'), 1, 1)"
+    "         IN ('2', '3') THEN 2"
+    "    WHEN substring(ltrim(substring(h, 3, 14), '0'), 1, 1)"
+    "         IN ('4', '5', '6', '7') THEN 1"
+    "    ELSE 0 END) + 1 END"
+)
+
+_O_HLL_DISTINCT = f"""
+WITH w AS (SELECT lang, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+g AS (SELECT lang,
+        array_to_string(list_slice(w, i + 1, i + 3), ' ') AS gram
+      FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+k AS (SELECT lang, gram, md5(gram) AS h FROM g),
+r AS (SELECT lang, substring(h, 1, 2) AS reg, ({_O_HLL_RHO}) AS rho
+      FROM k),
+m AS (SELECT lang, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+s AS (SELECT lang, CAST(count(*) AS INT) AS n_regs,
+        CAST(max(mj) AS INT) AS rho_max,
+        sum(CAST(1::BIGINT << (57 - mj) AS HUGEINT)) AS sp
+      FROM m GROUP BY 1),
+e AS (SELECT lang, n_regs, rho_max,
+        CAST({_HLL_NUM}::HUGEINT // ({_HLL_DEN}::HUGEINT
+          * (sp + (256 - n_regs)::HUGEINT
+             * CAST(1::BIGINT << 57 AS HUGEINT))) AS BIGINT) AS hll_est
+      FROM s),
+x AS (SELECT lang, CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct
+      FROM g GROUP BY 1)
+SELECT x.lang, exact_distinct, hll_est, n_regs, rho_max,
+  CAST(CAST(abs(hll_est - exact_distinct) AS HUGEINT) * 1000000
+       // exact_distinct AS BIGINT) AS err_ppm
+FROM x JOIN e USING (lang)
+"""
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-Bloom decontamination prefilter audit: the ≤4096-bit
+    benchmark filter is a bounded broadcast artifact, the corpus-side
+    membership test is two map-only broadcast joins, and the row reports
+    exactly how much of the corpus the exact verify join still has to
+    touch (sel_ppm) and the Bloom false-positive rate it pays for it."""
+    from .operators.sketches import bloom_prefilter_audit
+
+    corpus = _docs(spark, sf_dir)
+    bench = _sql_over(spark, sf_dir, _BENCH_SET, "documents")
+    return bloom_prefilter_audit(corpus, bench, n=8)
+
+
+_O_BLOOM_PRUNE = f"""
+WITH bench AS ({_BENCH_SET}),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       WHERE len(string_split(text, ' ')) >= 8),
+cg AS (SELECT DISTINCT
+         md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')) AS gh
+       FROM cw, UNNEST(range(0, len(w) - 7)) AS u(i)),
+bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM bench
+       WHERE len(string_split(text, ' ')) >= 8),
+bg AS (SELECT DISTINCT
+         md5(array_to_string(list_slice(w, i + 1, i + 8), ' ')) AS gh
+       FROM bw, UNNEST(range(0, len(w) - 7)) AS u(i)),
+b0 AS (SELECT DISTINCT substring(md5(gh || '#0'), 1, 3) AS p FROM bg),
+b1 AS (SELECT DISTINCT substring(md5(gh || '#1'), 1, 3) AS p FROM bg),
+f AS (SELECT cg.gh,
+        (b0.p IS NOT NULL AND b1.p IS NOT NULL) AS cand,
+        (bg.gh IS NOT NULL) AS hit
+      FROM cg
+      LEFT JOIN b0 ON b0.p = substring(md5(cg.gh || '#0'), 1, 3)
+      LEFT JOIN b1 ON b1.p = substring(md5(cg.gh || '#1'), 1, 3)
+      LEFT JOIN bg ON bg.gh = cg.gh),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus_grams,
+        CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_candidates,
+        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        CAST(sum(CASE WHEN cand AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_false_pos
+      FROM f),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bench_grams FROM bg)
+SELECT n_corpus_grams, n_bench_grams, n_candidates, n_true, n_false_pos,
+  CAST(CASE WHEN n_corpus_grams = n_true THEN 0
+       ELSE CAST(n_false_pos AS HUGEINT) * 1000000
+            // (n_corpus_grams - n_true) END AS BIGINT) AS fp_ppm,
+  CAST(CAST(n_candidates AS HUGEINT) * 1000000 // n_corpus_grams
+       AS BIGINT) AS sel_ppm
+FROM a, nb
+"""
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet in one row — the release-card numbers
     (Datasheets for Datasets, Gebru et al. 1803.09010) a training run
@@ -7290,6 +7413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- (c) VERDICT r3 tasks 3 / 4 / 8 deliverables ---
     "semantic_dedup": q_semantic_dedup,
     "cluster_purity": q_cluster_purity,
+    "hll_distinct": q_hll_distinct,
+    "bloom_prune": q_bloom_prune,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
     # --- (d) round-4 session-6 ops ---
@@ -7546,6 +7671,8 @@ ORACLES: dict[str, str] = {
     "screen_confusion": _O_SCREEN_CONFUSION,
     "corpus_card": _O_CORPUS_CARD,
     "cluster_purity": _O_CLUSTER_PURITY,
+    "hll_distinct": _O_HLL_DISTINCT,
+    "bloom_prune": _O_BLOOM_PRUNE,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,
