@@ -1437,6 +1437,50 @@ def audit(spark, sf_dir: str):
         "one conditional-sum fold",
     )
 
+    # --- session-13 ops ----------------------------------------------------
+    # hll_distinct: the register table is groupBy(lang, reg).max — the
+    # max MUST partial-aggregate map-side (that is the whole point of a
+    # mergeable sketch: combine before the shuffle), and nothing in the
+    # sketch path is a window or a cartesian
+    hd = ep.QUERIES["hll_distinct"](spark, sf_dir)
+    p = plan_of(hd)
+    check(
+        "hll_distinct: map-side partial_max register combine, no"
+        " window/cartesian",
+        "partial_max" in p and "Window" not in p
+        and "CartesianProduct" not in p,
+        "partial_max present",
+    )
+
+    # bloom_prune: the two bit tables are bounded artifacts (≤4096 rows
+    # each regardless of corpus size) and must be BROADCAST; the only
+    # nested-loop allowed is the final 1-row × 1-row audit-scalar
+    # combine (crossJoin of two aggregates) — never a row-level one
+    bp = ep.QUERIES["bloom_prune"](spark, sf_dir)
+    p = plan_of(bp)
+    n_bhj = p.count("BroadcastHashJoin")
+    n_bnl = p.count("BroadcastNestedLoopJoin")
+    check(
+        "bloom_prune: both bit tables broadcast; only the scalar-combine"
+        " nested loop",
+        n_bhj >= 2 and "CartesianProduct" not in p and n_bnl <= 1,
+        f"BroadcastHashJoin={n_bhj}, scalar BNLJ={n_bnl}",
+    )
+
+    # cluster_purity: the component↔label join is corpus-cardinality on
+    # both sides — strategy left to AQE, never a forced broadcast; the
+    # majority election is min(struct) with map-side partials, windowless
+    cp = ep.QUERIES["cluster_purity"](spark, sf_dir)
+    p = plan_of(cp)
+    check(
+        "cluster_purity: windowless min-struct election, map-side"
+        " partials, no nested loop",
+        "partial_min" in p and "Window" not in p
+        and "BroadcastNestedLoop" not in p
+        and "CartesianProduct" not in p,
+        "partial_min present",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan
