@@ -80,6 +80,7 @@ def hll_distinct(
     df: DataFrame,
     group_col: str = "lang",
     value_col: str = "gram",
+    with_exact: bool = True,
 ) -> DataFrame:
     """Per-group HyperLogLog distinct estimate next to the exact count.
 
@@ -97,10 +98,12 @@ def hll_distinct(
 
     The exact ``count(DISTINCT value)`` per group rides alongside purely
     as the audit baseline; a production job at 100 TB runs ONLY the
-    register path.
+    register path — pass ``with_exact=False`` for that shape (it drops
+    the count-distinct shuffle entirely).
 
     Returns ``(group, exact_distinct, hll_est, n_regs, rho_max,
-    err_ppm)``.
+    err_ppm)``, or ``(group, hll_est, n_regs, rho_max)`` when
+    ``with_exact=False``.
     """
     h = F.md5(F.col(value_col).cast("string"))
     keyed = df.select(
@@ -131,6 +134,8 @@ def hll_distinct(
             f" AS BIGINT)"
         ).alias("hll_est"),
     )
+    if not with_exact:
+        return est.select(group_col, "hll_est", "n_regs", "rho_max")
     exact = keyed.groupBy(group_col).agg(
         F.countDistinct("_v").cast("long").alias("exact_distinct")
     )
