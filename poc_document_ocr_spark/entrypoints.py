@@ -6813,6 +6813,90 @@ FROM x JOIN e USING (lang)
 """
 
 
+def _grams3_by_source(df: DataFrame) -> DataFrame:
+    """(source, gram) word-3-gram stream — shared by the sketch queries."""
+    return df.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+            )
+        ).alias("gram"),
+    )
+
+
+def q_hll_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge novelty between the current corpus and the simulated
+    next crawl snapshot, per source: est(old), est(new), est(old ∪ new)
+    from a per-register max-merge of two HLL register tables — "how much
+    does the new crawl add" answered from persisted sketches without
+    rescanning history — with the exact novel-gram count alongside."""
+    from .operators.sketches import hll_union_novelty
+
+    old = _docs(spark, sf_dir)
+    new = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_SNAPSHOT_B}) b", "documents"
+    )
+    return hll_union_novelty(
+        _grams3_by_source(old), _grams3_by_source(new),
+        group_col="source", value_col="gram",
+    )
+
+
+def _o_hll_est(src: str, alias: str) -> str:
+    """DuckDB macro: collapse register CTE ``src`` (source, reg, mj) into
+    per-source ``{alias}`` — the same integer arithmetic as Spark."""
+    return f"""SELECT source,
+  CAST({_HLL_NUM}::HUGEINT // ({_HLL_DEN}::HUGEINT
+    * (sum(CAST(1::BIGINT << (57 - mj) AS HUGEINT))
+       + (256 - count(*))::HUGEINT
+         * CAST(1::BIGINT << 57 AS HUGEINT))) AS BIGINT) AS {alias}
+FROM {src} GROUP BY source"""
+
+
+def _o_grams3(table: str) -> str:
+    return f"""SELECT source,
+  array_to_string(list_slice(w, i + 1, i + 3), ' ') AS gram
+FROM (SELECT source, string_split(text, ' ') AS w FROM {table}
+      WHERE len(string_split(text, ' ')) >= 3) t,
+  UNNEST(range(0, len(w) - 2)) AS u(i)"""
+
+
+_O_HLL_NOVELTY = f"""
+WITH b AS ({_SNAPSHOT_B}),
+ga AS ({_o_grams3('documents')}),
+gb AS ({_o_grams3('b')}),
+ra AS (SELECT source, substring(h, 1, 2) AS reg,
+         max({_O_HLL_RHO}) AS mj
+       FROM (SELECT source, md5(gram) AS h FROM ga) k GROUP BY 1, 2),
+rb AS (SELECT source, substring(h, 1, 2) AS reg,
+         max({_O_HLL_RHO}) AS mj
+       FROM (SELECT source, md5(gram) AS h FROM gb) k GROUP BY 1, 2),
+ru AS (SELECT coalesce(ra.source, rb.source) AS source,
+         coalesce(ra.reg, rb.reg) AS reg,
+         greatest(coalesce(ra.mj, 0), coalesce(rb.mj, 0)) AS mj
+       FROM ra FULL JOIN rb
+         ON ra.source = rb.source AND ra.reg = rb.reg),
+ea AS ({_o_hll_est('ra', 'est_old')}),
+eb AS ({_o_hll_est('rb', 'est_new')}),
+eu AS ({_o_hll_est('ru', 'est_union')}),
+xa AS (SELECT DISTINCT source, gram FROM ga),
+xb AS (SELECT DISTINCT source, gram FROM gb),
+xn AS (SELECT xb.source, CAST(count(*) AS BIGINT) AS c
+       FROM xb LEFT JOIN xa
+         ON xa.source = xb.source AND xa.gram = xb.gram
+       WHERE xa.gram IS NULL GROUP BY 1)
+SELECT ea.source, est_old, est_new, est_union,
+  est_union - est_old AS est_novel,
+  CAST(coalesce(xn.c, 0) AS BIGINT) AS exact_novel
+FROM ea JOIN eb USING (source) JOIN eu USING (source)
+LEFT JOIN xn USING (source)
+"""
+
+
 def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned-Bloom decontamination prefilter audit: the ≤4096-bit
     benchmark filter is a bounded broadcast artifact, the corpus-side
@@ -7414,6 +7498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "cluster_purity": q_cluster_purity,
     "hll_distinct": q_hll_distinct,
+    "hll_novelty": q_hll_novelty,
     "bloom_prune": q_bloom_prune,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
@@ -7672,6 +7757,7 @@ ORACLES: dict[str, str] = {
     "corpus_card": _O_CORPUS_CARD,
     "cluster_purity": _O_CLUSTER_PURITY,
     "hll_distinct": _O_HLL_DISTINCT,
+    "hll_novelty": _O_HLL_NOVELTY,
     "bloom_prune": _O_BLOOM_PRUNE,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,

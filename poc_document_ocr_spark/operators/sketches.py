@@ -36,7 +36,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "hll_registers",
+    "hll_estimate",
     "hll_distinct",
+    "hll_union_novelty",
     "bloom_prefilter_audit",
 ]
 
@@ -76,6 +79,57 @@ def _rho_expr(tail: str) -> str:
     )
 
 
+def hll_registers(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "gram",
+) -> DataFrame:
+    """The HLL sketch state: ``(group, _reg, _mj)`` — at most 256 rows per
+    group, built with a map-side-combinable ``groupBy(...).agg(max)``.
+
+    This IS the persistable/mergeable artifact: two register tables over
+    different data slices (days, shards, snapshots) union into the sketch
+    of the combined slice by re-maxing per register — see
+    :func:`hll_union_novelty` — without touching the underlying rows
+    again.
+    """
+    h = F.md5(F.col(value_col).cast("string"))
+    keyed = df.select(
+        F.col(group_col),
+        F.substring(h, 1, 2).alias("_reg"),
+        F.expr(_rho_expr("substring(md5(CAST(" + value_col
+                         + " AS STRING)), 3, 14)")).alias("_rho"),
+    )
+    return keyed.groupBy(group_col, "_reg").agg(
+        F.max("_rho").alias("_mj")
+    )
+
+
+def hll_estimate(regs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Collapse a register table into ``(group, hll_est, n_regs,
+    rho_max)`` — exact integer arithmetic only (see module docstring)."""
+    sketch = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_regs"),
+        F.max("_mj").cast("int").alias("rho_max"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - _mj)"
+                   " AS DECIMAL(38,0))")
+        ).alias("_s_present"),
+    )
+    return sketch.select(
+        group_col,
+        F.expr(
+            f"CAST(CAST('{_HLL_EST_NUM}' AS DECIMAL(38,0)) div"
+            f" (CAST({_HLL_EST_DEN} AS DECIMAL(38,0)) * (_s_present"
+            f" + CAST({_HLL_M} - n_regs AS DECIMAL(38,0))"
+            f" * CAST(shiftleft(CAST(1 AS BIGINT), 57) AS DECIMAL(38,0))))"
+            f" AS BIGINT)"
+        ).alias("hll_est"),
+        "n_regs",
+        "rho_max",
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     group_col: str = "lang",
@@ -105,39 +159,12 @@ def hll_distinct(
     err_ppm)``, or ``(group, hll_est, n_regs, rho_max)`` when
     ``with_exact=False``.
     """
-    h = F.md5(F.col(value_col).cast("string"))
-    keyed = df.select(
-        F.col(group_col),
-        F.substring(h, 1, 2).alias("_reg"),
-        F.expr(_rho_expr("substring(md5(CAST(" + value_col
-                         + " AS STRING)), 3, 14)")).alias("_rho"),
-        F.col(value_col).alias("_v"),
-    )
-    regs = keyed.groupBy(group_col, "_reg").agg(F.max("_rho").alias("_mj"))
-    sketch = regs.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_regs"),
-        F.max("_mj").cast("int").alias("rho_max"),
-        F.sum(
-            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 57 - _mj)"
-                   " AS DECIMAL(38,0))")
-        ).alias("_s_present"),
-    )
-    est = sketch.select(
-        group_col,
-        "n_regs",
-        "rho_max",
-        F.expr(
-            f"CAST(CAST('{_HLL_EST_NUM}' AS DECIMAL(38,0)) div"
-            f" (CAST({_HLL_EST_DEN} AS DECIMAL(38,0)) * (_s_present"
-            f" + CAST({_HLL_M} - n_regs AS DECIMAL(38,0))"
-            f" * CAST(shiftleft(CAST(1 AS BIGINT), 57) AS DECIMAL(38,0))))"
-            f" AS BIGINT)"
-        ).alias("hll_est"),
-    )
+    regs = hll_registers(df, group_col, value_col)
+    est = hll_estimate(regs, group_col)
     if not with_exact:
         return est.select(group_col, "hll_est", "n_regs", "rho_max")
-    exact = keyed.groupBy(group_col).agg(
-        F.countDistinct("_v").cast("long").alias("exact_distinct")
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(value_col).cast("long").alias("exact_distinct")
     )
     return exact.join(est, group_col).select(
         group_col,
@@ -149,6 +176,88 @@ def hll_distinct(
             "CAST(CAST(abs(hll_est - exact_distinct) AS DECIMAL(38,0))"
             " * 1000000 div exact_distinct AS BIGINT)"
         ).alias("err_ppm"),
+    )
+
+
+def hll_union_novelty(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "gram",
+    with_exact: bool = True,
+) -> DataFrame:
+    """Sketch-merge novelty between two corpus snapshots.
+
+    The associativity payoff of :func:`hll_registers`: the union sketch
+    of (old ∪ new) is a per-register max over the two register tables — a
+    full-outer join on at most 256 rows per group — so
+    ``est_novel = est(old ∪ new) − est(old)`` prices what a new crawl
+    adds WITHOUT any value-level anti-join. At 100 TB this is the
+    operational shape: keep one persisted register table per
+    day/shard/snapshot and answer "how much is new?" by merging sketches,
+    never rescanning history (cf. `novelty_curve`, the exact
+    gram-level twin that does pay the anti-join).
+
+    ``est_novel`` is a signed difference of two noisy estimates — for
+    novelty far below the ~6.5% (1.04/√m) per-estimate noise it can go
+    negative; it is reported raw, not clamped, so the resolution limit
+    stays visible. ``with_exact`` rides the exact per-group novel-value
+    count alongside as the audit baseline. Groups present in only one
+    snapshot are omitted (a brand-new group's novelty is just its own
+    :func:`hll_distinct`; a raw-HLL "estimate" of an absent group would
+    be the meaningless empty-sketch constant, not 0).
+
+    Returns ``(group, est_old, est_new, est_union, est_novel[,
+    exact_novel])``.
+    """
+    ra = hll_registers(old, group_col, value_col)
+    rb = hll_registers(new, group_col, value_col)
+    merged = (
+        ra.withColumnRenamed("_mj", "_ma")
+        .join(
+            rb.withColumnRenamed("_mj", "_mb"),
+            [group_col, "_reg"],
+            "full_outer",
+        )
+        .select(
+            group_col,
+            "_reg",
+            F.greatest(
+                F.coalesce("_ma", F.lit(0)), F.coalesce("_mb", F.lit(0))
+            ).alias("_mj"),
+        )
+    )
+    ea = hll_estimate(ra, group_col).select(
+        group_col, F.col("hll_est").alias("est_old")
+    )
+    eb = hll_estimate(rb, group_col).select(
+        group_col, F.col("hll_est").alias("est_new")
+    )
+    eu = hll_estimate(merged, group_col).select(
+        group_col, F.col("hll_est").alias("est_union")
+    )
+    out = (
+        ea.join(eb, group_col)
+        .join(eu, group_col)
+        .select(
+            group_col,
+            "est_old",
+            "est_new",
+            "est_union",
+            (F.col("est_union") - F.col("est_old")).alias("est_novel"),
+        )
+    )
+    if not with_exact:
+        return out
+    xa = old.select(F.col(group_col), F.col(value_col)).distinct()
+    xb = new.select(F.col(group_col), F.col(value_col)).distinct()
+    xn = (
+        xb.join(xa, [group_col, value_col], "left_anti")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_novel"))
+    )
+    return out.join(xn, group_col, "left").withColumn(
+        "exact_novel", F.coalesce("exact_novel", F.lit(0).cast("long"))
     )
 
 

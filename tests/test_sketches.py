@@ -104,3 +104,29 @@ def test_bloom_disjoint_inputs_mostly_pruned(spark):
     assert row.n_candidates == row.n_false_pos
     # 150 bench grams over two 4096-cell arrays → fp ~ (150/4096)^2 ≈ 0.13%
     assert row.fp_ppm < 50_000
+
+
+def test_hll_union_merge_equals_sketch_of_union(spark):
+    """THE sketch property: merging two register tables (per-register
+    max) must give bit-for-bit the estimate of sketching the
+    concatenated data — merge never rescans, and loses nothing."""
+    from poc_document_ocr_spark.operators.sketches import (
+        hll_union_novelty,
+    )
+
+    old = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(800)], "lang string, gram string"
+    )
+    new = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(600, 1100)],
+        "lang string, gram string",
+    )
+    [row] = hll_union_novelty(old, new, "lang", "gram").collect()
+    [direct] = hll_distinct(
+        old.unionByName(new), "lang", "gram", with_exact=False
+    ).collect()
+    assert row.est_union == direct.hll_est
+    assert row.est_novel == row.est_union - row.est_old
+    assert row.exact_novel == 300  # a800..a1099
+    [eo] = hll_distinct(old, "lang", "gram", with_exact=False).collect()
+    assert row.est_old == eo.hll_est
