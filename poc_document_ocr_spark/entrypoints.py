@@ -6949,6 +6949,44 @@ FROM a, nb
 """
 
 
+#: annotation budget for the quota-allocation demo — deliberately prime
+#: so floors never sum to k and the largest-remainder seats are exercised
+_QUOTA_K = 137
+
+
+def q_quota_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of a fixed 137-item
+    annotation budget across sources, proportional to size — the exact
+    integer allocation sheet (floor quotas + leftover seats to largest
+    remainders) behind fixed-total eval carves."""
+    from .operators.sampling import quota_allocation
+
+    docs = _docs(spark, sf_dir)
+    return quota_allocation(docs, k=_QUOTA_K, strata_col="source")
+
+
+_O_QUOTA_ALLOC = f"""
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS _n FROM c),
+b AS (SELECT source, n_rows,
+        CAST(CAST(n_rows AS HUGEINT) * {_QUOTA_K} // _n AS BIGINT)
+          AS quota_floor,
+        CAST(CAST(n_rows AS HUGEINT) * {_QUOTA_K} % _n AS BIGINT)
+          AS remainder
+      FROM c, t),
+r AS (SELECT *,
+        row_number() OVER (ORDER BY remainder DESC, source) AS rk,
+        {_QUOTA_K} - sum(quota_floor) OVER () AS leftover
+      FROM b)
+SELECT source, n_rows, quota_floor, remainder,
+  CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS INT) AS extra,
+  CAST(quota_floor + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       AS BIGINT) AS quota
+FROM r
+"""
+
+
 def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus datasheet in one row — the release-card numbers
     (Datasheets for Datasets, Gebru et al. 1803.09010) a training run
@@ -7500,6 +7538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "hll_novelty": q_hll_novelty,
     "bloom_prune": q_bloom_prune,
+    "quota_alloc": q_quota_alloc,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
     # --- (d) round-4 session-6 ops ---
@@ -7759,6 +7798,7 @@ ORACLES: dict[str, str] = {
     "hll_distinct": _O_HLL_DISTINCT,
     "hll_novelty": _O_HLL_NOVELTY,
     "bloom_prune": _O_BLOOM_PRUNE,
+    "quota_alloc": _O_QUOTA_ALLOC,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -41,6 +41,8 @@ __all__ = [
     "length_trim",
     "k_anonymity",
     "group_sample_k",
+    "quota_allocation",
+    "quota_sample",
     "weighted_sample_k",
     "mix_concentration",
     "padding_waste",
@@ -807,6 +809,104 @@ def group_sample_k(
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
+    )
+
+
+def quota_allocation(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of a fixed total budget
+    ``k`` across strata, proportional to stratum sizes — exact integers,
+    no floats, fully deterministic.
+
+    :func:`stratified_sample` fixes a RATE per stratum and
+    :func:`group_sample_k` a COUNT per stratum; eval carves and
+    annotation budgets fix a TOTAL ("label exactly 10,000 documents,
+    proportionally by source"). Hamilton's method: each stratum gets
+    ``floor(k·n_i/N)``, and the ``k − Σfloor`` leftover seats (< number
+    of strata) go to the largest remainders ``k·n_i mod N``, ties broken
+    by stratum value for run-to-run stability.
+
+    Shape: one corpus groupBy(strata) with map-side partials; everything
+    after (total cross-join, remainder ranking window) runs on the
+    bounded strata-cardinality table. Output is the allocation sheet:
+    ``(stratum, n_rows, quota_floor, remainder, extra, quota)`` with
+    ``Σ quota = min(k, N)`` (when ``k > N`` every row is wanted and
+    quotas are capped at stratum sizes by :func:`quota_sample`).
+    """
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    tot = counts.agg(F.sum("n_rows").cast("long").alias("_n"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        "n_rows",
+        F.expr(
+            f"CAST(CAST(n_rows AS DECIMAL(38,0)) * {k} div _n AS BIGINT)"
+        ).alias("quota_floor"),
+        F.expr(
+            f"CAST(CAST(n_rows AS DECIMAL(38,0)) * {k} % _n AS BIGINT)"
+        ).alias("remainder"),
+        F.col("_n"),
+    )
+    # both windows run on the bounded strata-cardinality table only
+    w = W.orderBy(F.col("remainder").desc(), F.col(strata_col))
+    ranked = base.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_leftover", F.lit(k) - F.sum("quota_floor").over(
+            W.partitionBy(F.lit(1))
+        )
+    )
+    return ranked.select(
+        strata_col,
+        "n_rows",
+        "quota_floor",
+        "remainder",
+        F.when(F.col("_rk") <= F.col("_leftover"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("extra"),
+    ).select(
+        strata_col,
+        "n_rows",
+        "quota_floor",
+        "remainder",
+        "extra",
+        (F.col("quota_floor") + F.col("extra")).cast("long").alias("quota"),
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize the :func:`quota_allocation` sheet: the
+    :func:`group_sample_k` ranking per stratum, cut at that stratum's
+    quota instead of a constant — a fixed-total, proportionally
+    stratified, deterministic sample.
+
+    The allocation sheet is strata-cardinality (bounded) and broadcast;
+    the rank window is the same WindowGroupLimit-friendly shape as
+    ``group_sample_k`` when the max quota is modest. One corpus shuffle
+    (the rank window) + one counting pass.
+    """
+    quotas = quota_allocation(df, k, strata_col).select(strata_col, "quota")
+    w = (
+        W.partitionBy(strata_col)
+        .orderBy(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col))),
+            F.col(id_col),
+        )
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .drop("quota")
     )
 
 
