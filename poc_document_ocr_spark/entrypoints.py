@@ -6949,6 +6949,80 @@ FROM a, nb
 """
 
 
+#: crawl timeline with planted late-day quality decay: every third doc on
+#: days 6-7 is replaced by a 3-token punctuation stub (fails the Gopher
+#: min-token rule deterministically) — the "site broke mid-crawl" signal
+#: day = (doc_id div 20) mod 8 — the quotient decorrelates the day from
+#: the id-derived source (plain doc_id % 8 shares residues with source
+#: and collapses to 2 days per source); floor() parses identically in
+#: Spark SQL and DuckDB (CAST of a double truncates in Spark but ROUNDS
+#: in DuckDB — floor first is the portable form)
+_CORPUS_QD = """
+  SELECT doc_id, source, text,
+    CAST(floor(doc_id / 20) AS BIGINT) % 8 AS day FROM documents
+  WHERE NOT (CAST(floor(doc_id / 20) AS BIGINT) % 8 >= 6
+             AND doc_id % 3 = 0)
+  UNION ALL
+  SELECT doc_id, source, '!!! ?? !!' AS text,
+    CAST(floor(doc_id / 20) AS BIGINT) % 8 AS day
+  FROM documents
+  WHERE CAST(floor(doc_id / 20) AS BIGINT) % 8 >= 6 AND doc_id % 3 = 0
+"""
+
+
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-screen drift over crawl days: overall keep
+    ppm, worst-deviating day + its keep ppm, max day-level deviation —
+    the alert that a source's quality fell off a cliff mid-timeline
+    while the corpus mix still looked stable."""
+    from .operators.textstats import quality_drift, quality_keep
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_QD}) c", "documents"
+    )
+    labeled = corpus.select(
+        "source", "day", quality_keep(F.col("text")).alias("keep")
+    )
+    return quality_drift(labeled, group_col="source", day_col="day")
+
+
+_O_QUALITY_DRIFT = f"""
+WITH c AS ({_CORPUS_QD}),
+s AS (SELECT source, day,
+        (len(string_split(text, ' ')) >= 5
+         AND len(string_split(text, ' ')) <= 100000
+         AND length(replace(text, ' ', ''))
+             / len(string_split(text, ' ')) >= 2.0
+         AND length(replace(text, ' ', ''))
+             / len(string_split(text, ' ')) <= 12.0
+         AND length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+             / length(text) <= 0.30
+         AND length(regexp_replace(text, '[^0-9]', '', 'g'))
+             / length(text) <= 0.50) AS keep
+      FROM c),
+gd AS (SELECT source, day, CAST(count(*) AS BIGINT) AS _n,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS _k
+       FROM s GROUP BY 1, 2),
+tot AS (SELECT source, CAST(count(*) AS INT) AS n_days,
+          CAST(sum(_n) AS BIGINT) AS n_docs,
+          CAST(CAST(sum(_k) AS HUGEINT) * 1000000 // sum(_n) AS BIGINT)
+            AS keep_ppm
+        FROM gd GROUP BY 1),
+dev AS (SELECT gd.source, CAST(day AS BIGINT) AS day,
+          CAST(CAST(_k AS HUGEINT) * 1000000 // _n AS BIGINT) AS day_ppm,
+          keep_ppm
+        FROM gd JOIN tot USING (source)),
+w AS (SELECT source,
+        min(struct_pack(neg := -abs(day_ppm - keep_ppm), day := day,
+                        ppm := day_ppm)) AS b
+      FROM dev GROUP BY 1)
+SELECT tot.source, n_days, n_docs, keep_ppm,
+  b.day AS worst_day, b.ppm AS worst_day_ppm,
+  CAST(-b.neg AS BIGINT) AS max_dev_ppm
+FROM tot JOIN w USING (source)
+"""
+
+
 #: annotation budget for the quota-allocation demo — deliberately prime
 #: so floors never sum to k and the largest-remainder seats are exercised
 _QUOTA_K = 137
@@ -7539,6 +7613,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_novelty": q_hll_novelty,
     "bloom_prune": q_bloom_prune,
     "quota_alloc": q_quota_alloc,
+    "quality_drift": q_quality_drift,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
     # --- (d) round-4 session-6 ops ---
@@ -7799,6 +7874,7 @@ ORACLES: dict[str, str] = {
     "hll_novelty": _O_HLL_NOVELTY,
     "bloom_prune": _O_BLOOM_PRUNE,
     "quota_alloc": _O_QUOTA_ALLOC,
+    "quality_drift": _O_QUALITY_DRIFT,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

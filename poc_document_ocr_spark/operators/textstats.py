@@ -52,6 +52,7 @@ __all__ = [
     "encoding_screen",
     "screen_confusion",
     "fleiss_kappa",
+    "quality_drift",
     "CTRL_CHAR_RE",
     "MOJIBAKE_MARKERS",
     "REFUSAL_RE",
@@ -1999,4 +2000,77 @@ def fleiss_kappa(
                      div (1000000 - pe_ppm))
                END"""
         ).cast("long").alias("kappa_ppm"),
+    )
+
+
+def quality_drift(
+    labeled: DataFrame,
+    group_col: str = "source",
+    day_col: str = "day",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-source quality-drift monitor over crawl days.
+
+    ``mix_drift_report`` watches WHAT the corpus is made of;
+    this watches whether each source's quality screen keep-rate is
+    moving over time — the signal that a site redesigned, a crawler
+    broke, or spam flooded in (a per-(source, day) keep-rate that falls
+    off a cliff while the overall mix looks stable). Per source: the
+    overall keep ppm, the worst-deviating day and its keep ppm, and the
+    max absolute day-level deviation — the alerting number.
+
+    Shape: ONE corpus-cardinality shuffle — groupBy(source, day) with
+    map-side partial sums; the per-source totals, the deviation compute,
+    and the worst-day election (windowless min-struct, the zipf
+    convention) all run on the bounded (sources × days) table. Integer
+    ppm end to end.
+
+    Returns ``(group, n_days, n_docs, keep_ppm, worst_day,
+    worst_day_ppm, max_dev_ppm)``.
+    """
+    gd = labeled.groupBy(group_col, day_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col(keep_col).cast("long")).cast("long").alias("_k"),
+    )
+    tot = gd.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_days"),
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_k").cast("long").alias("_keeps"),
+    ).select(
+        group_col,
+        "n_days",
+        "n_docs",
+        F.expr(
+            "CAST(CAST(_keeps AS DECIMAL(38,0)) * 1000000 div n_docs"
+            " AS BIGINT)"
+        ).alias("keep_ppm"),
+    )
+    dev = gd.join(tot, group_col).select(
+        group_col,
+        F.col(day_col).cast("long").alias("_day"),
+        F.expr(
+            "abs(CAST(CAST(_k AS DECIMAL(38,0)) * 1000000 div _n"
+            " AS BIGINT) - keep_ppm)"
+        ).alias("_dev"),
+        F.expr(
+            "CAST(CAST(_k AS DECIMAL(38,0)) * 1000000 div _n AS BIGINT)"
+        ).alias("_day_ppm"),
+    )
+    worst = dev.groupBy(group_col).agg(
+        F.min(
+            F.struct(
+                (-F.col("_dev")).alias("neg"),
+                F.col("_day").alias("day"),
+                F.col("_day_ppm").alias("ppm"),
+            )
+        ).alias("_w")
+    ).select(
+        group_col,
+        F.col("_w.day").alias("worst_day"),
+        F.col("_w.ppm").alias("worst_day_ppm"),
+        (-F.col("_w.neg")).cast("long").alias("max_dev_ppm"),
+    )
+    return tot.join(worst, group_col).select(
+        group_col, "n_days", "n_docs", "keep_ppm",
+        "worst_day", "worst_day_ppm", "max_dev_ppm",
     )
