@@ -6949,6 +6949,59 @@ FROM a, nb
 """
 
 
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (LASER/CCMatrix ratio margin) between
+    the even- and odd-id halves of the embedding table: per source
+    vector its best target with ppm-quantized cosine, hubness-calibrated
+    margin, and the mutual-best flag — the parallel-pair carver run
+    across two monolingual corpora."""
+    from .operators.similarity import bitext_mine
+
+    load_views(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    return bitext_mine(
+        emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 240)),
+        emb.filter((F.col("vec_id") % 2 == 1) & (F.col("vec_id") < 240)),
+        k=4,
+    )
+
+
+_O_BITEXT_MINE = """
+WITH av AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 240),
+bv AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+       FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 240),
+s0 AS (SELECT a_id, b_id,
+         CAST(floor(list_dot_product(av.v, bv.v) /
+           (sqrt(list_dot_product(av.v, av.v)) *
+            sqrt(list_dot_product(bv.v, bv.v))) * 1000000) AS BIGINT)
+           AS cos_ppm
+       FROM av, bv),
+s AS (SELECT * FROM s0 WHERE cos_ppm >= 0),
+fr AS (SELECT *, row_number() OVER
+         (PARTITION BY a_id ORDER BY cos_ppm DESC, b_id) AS rk FROM s),
+br AS (SELECT *, row_number() OVER
+         (PARTITION BY b_id ORDER BY cos_ppm DESC, a_id) AS rk FROM s),
+fa AS (SELECT a_id, CAST(sum(cos_ppm) // count(*) AS BIGINT) AS favg
+       FROM fr WHERE rk <= 4 GROUP BY 1),
+ba AS (SELECT b_id, CAST(sum(cos_ppm) // count(*) AS BIGINT) AS bavg
+       FROM br WHERE rk <= 4 GROUP BY 1),
+best AS (SELECT a_id, b_id, cos_ppm FROM fr WHERE rk = 1),
+bbest AS (SELECT b_id, a_id AS best_a FROM br WHERE rk = 1)
+SELECT best.a_id AS src_id, best.b_id AS tgt_id, best.cos_ppm,
+  CAST(CAST(best.cos_ppm AS HUGEINT) * 2000000 // (favg + bavg)
+       AS BIGINT) AS margin_ppm,
+  (bbest.best_a = best.a_id) AS mutual
+FROM best
+JOIN fa USING (a_id)
+JOIN ba ON ba.b_id = best.b_id
+JOIN bbest ON bbest.b_id = best.b_id
+WHERE favg + bavg > 0
+  AND CAST(CAST(best.cos_ppm AS HUGEINT) * 2000000 // (favg + bavg)
+       AS BIGINT) >= 1050000
+"""
+
+
 #: crawl timeline with planted late-day quality decay: every third doc on
 #: days 6-7 is replaced by a 3-token punctuation stub (fails the Gopher
 #: min-token rule deterministically) — the "site broke mid-crawl" signal
@@ -7614,6 +7667,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune": q_bloom_prune,
     "quota_alloc": q_quota_alloc,
     "quality_drift": q_quality_drift,
+    "bitext_mine": q_bitext_mine,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
     # --- (d) round-4 session-6 ops ---
@@ -7875,6 +7929,7 @@ ORACLES: dict[str, str] = {
     "bloom_prune": _O_BLOOM_PRUNE,
     "quota_alloc": _O_QUOTA_ALLOC,
     "quality_drift": _O_QUALITY_DRIFT,
+    "bitext_mine": _O_BITEXT_MINE,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

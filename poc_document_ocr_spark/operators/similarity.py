@@ -35,6 +35,7 @@ __all__ = [
     "quantize_vec",
     "kmeans_lloyd",
     "semantic_dedup",
+    "bitext_mine",
     "QUANT_SCALE",
     "QUANT_OFFSET",
 ]
@@ -617,4 +618,110 @@ def hard_negatives(
         "hard_negatives is the exact small-query baseline: more than "
         f"max_queries={max_queries} query vectors. Compose lsh_topk "
         "with the label filter for corpus-sized query sides.",
+    )
+
+
+def bitext_mine(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 4,
+    margin_threshold_ppm: int = 1_050_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+    max_side: int = 10_000,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sets —
+    the LASER/CCMatrix bitext-mining scorer (Artetxe & Schwenk 2018,
+    1811.01136: ratio margin), the op that carves aligned translation /
+    paraphrase pairs out of two monolingual corpora.
+
+    For each source vector x, its best target y wins if the RATIO margin
+    ``cos(x,y) / ((avgNNk(x,B) + avgNNk(y,A)) / 2)`` clears the
+    threshold — the margin denominator calibrates away hubness (a y that
+    is everyone's neighbor gets no credit). ``mutual`` flags pairs where
+    x is also y's best source — the high-precision subset.
+
+    Integer determinism: cosines quantize to ppm (``floor(cos·10⁶)``)
+    before any ranking or averaging; negative-cosine candidates are
+    dropped up front so integer division truncates identically across
+    engines (Spark ``div`` truncates toward zero, DuckDB ``//`` floors —
+    they only agree on non-negatives). Margin is
+    ``cos_ppm·2·10⁶ div (avg_fwd + avg_bwd)``.
+
+    Shape: with ``candidates=None`` the pair table is an exact cross
+    join guarded to ``max_side`` vectors per side — the oracle-able
+    demo. At corpus scale pass ``candidates`` (``(a_id, b_id)`` from
+    :func:`signlsh_buckets` bucket-equi pairs or :func:`ivf_topk`
+    cells); everything downstream is per-side windows whose top-k
+    prunes map-side (WindowGroupLimit) and bounded-key joins.
+
+    Returns ``(src_id, tgt_id, cos_ppm, margin_ppm, mutual)``.
+    """
+    av = a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_av"))
+    bv = b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bv"))
+    if candidates is None:
+        for side, name in ((av, "a"), (bv, "b")):
+            if side.limit(max_side + 1).count() > max_side:
+                raise ValueError(
+                    f"bitext_mine exact mode: side {name} exceeds "
+                    f"max_side={max_side}; pass bucketed `candidates`"
+                )
+        pairs = av.crossJoin(F.broadcast(bv))
+    else:
+        pairs = (
+            candidates.select("a_id", "b_id")
+            .join(av, "a_id")
+            .join(bv, "b_id")
+        )
+    cos = dot(F.col("_av"), F.col("_bv")) / (
+        norm(F.col("_av")) * norm(F.col("_bv"))
+    )
+    # the ppm pair table feeds both rank windows, both k-averages and
+    # both argmaxes — checkpoint it LAZILY so the dot-product folds run
+    # once, not once per consumer (the curate_pipeline convention)
+    s = (
+        pairs.withColumn(
+            "cos_ppm", F.floor(cos * F.lit(1_000_000)).cast("long")
+        )
+        .filter(F.col("cos_ppm") >= 0)
+        .select("a_id", "b_id", "cos_ppm")
+        .localCheckpoint(eager=False)
+    )
+    wf = W.partitionBy("a_id").orderBy(F.desc("cos_ppm"), F.asc("b_id"))
+    wb = W.partitionBy("b_id").orderBy(F.desc("cos_ppm"), F.asc("a_id"))
+    fr = s.withColumn("_rk", F.row_number().over(wf))
+    br = s.withColumn("_rk", F.row_number().over(wb))
+    fa = (
+        fr.filter(F.col("_rk") <= k)
+        .groupBy("a_id")
+        .agg(F.expr("CAST(sum(cos_ppm) div count(1) AS BIGINT)")
+             .alias("_favg"))
+    )
+    ba = (
+        br.filter(F.col("_rk") <= k)
+        .groupBy("b_id")
+        .agg(F.expr("CAST(sum(cos_ppm) div count(1) AS BIGINT)")
+             .alias("_bavg"))
+    )
+    best = fr.filter(F.col("_rk") == 1).select("a_id", "b_id", "cos_ppm")
+    bbest = br.filter(F.col("_rk") == 1).select(
+        F.col("b_id").alias("_bb"), F.col("a_id").alias("_best_a")
+    )
+    return (
+        best.join(fa, "a_id")
+        .join(ba, "b_id")
+        .join(bbest, best["b_id"] == F.col("_bb"))
+        .filter(F.col("_favg") + F.col("_bavg") > 0)
+        .select(
+            F.col("a_id").alias("src_id"),
+            F.col("b_id").alias("tgt_id"),
+            "cos_ppm",
+            F.expr(
+                "CAST(CAST(cos_ppm AS DECIMAL(38,0)) * 2000000"
+                " div (_favg + _bavg) AS BIGINT)"
+            ).alias("margin_ppm"),
+            (F.col("_best_a") == F.col("a_id")).alias("mutual"),
+        )
+        .filter(F.col("margin_ppm") >= margin_threshold_ppm)
     )
