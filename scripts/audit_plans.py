@@ -1481,6 +1481,33 @@ def audit(spark, sf_dir: str):
         "partial_min present",
     )
 
+    # bitext_mine (candidates path — the 100 TB shape): every join is
+    # equi on the candidate/rank keys (no cartesian, no nested loop), and
+    # the per-side top-k rank filters prune map-side (WindowGroupLimit
+    # inserts a partial limit BEFORE the rank shuffle, so only ≤k+1 rows
+    # per (key, partition) cross the wire instead of the full pair table)
+    from poc_document_ocr_spark.operators.similarity import bitext_mine
+
+    ep.load_views(spark, sf_dir, "embeddings")
+    _emb = spark.table("embeddings")
+    _a = _emb.filter(F.col("vec_id") % 2 == 0).limit(200)
+    _b = _emb.filter(F.col("vec_id") % 2 == 1).limit(200)
+    _cand = (
+        _a.selectExpr("vec_id AS a_id")
+        .join(_b.selectExpr("vec_id AS b_id"),
+              F.expr("a_id % 7 = b_id % 7"))
+    )
+    bm = bitext_mine(_a, _b, k=4, candidates=_cand)
+    p = plan_of(bm)
+    check(
+        "bitext_mine(candidates): equi joins only, map-side top-k prune",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoop" not in p
+        and "WindowGroupLimit" in p,
+        f"WindowGroupLimit={'WindowGroupLimit' in p}",
+    )
+    sections.append(("bitext_mine", excerpt(p)))
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

@@ -2959,3 +2959,75 @@ def test_lsh_band_sweep_identical_pair_all_configs(spark):
     assert rows[2]["n_pairs"] >= rows[8]["n_pairs"]
     with pytest.raises(ValueError):
         lsh_band_sweep(sigs, num_hashes=16, rows_per_band_configs=(3,))
+
+
+def test_bitext_mine_planted_pairs_mutual_and_guard(spark):
+    """Identical-direction planted pairs must surface as mutual with a
+    high margin; the exact-mode guard must reject an oversized side."""
+    import pytest
+
+    from poc_document_ocr_spark.operators.similarity import bitext_mine
+
+    def e(i, scale=1.0, dim=8):
+        v = [0.05] * dim
+        v[i] = scale
+        return v
+
+    # a_0..a_3 aligned with b_0..b_3 (same direction, different scale —
+    # cosine is scale-invariant); a_4/a_5 and b_4/b_5 are unaligned noise
+    a = spark.createDataFrame(
+        [(i, e(i)) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(i, e(i, 0.7)) for i in range(4)]
+        + [(4, e(6)), (5, e(7))],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["src_id"]: r
+        for r in bitext_mine(a, b, k=2, id_col="vec_id").collect()
+    }
+    for i in range(4):
+        assert out[i]["tgt_id"] == i
+        assert out[i]["mutual"] is True
+        assert out[i]["cos_ppm"] >= 990_000
+        assert out[i]["margin_ppm"] >= 1_050_000
+    # the noise vectors have no aligned target and must not clear margin
+    assert 4 not in out and 5 not in out
+
+    with pytest.raises(ValueError, match="max_side"):
+        bitext_mine(a, b, max_side=3)
+
+
+def test_bitext_mine_candidates_path_equals_exact(spark):
+    """The bucketed `candidates` path (the corpus-scale shape) must be
+    byte-identical to exact mode when the candidate set is complete."""
+    from poc_document_ocr_spark.operators.similarity import bitext_mine
+
+    def vec(i):
+        return [float((i * 7 + j * 3) % 11 - 5) + 0.01 for j in range(4)]
+
+    a = spark.createDataFrame(
+        [(i, vec(i)) for i in range(0, 20, 2)],
+        "vec_id long, embedding array<float>",
+    )
+    b = spark.createDataFrame(
+        [(i, vec(i + 1)) for i in range(1, 21, 2)],
+        "vec_id long, embedding array<float>",
+    )
+    cands = (
+        a.selectExpr("vec_id AS a_id")
+        .crossJoin(b.selectExpr("vec_id AS b_id"))
+    )
+    exact = sorted(
+        tuple(r) for r in bitext_mine(a, b, k=3, margin_threshold_ppm=0)
+        .collect()
+    )
+    viacand = sorted(
+        tuple(r)
+        for r in bitext_mine(
+            a, b, k=3, margin_threshold_ppm=0, candidates=cands
+        ).collect()
+    )
+    assert exact == viacand and len(exact) > 0
