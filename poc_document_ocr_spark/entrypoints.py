@@ -7002,6 +7002,69 @@ WHERE favg + bavg > 0
 """
 
 
+def q_publish_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-republish plan from partition-content manifests: the
+    documents table vs a planted next-version (every 23rd doc edited,
+    every doc with id%97==3 dropped, every id%83==5 re-ingested under a
+    new id) folds to two O(buckets) manifests whose diff names exactly
+    the buckets that need re-publish — never a corpus-row join."""
+    from .operators.manifest import bucket_manifest, manifest_diff
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 97 != 3).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.col("text"), F.lit(" [edited]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 83 == 5).select(
+            (F.col("doc_id") + F.lit(100_000)).alias("doc_id"), "text"
+        )
+    )
+    return manifest_diff(
+        bucket_manifest(docs, n_buckets=64),
+        bucket_manifest(new, n_buckets=64),
+    )
+
+
+_O_PUBLISH_DIFF = """
+WITH oldv AS (SELECT doc_id, text FROM documents),
+newv AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 23 = 0 THEN text || ' [edited]' ELSE text END AS text
+  FROM documents WHERE doc_id % 97 <> 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 83 = 5
+),
+mo AS (
+  SELECT ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 64 AS bucket,
+    count(*) AS n_rows,
+    bit_xor(('0x'||substr(md5(doc_id::VARCHAR || chr(1) || text),1,15))::BIGINT)
+      AS content_sig
+  FROM oldv GROUP BY 1
+),
+mn AS (
+  SELECT ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 64 AS bucket,
+    count(*) AS n_rows,
+    bit_xor(('0x'||substr(md5(doc_id::VARCHAR || chr(1) || text),1,15))::BIGINT)
+      AS content_sig
+  FROM newv GROUP BY 1
+)
+SELECT COALESCE(mo.bucket, mn.bucket) AS bucket,
+  CASE WHEN mo.bucket IS NULL THEN 'added'
+       WHEN mn.bucket IS NULL THEN 'removed'
+       ELSE 'changed' END AS status,
+  mo.n_rows AS n_rows_old, mn.n_rows AS n_rows_new
+FROM mo FULL OUTER JOIN mn ON mo.bucket = mn.bucket
+WHERE mo.bucket IS NULL OR mn.bucket IS NULL
+   OR mo.content_sig <> mn.content_sig OR mo.n_rows <> mn.n_rows
+"""
+
+
 #: crawl timeline with planted late-day quality decay: every third doc on
 #: days 6-7 is replaced by a 3-token punctuation stub (fails the Gopher
 #: min-token rule deterministically) — the "site broke mid-crawl" signal
@@ -7687,6 +7750,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "dedup_weights": q_dedup_weights,
     "context_fit": q_context_fit,
+    # round-4 session-16 ops (overflow; CORRECTNESS_FULL-verified)
+    "publish_diff": q_publish_diff,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -7933,6 +7998,7 @@ ORACLES: dict[str, str] = {
     "quota_alloc": _O_QUOTA_ALLOC,
     "quality_drift": _O_QUALITY_DRIFT,
     "bitext_mine": _O_BITEXT_MINE,
+    "publish_diff": _O_PUBLISH_DIFF,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

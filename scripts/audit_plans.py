@@ -1508,6 +1508,20 @@ def audit(spark, sf_dir: str):
     )
     sections.append(("bitext_mine", excerpt(p)))
 
+    # publish_diff: the manifest fold MUST partial-aggregate map-side
+    # (that is what makes the manifest O(buckets) on the wire instead of
+    # corpus-sized) and the diff join is bounded-key equi — no window,
+    # no cartesian anywhere in the republish plan
+    pd_ = ep.QUERIES["publish_diff"](spark, sf_dir)
+    p = plan_of(pd_)
+    check(
+        "publish_diff: map-side partial manifest fold, equi diff join",
+        ("partial_bit_xor" in p or "partial_bitxoragg" in p.lower())
+        and "Window" not in p
+        and "CartesianProduct" not in p,
+        f"partial agg present={'partial_bit_xor' in p}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

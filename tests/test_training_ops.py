@@ -3031,3 +3031,50 @@ def test_bitext_mine_candidates_path_equals_exact(spark):
         ).collect()
     )
     assert exact == viacand and len(exact) > 0
+
+
+def test_bucket_manifest_layout_invariant_and_diff(spark):
+    """The manifest signature must be identical across partition layouts
+    (the north-rule byte-identical-across-cluster-sizes invariance), an
+    edit must flag exactly its bucket as changed, and unchanged buckets
+    must not appear in the diff."""
+    from poc_document_ocr_spark.operators.manifest import (
+        bucket_manifest,
+        manifest_diff,
+    )
+
+    rows = [(i, f"doc body {i} lorem") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m1 = {
+        r["bucket"]: (r["n_rows"], r["content_sig"])
+        for r in bucket_manifest(df, n_buckets=16).collect()
+    }
+    m2 = {
+        r["bucket"]: (r["n_rows"], r["content_sig"])
+        for r in bucket_manifest(
+            df.repartition(7, "text"), n_buckets=16
+        ).collect()
+    }
+    assert m1 == m2 and sum(n for n, _ in m1.values()) == 200
+
+    # edit one doc → exactly the buckets of edited/removed ids differ
+    new = df.filter(F.col("doc_id") != 77).select(
+        "doc_id",
+        F.when(F.col("doc_id") == 42, F.lit("rewritten"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    diff = manifest_diff(
+        bucket_manifest(df, n_buckets=16),
+        bucket_manifest(new, n_buckets=16),
+    ).collect()
+    assert 1 <= len(diff) <= 2  # ids 42 and 77 may share a bucket
+    assert all(r["status"] == "changed" for r in diff)
+    # identical inputs → empty diff
+    assert (
+        manifest_diff(
+            bucket_manifest(df, n_buckets=16),
+            bucket_manifest(df, n_buckets=16),
+        ).count()
+        == 0
+    )
