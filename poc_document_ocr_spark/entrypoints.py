@@ -7031,6 +7031,56 @@ def q_publish_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script homoglyph screen over the documents table with a
+    planted confusable spoof: every 13th doc gets its Latin 'e'
+    replaced by Cyrillic 'е' — invisible to the eye, flagged by the
+    per-word two-script probe."""
+    from .operators.textstats import script_mix
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.replace(F.col("text"), F.lit("e"), F.lit("е")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return script_mix(docs)
+
+
+_O_SCRIPT_MIX = """
+WITH d AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN replace(text, 'e', 'е') ELSE text END
+      AS text
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(len(list_filter(string_split(text, ' '),
+      w -> regexp_matches(w, '[A-Za-z]')
+       AND regexp_matches(w, '[Ѐ-ӿ]'))) AS BIGINT) AS n_mixed_words
+  FROM d
+)
+SELECT doc_id, n_words,
+  CAST(length(text)
+    - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT)
+    AS n_latin_chars,
+  CAST(length(text)
+    - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT)
+    AS n_cyrillic_chars,
+  n_mixed_words,
+  CAST(CAST(n_mixed_words AS HUGEINT) * 1000000
+    // greatest(n_words, 1) AS BIGINT) AS mixed_ppm,
+  (n_mixed_words = 0) AS clean
+FROM m
+"""
+
+
 _O_PUBLISH_DIFF = """
 WITH oldv AS (SELECT doc_id, text FROM documents),
 newv AS (
@@ -7752,6 +7802,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_fit": q_context_fit,
     # round-4 session-16 ops (overflow; CORRECTNESS_FULL-verified)
     "publish_diff": q_publish_diff,
+    "script_mix": q_script_mix,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -7999,6 +8050,7 @@ ORACLES: dict[str, str] = {
     "quality_drift": _O_QUALITY_DRIFT,
     "bitext_mine": _O_BITEXT_MINE,
     "publish_diff": _O_PUBLISH_DIFF,
+    "script_mix": _O_SCRIPT_MIX,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -60,6 +60,7 @@ __all__ = [
     "PII_PATTERNS",
     "BPE_TOKEN_PATTERN",
     "BLOCKLIST",
+    "script_mix",
 ]
 
 #: dialect-neutral token split shared by the curation operators AND their
@@ -2073,4 +2074,58 @@ def quality_drift(
     return tot.join(worst, group_col).select(
         group_col, "n_days", "n_docs", "keep_ppm",
         "worst_day", "worst_day_ppm", "max_dev_ppm",
+    )
+
+
+def script_mix(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Mixed-script (homoglyph) screen: words blending Latin and
+    Cyrillic letters inside one token.
+
+    A single word carrying both scripts is the classic confusable-spoof
+    / SEO-spam signal (Cyrillic "а/е/о/р/с" pasted into Latin words to
+    dodge exact-match filters — the unicode_confusables problem; cf.
+    UTS #39). Legitimate code-switching alternates scripts BETWEEN
+    words, which :func:`lang_switch` profiles — blending WITHIN a word
+    is what this screen flags.
+
+    Per doc: word count, per-script character totals, the number of
+    blended words, its ppm share, and a ``clean`` boolean that composes
+    with the other screens. The per-word test is two ``rlike`` probes
+    inside a ``filter`` HOF over ``split`` — JVM expression eval, no
+    Python, no shuffle; the script ranges are literal chars (U+0400 —
+    U+04FF written as ``[Ѐ-ӿ]``) in the RE2 / java.regex common subset
+    so the DuckDB oracle replays the regex verbatim. Map-only at any
+    corpus size.
+
+    Returns ``(id, n_words, n_latin_chars, n_cyrillic_chars,
+    n_mixed_words, mixed_ppm, clean)``.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("long")
+    n_words = F.size(F.split(text, " ")).cast("long")
+    n_lat = (
+        n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    ).cast("long")
+    n_cyr = (
+        n_chars - F.length(F.regexp_replace(text, "[Ѐ-ӿ]", ""))
+    ).cast("long")
+    n_mixed = F.expr(
+        f"CAST(size(filter(split({text_col}, ' '),"
+        f" w -> w rlike '[A-Za-z]' AND w rlike '[Ѐ-ӿ]')) AS BIGINT)"
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lat.alias("n_latin_chars"),
+        n_cyr.alias("n_cyrillic_chars"),
+        n_mixed.alias("n_mixed_words"),
+        F.expr(
+            "CAST(CAST(size(filter(split(" + text_col + ", ' '),"
+            " w -> w rlike '[A-Za-z]' AND w rlike '[Ѐ-ӿ]'))"
+            " AS DECIMAL(38,0)) * 1000000"
+            " div greatest(size(split(" + text_col + ", ' ')), 1)"
+            " AS BIGINT)"
+        ).alias("mixed_ppm"),
+        (n_mixed == F.lit(0)).alias("clean"),
     )

@@ -1522,6 +1522,18 @@ def audit(spark, sf_dir: str):
         f"partial agg present={'partial_bit_xor' in p}",
     )
 
+    # script_mix: a per-doc screen must ride the ingest scan — map-only,
+    # zero Exchange, scan pruned to (doc_id, text)
+    sm = ep.QUERIES["script_mix"](spark, sf_dir)
+    p = plan_of(sm)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",")) if m else []
+    check(
+        "script_mix: map-only screen, scan pruned to (doc_id, text)",
+        "Exchange" not in p and cols == ["doc_id", "text"],
+        f"Exchange absent={'Exchange' not in p}, ReadSchema={cols}",
+    )
+
     # --- whole-stage codegen: verify on a non-adaptive plan ---------------
     # (AQE wraps exchange-bearing plans in AdaptiveSparkPlan whose
     # pre-execution string omits codegen annotations; a map-only plan

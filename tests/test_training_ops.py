@@ -3078,3 +3078,26 @@ def test_bucket_manifest_layout_invariant_and_diff(spark):
         ).count()
         == 0
     )
+
+
+def test_script_mix_flags_blended_words_only(spark):
+    """Blending scripts WITHIN a word flags; alternating scripts BETWEEN
+    words (legit code-switching) stays clean."""
+    from poc_document_ocr_spark.operators.textstats import script_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain english words"),
+            (2, "чисто русский текст"),
+            (3, "mixed пример between words"),   # switching, not blending
+            (4, "pаypаl login"),                  # Cyrillic 'а' inside Latin
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_mix(df).collect()}
+    assert out[1]["clean"] and out[1]["n_cyrillic_chars"] == 0
+    assert out[2]["clean"] and out[2]["n_latin_chars"] == 0
+    assert out[3]["clean"] and out[3]["n_mixed_words"] == 0
+    assert not out[4]["clean"]
+    assert out[4]["n_mixed_words"] == 1
+    assert out[4]["mixed_ppm"] == 1_000_000 // 2
