@@ -7031,6 +7031,58 @@ def q_publish_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide extraction-contract validation over the mixed-format
+    corpus (the dispatch_mix payload family): span ordering / bounds /
+    plain-identity violation counts per (fmt, rule) — all expected
+    zero — plus covered-vs-extracted char totals. The oracle computes
+    the same rollup from the payload families' closed forms."""
+    from .operators.extraction import span_lint
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    payload = (
+        F.when(d % 4 == 0, F.col("text"))
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_SUF)),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit(_LAY_HDR),
+                F.col("text"),
+                F.lit(_LAY_MID),
+                F.lit(_LAY_P2),
+                F.lit(_LAY_SUF),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    ex = extract_turns(docs.select("doc_id", payload.alias("text")))
+    return span_lint(ex)
+
+
+_O_SPAN_LINT = f"""
+SELECT CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'html'
+            WHEN 2 THEN 'layout' ELSE 'empty' END AS fmt,
+       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'plain' WHEN 1 THEN 'article'
+            WHEN 2 THEN 'layout-1col' ELSE 'empty' END AS rule,
+       CAST(count(*) AS BIGINT) AS n_units,
+       CAST(0 AS BIGINT) AS n_order_violations,
+       CAST(0 AS BIGINT) AS n_bounds_violations,
+       CAST(0 AS BIGINT) AS n_plain_violations,
+       CAST(sum(CASE CAST(doc_id % 4 AS INT)
+         WHEN 2 THEN length(text) + {_L_P2LEN}
+         WHEN 3 THEN 0 ELSE length(text) END) AS BIGINT) AS covered_chars,
+       CAST(sum(CASE CAST(doc_id % 4 AS INT)
+         WHEN 2 THEN length(text) + 1 + {len(_LAY_P2)}
+         WHEN 3 THEN 0 ELSE length(text) END) AS BIGINT)
+         AS extracted_chars
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-script homoglyph screen over the documents table with a
     planted confusable spoof: every 13th doc gets its Latin 'e'
@@ -7803,6 +7855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 session-16 ops (overflow; CORRECTNESS_FULL-verified)
     "publish_diff": q_publish_diff,
     "script_mix": q_script_mix,
+    "span_lint": q_span_lint,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8051,6 +8104,7 @@ ORACLES: dict[str, str] = {
     "bitext_mine": _O_BITEXT_MINE,
     "publish_diff": _O_PUBLISH_DIFF,
     "script_mix": _O_SCRIPT_MIX,
+    "span_lint": _O_SPAN_LINT,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

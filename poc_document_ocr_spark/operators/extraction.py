@@ -36,6 +36,7 @@ __all__ = [
     "extract_turns_arrow",
     "extract_turns_compact",
     "salted_repartition",
+    "span_lint",
 ]
 
 
@@ -330,3 +331,76 @@ def extract_turns_arrow(
             )
 
     return df.select(*keys, text_col).mapInArrow(gen, schema)
+
+
+def span_lint(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("fmt", "rule"),
+) -> DataFrame:
+    """Distributed output-contract validator for the extraction stage.
+
+    The north-rule invariant this engine is built around — per-turn text
+    + span equality under stable ordering — is pinned at unit scale by
+    the golden fixtures (reference analog: the per-page assertions in
+    ``DocumentIntelligenceServiceTests.cs``-style tests). ``span_lint``
+    runs the STRUCTURAL half of that contract over the whole corpus,
+    inside the same scan that produced the extraction:
+
+    * spans are well-formed and ordered: ``start <= end`` per span,
+      ``end[i] <= start[i+1]`` between spans (non-overlapping, sorted);
+    * spans stay in bounds: ``start[0] >= 0``,
+      ``end[-1] <= length(source)``;
+    * the identity format keeps its identity: ``fmt='plain'`` implies
+      ``extracted_text = source`` (the other formats' text equality is
+      span-composition-dependent and pinned by fixtures + the
+      ``extract_*`` oracles).
+
+    Per (fmt, rule): unit count, violation counts (expected ZERO — a
+    nonzero row names the extractor rule that broke contract after a
+    release), covered source chars (``Σ end-start``) and extracted
+    chars, whose ratio is the per-rule extractiveness the corpus-card
+    tracks. All checks are JVM HOF expressions over the spans array —
+    no second Python pass, no shuffle beyond the bounded (fmt, rule)
+    rollup.
+    """
+    ordered_ok = F.expr(
+        "CASE WHEN size(spans) <= 0 THEN true ELSE"
+        " forall(transform(sequence(1, size(spans)), i ->"
+        "   spans[i-1].start <= spans[i-1].end"
+        "   AND (i = size(spans) OR spans[i-1].end <= spans[i].start)),"
+        "  x -> x) END"
+    )
+    bounds_ok = F.expr(
+        "CASE WHEN size(spans) <= 0 THEN true ELSE"
+        f" spans[0].start >= 0"
+        f" AND element_at(spans, -1).end <= length({text_col}) END"
+    )
+    plain_ok = F.when(
+        F.col("fmt") == "plain",
+        F.col("extracted_text") == F.col(text_col),
+    ).otherwise(F.lit(True))
+    covered = F.expr(
+        "aggregate(spans, CAST(0 AS BIGINT),"
+        " (acc, s) -> acc + CAST(s.end - s.start AS BIGINT))"
+    )
+    flag = lambda ok: F.sum(F.when(ok, 0).otherwise(1)).cast("long")  # noqa: E731
+    return (
+        df.select(
+            *group_cols,
+            ordered_ok.alias("_ord"),
+            bounds_ok.alias("_bnd"),
+            plain_ok.alias("_pln"),
+            covered.alias("_cov"),
+            F.length("extracted_text").cast("long").alias("_exl"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_units"),
+            flag(F.col("_ord")).alias("n_order_violations"),
+            flag(F.col("_bnd")).alias("n_bounds_violations"),
+            flag(F.col("_pln")).alias("n_plain_violations"),
+            F.sum("_cov").alias("covered_chars"),
+            F.sum("_exl").alias("extracted_chars"),
+        )
+    )

@@ -426,3 +426,38 @@ def test_extract_turns_arrow_matches_compact(spark):
     a = extract_turns_compact(turns).orderBy("conv_id", "turn_idx").collect()
     b = extract_turns_arrow(turns).orderBy("conv_id", "turn_idx").collect()
     assert a == b and len(a) > 0
+
+
+def test_span_lint_catches_contract_violations(spark):
+    """A misbehaving extractor (unordered spans, bounds breach, identity
+    lie on the plain path) must be counted per violation family — the
+    fault-injection seam is the same extract_fn hook the error-isolation
+    tests use."""
+    from poc_document_ocr_spark.operators.extraction import (
+        extract_turns,
+        span_lint,
+    )
+
+    def bad_extract(text):
+        return ("not the source", [(5, 2), (100, 200)], "plain", "plain")
+
+    df = spark.createDataFrame(
+        [(1, "short text")], "doc_id long, text string"
+    )
+    (row,) = span_lint(extract_turns(df, extract_fn=bad_extract)).collect()
+    assert row["n_units"] == 1
+    assert row["n_order_violations"] == 1
+    assert row["n_bounds_violations"] == 1
+    assert row["n_plain_violations"] == 1
+
+    def good_extract(text):
+        return (text, [(0, len(text))], "plain", "plain")
+
+    (ok,) = span_lint(extract_turns(df, extract_fn=good_extract)).collect()
+    assert (
+        ok["n_order_violations"]
+        == ok["n_bounds_violations"]
+        == ok["n_plain_violations"]
+        == 0
+    )
+    assert ok["covered_chars"] == ok["extracted_chars"] == 10
