@@ -7083,6 +7083,61 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit over the documents token stream:
+    the d×w counter sketch (the only full-stream pass), probed with the
+    vocabulary of a deterministic 1-in-8 doc sample, top-20 by estimate
+    with the measured one-sided overestimate."""
+    from .operators.sketches import cms_heavy_audit
+
+    load_views(spark, sf_dir, "documents")
+    docs = spark.table("documents")
+    stream = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    cands = docs.filter(F.col("doc_id") % 8 == 0).select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return cms_heavy_audit(stream, cands, d=4, w=512, k=20)
+
+
+_O_CMS_HEAVY = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cand AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE doc_id % 8 = 0
+),
+js AS (SELECT unnest([0, 1, 2, 3]) AS cms_row),
+cms AS (
+  SELECT cms_row,
+    ('0x' || substr(md5(token || '|' || cms_row::VARCHAR), 1, 15))::BIGINT
+      % 512 AS cms_col,
+    count(*) AS n
+  FROM toks CROSS JOIN js GROUP BY 1, 2
+),
+est AS (
+  SELECT cand.token AS _v, min(coalesce(cms.n, 0)) AS cms_est
+  FROM cand CROSS JOIN js
+  LEFT JOIN cms ON cms.cms_row = js.cms_row
+    AND cms.cms_col = ('0x' || substr(md5(cand.token || '|'
+      || js.cms_row::VARCHAR), 1, 15))::BIGINT % 512
+  GROUP BY 1
+),
+exact AS (SELECT token AS _v, count(*) AS exact_n FROM toks GROUP BY 1),
+ranked AS (
+  SELECT est._v, cms_est, coalesce(exact_n, 0) AS exact_n,
+    row_number() OVER (ORDER BY cms_est DESC, est._v) AS _rk
+  FROM est LEFT JOIN exact ON est._v = exact._v
+)
+SELECT _v AS token, cms_est, exact_n,
+  CAST(CAST(cms_est - exact_n AS HUGEINT) * 1000000
+    // greatest(exact_n, 1) AS BIGINT) AS over_ppm
+FROM ranked WHERE _rk <= 20
+"""
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-script homoglyph screen over the documents table with a
     planted confusable spoof: every 13th doc gets its Latin 'e'
@@ -7856,6 +7911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "publish_diff": q_publish_diff,
     "script_mix": q_script_mix,
     "span_lint": q_span_lint,
+    "cms_heavy": q_cms_heavy,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8105,6 +8161,7 @@ ORACLES: dict[str, str] = {
     "publish_diff": _O_PUBLISH_DIFF,
     "script_mix": _O_SCRIPT_MIX,
     "span_lint": _O_SPAN_LINT,
+    "cms_heavy": _O_CMS_HEAVY,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

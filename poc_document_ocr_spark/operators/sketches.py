@@ -41,6 +41,8 @@ __all__ = [
     "hll_distinct",
     "hll_union_novelty",
     "bloom_prefilter_audit",
+    "cms_counters",
+    "cms_heavy_audit",
 ]
 
 #: Register count (2 hex chars of the md5 prefix). Fixed: the rho path
@@ -346,4 +348,119 @@ def bloom_prefilter_audit(
             "CAST(CAST(n_candidates AS DECIMAL(38,0)) * 1000000"
             " div n_corpus_grams AS BIGINT)"
         ).alias("sel_ppm"),
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    value_col: str = "token",
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """The Count-Min sketch state (Cormode & Muthukrishnan 2005): a
+    ``d × w`` counter table ``(cms_row, cms_col, n)`` built with one
+    map-side-combinable groupBy — the third mergeable sketch next to
+    :func:`hll_registers` and the Bloom bit tables.
+
+    Each value increments one counter per hash row; the shuffle carries
+    at most ``d·w`` rows per map task regardless of corpus size, and two
+    counter tables over different slices (days, shards) merge by
+    re-summing per (row, col) — the same persist-and-merge lifecycle as
+    the HLL registers. Hashing is the repo's portable md5 idiom
+    (``conv(substring(md5(value || '|' || row), 1, 15), 16, 10) % w`` —
+    60-bit, non-negative, so Spark ``pmod`` and DuckDB ``%`` agree).
+    """
+    rows = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).cast("int").alias("cms_row"),
+                F.expr(
+                    f"pmod(CAST(conv(substring(md5(concat(CAST({value_col}"
+                    f" AS STRING), '|', '{j}')), 1, 15), 16, 10)"
+                    f" AS BIGINT), {w})"
+                ).alias("cms_col"),
+            )
+            for j in range(d)
+        ])
+    )
+    return (
+        df.select(rows.alias("_rc"))
+        .select("_rc.cms_row", "_rc.cms_col")
+        .groupBy("cms_row", "cms_col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_heavy_audit(
+    stream: DataFrame,
+    candidates: DataFrame,
+    value_col: str = "token",
+    d: int = 4,
+    w: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter audit: query a Count-Min sketch of ``stream`` with a
+    bounded ``candidates`` set, rank by estimate, and measure the
+    overestimate against the exact counts.
+
+    Shape at 100 TB: the sketch is the only full-stream pass and folds
+    to ``d·w`` rows map-side; candidates (a deterministic sample's
+    vocabulary, a watchlist, last run's heavy hitters) explode to
+    ``|C|·d`` probe rows that equi-join the counter table and take
+    ``min`` per candidate — CMS estimates never under-count, so the
+    min is a one-sided bound whose slack this audit measures
+    (``over_ppm``). The exact-count join exists for the audit the same
+    way :func:`hll_distinct`'s ``with_exact`` does; production drops it.
+
+    Returns the top ``k`` by ``(cms_est DESC, value)``:
+    ``(value, cms_est, exact_n, over_ppm)``.
+    """
+    from pyspark.sql import Window as W
+
+    cms = cms_counters(stream, value_col, d=d, w=w)
+    probes = candidates.select(F.col(value_col).alias("_v")).distinct()
+    probe_rows = probes.select(
+        "_v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("int").alias("cms_row"),
+                    F.expr(
+                        f"pmod(CAST(conv(substring(md5(concat(CAST(_v"
+                        f" AS STRING), '|', '{j}')), 1, 15), 16, 10)"
+                        f" AS BIGINT), {w})"
+                    ).alias("cms_col"),
+                )
+                for j in range(d)
+            ])
+        ).alias("_rc"),
+    ).select("_v", "_rc.cms_row", "_rc.cms_col")
+    est = (
+        probe_rows.join(cms, ["cms_row", "cms_col"], "left")
+        .groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        stream.select(F.col(value_col).alias("_v"))
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    ranked = (
+        est.join(exact, "_v", "left")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.desc("cms_est"), F.asc("_v"))
+            ),
+        )
+        .filter(F.col("_rk") <= k)
+    )
+    return ranked.select(
+        F.col("_v").alias(value_col),
+        "cms_est",
+        F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+        F.expr(
+            "CAST(CAST(cms_est - coalesce(exact_n, 0) AS DECIMAL(38,0))"
+            " * 1000000 div greatest(coalesce(exact_n, 0), 1) AS BIGINT)"
+        ).alias("over_ppm"),
     )

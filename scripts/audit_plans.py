@@ -1522,6 +1522,17 @@ def audit(spark, sf_dir: str):
         f"partial agg present={'partial_bit_xor' in p}",
     )
 
+    # cms_heavy: the counter fold MUST partial-aggregate map-side (the
+    # sketch's whole point: d·w rows on the wire, not the token stream)
+    # and nothing in the probe/audit path is a cartesian
+    ch = ep.QUERIES["cms_heavy"](spark, sf_dir)
+    p = plan_of(ch)
+    check(
+        "cms_heavy: map-side partial counter fold, no cartesian",
+        "partial_count" in p and "CartesianProduct" not in p,
+        f"partial_count present={'partial_count' in p}",
+    )
+
     # script_mix: a per-doc screen must ride the ingest scan — map-only,
     # zero Exchange, scan pruned to (doc_id, text)
     sm = ep.QUERIES["script_mix"](spark, sf_dir)

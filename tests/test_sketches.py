@@ -163,3 +163,38 @@ def test_quota_sample_exact_total_and_per_stratum(spark):
     a = sorted(r.doc_id for r in quota_sample(df, 137, "source").collect())
     b = sorted(r.doc_id for r in quota_sample(df, 137, "source").collect())
     assert a == b
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS estimates are a one-sided bound (est >= exact always), the
+    true heavy hitter ranks first, and two slice sketches merged by
+    re-summing per (row, col) equal the sketch of the union — the
+    persist-and-merge lifecycle the HLL registers already pin."""
+    from poc_document_ocr_spark.operators.sketches import (
+        cms_counters,
+        cms_heavy_audit,
+    )
+
+    rows = [("heavy",)] * 50 + [(f"tail{i}",) for i in range(40)]
+    stream = spark.createDataFrame(rows, "token string")
+    cands = spark.createDataFrame(
+        [("heavy",), ("tail3",), ("absent",)], "token string"
+    )
+    out = cms_heavy_audit(stream, cands, d=4, w=64, k=10).collect()
+    assert out[0]["token"] == "heavy" and out[0]["exact_n"] == 50
+    for r in out:
+        assert r["cms_est"] >= r["exact_n"]  # one-sided bound
+        assert r["over_ppm"] >= 0
+
+    half_a = spark.createDataFrame(rows[:45], "token string")
+    half_b = spark.createDataFrame(rows[45:], "token string")
+    merged = (
+        cms_counters(half_a, d=2, w=32)
+        .unionByName(cms_counters(half_b, d=2, w=32))
+        .groupBy("cms_row", "cms_col")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = cms_counters(stream, d=2, w=32)
+    m = {(r["cms_row"], r["cms_col"]): r["n"] for r in merged.collect()}
+    w_ = {(r["cms_row"], r["cms_col"]): r["n"] for r in whole.collect()}
+    assert m == w_
