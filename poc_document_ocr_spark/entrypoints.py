@@ -7083,6 +7083,54 @@ FROM documents GROUP BY 1, 2
 """
 
 
+def q_conv_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-aligned sliding training windows (48-token window, 32-token
+    stride) over the derived transcripts — every window a long
+    conversation yields, with whole-turn alignment."""
+    from .operators.examples import conv_windows
+
+    return conv_windows(
+        spark_transcripts(spark, sf_dir),
+        window_tokens=48,
+        stride_tokens=32,
+    )
+
+
+_O_CONV_WINDOWS = oracle_cte(
+    """
+, toks AS (
+  SELECT conv_id, turn_idx,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS BIGINT) AS _n
+  FROM t
+),
+cum AS (
+  SELECT conv_id, turn_idx, _n,
+    CAST(coalesce(sum(_n) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS _c0
+  FROM toks
+),
+lims AS (
+  SELECT conv_id, turn_idx, _n,
+    CASE WHEN _c0 + _n <= 48 THEN CAST(0 AS BIGINT)
+         ELSE (_c0 + _n - 48 + 32 - 1) // 32 END AS _wmin,
+    _c0 // 32 AS _wmax
+  FROM cum
+),
+exploded AS (
+  SELECT conv_id, turn_idx, _n,
+    unnest(range(_wmin, _wmax + 1)) AS win_idx
+  FROM lims WHERE _wmin <= _wmax
+)
+SELECT conv_id, CAST(win_idx AS BIGINT) AS win_idx,
+  min(turn_idx) AS first_turn, max(turn_idx) AS last_turn,
+  CAST(count(*) AS BIGINT) AS n_turns, sum(_n) AS n_tokens
+FROM exploded GROUP BY 1, 2
+"""
+)
+
+
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over the documents token stream:
     the d×w counter sketch (the only full-stream pass), probed with the
@@ -7912,6 +7960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "script_mix": q_script_mix,
     "span_lint": q_span_lint,
     "cms_heavy": q_cms_heavy,
+    "conv_windows": q_conv_windows,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8162,6 +8211,7 @@ ORACLES: dict[str, str] = {
     "script_mix": _O_SCRIPT_MIX,
     "span_lint": _O_SPAN_LINT,
     "cms_heavy": _O_CMS_HEAVY,
+    "conv_windows": _O_CONV_WINDOWS,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -39,7 +39,7 @@ from .textstats import TOKEN_SPLIT
 _TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
 
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
-           "preference_pairs", "context_window_fit"]
+           "preference_pairs", "context_window_fit", "conv_windows"]
 
 
 def sft_pack_examples(
@@ -349,4 +349,77 @@ def pair_length_bias(
             F.expr("_sum_hc div n_pairs").alias("avg_chosen_chars"),
             F.expr("_sum_lc div n_pairs").alias("avg_rejected_chars"),
         )
+    )
+
+
+def conv_windows(
+    t: DataFrame,
+    window_tokens: int = 48,
+    stride_tokens: int = 32,
+) -> DataFrame:
+    """Turn-aligned sliding training windows over long conversations:
+    every ``window_tokens``-token context window (advancing by
+    ``stride_tokens``) and the whole turns that fit it.
+
+    The long-transcript complement of :func:`context_window_fit` (which
+    keeps ONE suffix): training on a 10⁶-token agent transcript wants
+    EVERY window, turn-aligned — a turn is never split (splitting a turn
+    mid-token-stream breaks the role/loss-mask boundary), so a turn
+    belongs to window ``w`` iff its token interval
+    ``[cum_start, cum_start + n)`` fits inside
+    ``[w·stride, w·stride + window)``. A single turn longer than the
+    window fits no window and is dropped (the caller routes those
+    through :func:`~..textstats.chunk_text`-style intra-turn splitting);
+    with ``stride < window`` adjacent windows overlap — the standard
+    long-context curriculum shape.
+
+    All arithmetic stays non-negative so Spark ``div`` (truncates
+    toward zero) and DuckDB ``//`` (floors) agree: the first candidate
+    window is ``0`` when the turn fits from the origin, else
+    ``(cum_start + n - window + stride - 1) div stride``; the last is
+    ``cum_start div stride``.
+
+    One shuffle: the cumulative-token window hash-partitions on
+    ``conv_id`` and the per-(conv, window) rollup reuses that
+    partitioning. The window-index explode is map-side and bounded by
+    ``window/stride`` copies per turn.
+
+    Returns ``(conv_id, win_idx, first_turn, last_turn, n_turns,
+    n_tokens)``.
+    """
+    n_tok = F.size(
+        F.filter(F.split(_TEXT(), " "), lambda x: x != "")
+    ).cast("long")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = t.select(
+        "conv_id", "turn_idx", n_tok.alias("_n")
+    ).withColumn(
+        "_c0", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+    )
+    wmin = F.expr(
+        f"CASE WHEN _c0 + _n <= {window_tokens} THEN CAST(0 AS BIGINT)"
+        f" ELSE (_c0 + _n - {window_tokens} + {stride_tokens} - 1)"
+        f" div {stride_tokens} END"
+    )
+    wmax = F.expr(f"_c0 div {stride_tokens}")
+    exploded = (
+        base.withColumn("_wmin", wmin)
+        .withColumn("_wmax", wmax)
+        .filter(F.col("_wmin") <= F.col("_wmax"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "_n",
+            F.explode(F.expr("sequence(_wmin, _wmax)")).alias("win_idx"),
+        )
+    )
+    return exploded.groupBy("conv_id", "win_idx").agg(
+        F.min("turn_idx").alias("first_turn"),
+        F.max("turn_idx").alias("last_turn"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("_n").alias("n_tokens"),
     )

@@ -1522,6 +1522,19 @@ def audit(spark, sf_dir: str):
         f"partial agg present={'partial_bit_xor' in p}",
     )
 
+    # conv_windows: ONE shuffle end-to-end — the cumulative-token window
+    # hash-partitions on conv_id and the (conv_id, win_idx) rollup
+    # reuses that partitioning (subset-of-keys ClusteredDistribution,
+    # the consolidate rule); the window-index explode is map-side
+    cw = ep.QUERIES["conv_windows"](spark, sf_dir)
+    p = plan_of(cw)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "conv_windows: ONE shuffle (rollup reuses window partitioning)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+
     # cms_heavy: the counter fold MUST partial-aggregate map-side (the
     # sketch's whole point: d·w rows on the wire, not the token stream)
     # and nothing in the probe/audit path is a cartesian

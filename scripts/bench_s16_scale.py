@@ -90,7 +90,13 @@ def main() -> None:
     )
 
     copies = 2000 if scale == "1" else 200
-    vecs = planted_vectors(spark, sf_dir, copies)
+    # the embeddings parquet is one file → without an explicit
+    # repartition every pair stage downstream of the replicate
+    # crossJoin runs near-serial (measured: the 400k run blew a 30 min
+    # budget at ~1 core); spread the planted corpus once, up front
+    vecs = planted_vectors(spark, sf_dir, copies).repartition(
+        cpus * 4, "vec_id"
+    )
     # replication preserves base-id parity (rep·n is even), so the two
     # sides partition the planted corpus by base vector
     a = vecs.filter(F.col("vec_id") % 2 == 0)

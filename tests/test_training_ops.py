@@ -3101,3 +3101,33 @@ def test_script_mix_flags_blended_words_only(spark):
     assert not out[4]["clean"]
     assert out[4]["n_mixed_words"] == 1
     assert out[4]["mixed_ppm"] == 1_000_000 // 2
+
+
+def test_conv_windows_turn_aligned_overlap(spark):
+    """Turns never split across windows; overlap reuses whole turns; a
+    turn longer than the window appears nowhere."""
+    from poc_document_ocr_spark.operators.examples import conv_windows
+
+    rows = [
+        ("c1", 1, "a b c d"),          # tokens [0,4)
+        ("c1", 2, "e f g"),            # [4,7)
+        ("c1", 3, "h i j k l"),        # [7,12)
+        ("c1", 4, " ".join("x" * 1 for _ in range(20))),  # 20 > window
+        ("c2", 1, "solo"),
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {
+        (r["conv_id"], r["win_idx"]): r
+        for r in conv_windows(t, window_tokens=8, stride_tokens=4).collect()
+    }
+    # window 0 = [0,8): turns 1,2 fit; turn 3 ([7,12)) does not
+    w0 = out[("c1", 0)]
+    assert (w0["first_turn"], w0["last_turn"], w0["n_tokens"]) == (1, 2, 7)
+    # window 1 = [4,12): turns 2,3 fit — turn 2 re-used by overlap
+    w1 = out[("c1", 1)]
+    assert (w1["first_turn"], w1["last_turn"], w1["n_tokens"]) == (2, 3, 8)
+    # the 20-token turn fits no window
+    assert all(
+        not (k[0] == "c1" and v["last_turn"] == 4) for k, v in out.items()
+    )
+    assert out[("c2", 0)]["n_tokens"] == 1
