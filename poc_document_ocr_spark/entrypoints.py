@@ -7131,6 +7131,168 @@ FROM exploded GROUP BY 1, 2
 )
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HDR-histogram quantile registers probed at p50/p90/p99
+    per language over document char counts — the fourth sketch (after
+    HLL / Bloom / CMS): quantile bounds with relative error ≤ 1/8 from a
+    register table at most 63·8 rows per language, map-side-combinable
+    and mergeable across snapshots."""
+    from .operators.sketches import hdr_quantiles
+
+    return hdr_quantiles(
+        _docs(spark, sf_dir), "n_chars", group_col="lang",
+        probs_pct=(50, 90, 99), sub_buckets=8,
+    )
+
+
+_O_HDR_QUANTILES = """
+WITH v AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+),
+b AS (
+  SELECT lang, CASE WHEN v < 1 THEN 0 ELSE length(bin(v)) END AS e, v
+  FROM v
+),
+s AS (
+  SELECT lang, e,
+    CASE WHEN e = 0 THEN 0
+      ELSE CAST((v - (CAST(1 AS BIGINT) << (e - 1)))
+        // greatest((CAST(1 AS BIGINT) << (e - 1)) // 8, 1) AS INT)
+    END AS sub
+  FROM b
+),
+regs AS (
+  SELECT lang, e, sub, CAST(count(*) AS BIGINT) AS n
+  FROM s GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT lang, e, sub, n,
+    CAST(sum(n) OVER (PARTITION BY lang ORDER BY e, sub) AS BIGINT)
+      AS _cum,
+    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS _tot
+  FROM regs
+),
+probed AS (
+  SELECT lang, e, sub, n, _cum, _tot, pct
+  FROM cum CROSS JOIN (SELECT unnest([50, 90, 99]) AS pct) p
+  WHERE _cum >= (pct * _tot + 99) // 100
+    AND _cum - n < (pct * _tot + 99) // 100
+)
+SELECT lang, CAST(pct AS INT) AS pct,
+  CASE WHEN e = 0 THEN CAST(0 AS BIGINT)
+    ELSE (CAST(1 AS BIGINT) << (e - 1))
+      + sub * greatest((CAST(1 AS BIGINT) << (e - 1)) // 8, 1)
+  END AS q_lo,
+  CASE WHEN e = 0 THEN CAST(0 AS BIGINT)
+    WHEN (CAST(1 AS BIGINT) << (e - 1)) < 8
+      THEN (CAST(1 AS BIGINT) << (e - 1)) + sub
+    ELSE (CAST(1 AS BIGINT) << (e - 1))
+      + (sub + 1) * greatest((CAST(1 AS BIGINT) << (e - 1)) // 8, 1) - 1
+  END AS q_hi,
+  _tot AS n_total
+FROM probed
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible multi-epoch shuffle-order audit over the documents
+    corpus: 3 epochs × 16 hash shards, each row the shard's doc count,
+    key range, and permutation fingerprint — the deterministic
+    data-order layer (same seed ⇒ identical batch order; new epoch ⇒
+    fresh permutation) that partition-dependent ``orderBy(rand())``
+    cannot provide."""
+    from .operators.sampling import epoch_shuffle_audit
+
+    return epoch_shuffle_audit(
+        _docs(spark, sf_dir), n_epochs=3, id_col="doc_id", seed=0,
+    )
+
+
+_O_EPOCH_SHUFFLE = """
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+k AS (
+  SELECT id, epoch,
+    substring(md5(CAST(id AS VARCHAR) || ':s:0'), 1, 1) AS shard,
+    substring(md5(CAST(id AS VARCHAR) || ':e'
+      || CAST(epoch AS VARCHAR) || ':0'), 1, 8) AS _key
+  FROM d CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e
+),
+pos AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY epoch, shard ORDER BY _key, id) AS BIGINT) AS pos
+  FROM k
+)
+SELECT CAST(epoch AS INT) AS epoch, shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  min(_key) AS min_key, max(_key) AS max_key,
+  CAST(sum(pos * id) AS BIGINT) AS order_fp
+FROM pos GROUP BY 1, 2
+"""
+
+
+def q_trunc_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation policy audit (64-token budget): what
+    head-keep / tail-keep / drop-middle truncation each retain of the
+    transcripts — turns, tokens, assistant tokens, exact retention ppm,
+    conversations that fit whole."""
+    from .operators.examples import truncation_audit
+
+    return truncation_audit(spark_transcripts(spark, sf_dir), 64)
+
+
+_O_TRUNC_POLICY = oracle_cte(
+    """
+, toks AS (
+  SELECT conv_id, turn_idx, role = 'assistant' AS _asst,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      AS BIGINT) AS _n
+  FROM t
+),
+c AS (
+  SELECT conv_id, _n, _asst,
+    sum(_n) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cf,
+    sum(_n) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS _cb
+  FROM toks
+),
+pc AS (
+  SELECT conv_id, sum(_n) AS _tot,
+    sum(CASE WHEN _cf <= 64 THEN 1 ELSE 0 END) AS _turns_head,
+    sum(CASE WHEN _cf <= 64 THEN _n ELSE 0 END) AS _tok_head,
+    sum(CASE WHEN _cf <= 64 AND _asst THEN _n ELSE 0 END) AS _atok_head,
+    sum(CASE WHEN _cb <= 64 THEN 1 ELSE 0 END) AS _turns_tail,
+    sum(CASE WHEN _cb <= 64 THEN _n ELSE 0 END) AS _tok_tail,
+    sum(CASE WHEN _cb <= 64 AND _asst THEN _n ELSE 0 END) AS _atok_tail,
+    sum(CASE WHEN _cf <= 32 OR _cb <= 32 THEN 1 ELSE 0 END)
+      AS _turns_edges,
+    sum(CASE WHEN _cf <= 32 OR _cb <= 32 THEN _n ELSE 0 END)
+      AS _tok_edges,
+    sum(CASE WHEN (_cf <= 32 OR _cb <= 32) AND _asst THEN _n ELSE 0 END)
+      AS _atok_edges
+  FROM c GROUP BY conv_id
+),
+up AS (
+  SELECT 'head' AS policy, _tot, _turns_head AS _turns,
+    _tok_head AS _tok, _atok_head AS _atok FROM pc
+  UNION ALL SELECT 'tail', _tot, _turns_tail, _tok_tail, _atok_tail
+  FROM pc
+  UNION ALL SELECT 'edges', _tot, _turns_edges, _tok_edges, _atok_edges
+  FROM pc
+)
+SELECT policy, CAST(count(*) AS BIGINT) AS n_convs,
+  CAST(sum(CASE WHEN _tok = _tot THEN 1 ELSE 0 END) AS BIGINT)
+    AS convs_fit,
+  CAST(sum(_turns) AS BIGINT) AS n_turns_kept,
+  CAST(sum(_tok) AS BIGINT) AS n_tokens_kept,
+  CAST(sum(_atok) AS BIGINT) AS asst_tokens_kept,
+  CAST(CAST(sum(_tok) AS HUGEINT) * 1000000
+    // greatest(sum(_tot), 1) AS BIGINT) AS tokens_kept_ppm
+FROM up GROUP BY policy
+"""
+)
+
+
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over the documents token stream:
     the d×w counter sketch (the only full-stream pass), probed with the
@@ -7961,6 +8123,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_lint": q_span_lint,
     "cms_heavy": q_cms_heavy,
     "conv_windows": q_conv_windows,
+    "hdr_quantiles": q_hdr_quantiles,
+    "epoch_shuffle": q_epoch_shuffle,
+    "trunc_policy": q_trunc_policy,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8212,6 +8377,9 @@ ORACLES: dict[str, str] = {
     "span_lint": _O_SPAN_LINT,
     "cms_heavy": _O_CMS_HEAVY,
     "conv_windows": _O_CONV_WINDOWS,
+    "hdr_quantiles": _O_HDR_QUANTILES,
+    "epoch_shuffle": _O_EPOCH_SHUFFLE,
+    "trunc_policy": _O_TRUNC_POLICY,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

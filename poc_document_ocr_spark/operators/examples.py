@@ -39,7 +39,8 @@ from .textstats import TOKEN_SPLIT
 _TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
 
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
-           "preference_pairs", "context_window_fit", "conv_windows"]
+           "preference_pairs", "context_window_fit", "conv_windows",
+           "truncation_audit"]
 
 
 def sft_pack_examples(
@@ -422,4 +423,103 @@ def conv_windows(
         F.max("turn_idx").alias("last_turn"),
         F.count(F.lit(1)).alias("n_turns"),
         F.sum("_n").alias("n_tokens"),
+    )
+
+
+def truncation_audit(
+    t: DataFrame,
+    budget_tokens: int = 64,
+) -> DataFrame:
+    """Context-budget truncation policy audit over long conversations:
+    for a ``budget_tokens`` context window, compare the three standard
+    turn-aligned truncation policies —
+
+    * ``head``  — keep leading turns while they fit,
+    * ``tail``  — keep trailing turns while they fit (the chat default:
+      recent context survives),
+    * ``edges`` — split the budget between the opening turns (system
+      prompt, task statement) and the trailing turns, dropping the
+      middle (the "drop-middle" long-context recipe) —
+
+    reporting per policy what survives: turns, tokens, assistant tokens
+    (the trainable lane), exact retention ppm, and how many
+    conversations fit entirely. Turn-aligned like :func:`conv_windows`:
+    a turn is kept whole or not at all.
+
+    Shape: one forward and one backward cumulative-token window under
+    the same conversation partitioning (ONE shuffle), a per-conversation
+    conditional-sum rollup that reuses it, then a 3-row literal unpivot
+    over a bounded per-conv aggregate.
+
+    Returns ``(policy, n_convs, convs_fit, n_turns_kept, n_tokens_kept,
+    asst_tokens_kept, tokens_kept_ppm)``.
+    """
+    b = int(budget_tokens)
+    b_head, b_tail = b // 2, b - b // 2
+    n_tok = F.size(
+        F.filter(F.split(_TEXT(), " "), lambda x: x != "")
+    ).cast("long")
+    wf = (
+        W.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wb = (
+        W.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    base = t.select(
+        "conv_id",
+        "turn_idx",
+        n_tok.alias("_n"),
+        (F.col("role") == "assistant").alias("_asst"),
+    ).select(
+        "conv_id", "_n", "_asst",
+        F.sum("_n").over(wf).alias("_cf"),
+        F.sum("_n").over(wb).alias("_cb"),
+    )
+    keep = {
+        "head": F.col("_cf") <= b,
+        "tail": F.col("_cb") <= b,
+        "edges": (F.col("_cf") <= b_head) | (F.col("_cb") <= b_tail),
+    }
+    aggs = [F.sum("_n").alias("_tot")]
+    for p, cond in keep.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_turns_{p}"),
+            F.sum(F.when(cond, F.col("_n")).otherwise(0)).alias(f"_tok_{p}"),
+            F.sum(
+                F.when(cond & F.col("_asst"), F.col("_n")).otherwise(0)
+            ).alias(f"_atok_{p}"),
+        ]
+    per_conv = base.groupBy("conv_id").agg(*aggs)
+    rows = ", ".join(
+        f"'{p}', _turns_{p}, _tok_{p}, _atok_{p}" for p in keep
+    )
+    unpivoted = per_conv.select(
+        "_tot",
+        F.expr(
+            f"stack({len(keep)}, {rows})"
+            " AS (policy, _turns, _tok, _atok)"
+        ),
+    )
+    return (
+        unpivoted.groupBy("policy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum(F.when(F.col("_tok") == F.col("_tot"), 1).otherwise(0))
+            .cast("long")
+            .alias("convs_fit"),
+            F.sum("_turns").cast("long").alias("n_turns_kept"),
+            F.sum("_tok").cast("long").alias("n_tokens_kept"),
+            F.sum("_atok").cast("long").alias("asst_tokens_kept"),
+            F.sum("_tot").alias("_sum_tot"),
+        )
+        .select(
+            "policy", "n_convs", "convs_fit", "n_turns_kept",
+            "n_tokens_kept", "asst_tokens_kept",
+            F.expr(
+                "CAST(CAST(n_tokens_kept AS DECIMAL(38,0)) * 1000000"
+                " div greatest(_sum_tot, 1) AS BIGINT)"
+            ).alias("tokens_kept_ppm"),
+        )
     )

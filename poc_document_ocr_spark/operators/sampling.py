@@ -37,6 +37,7 @@ __all__ = [
     "apply_mixture",
     "mixture_kept",
     "epoch_schedule",
+    "epoch_shuffle_audit",
     "curation_funnel",
     "length_trim",
     "k_anonymity",
@@ -1286,4 +1287,69 @@ def padding_waste(
                 f" div (n_packs * {budget}) AS BIGINT)"
             ).alias("fill_ppm"),
         )
+    )
+
+
+def epoch_shuffle_audit(
+    docs: DataFrame,
+    n_epochs: int = 3,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Reproducible multi-epoch training-order assignment, audited: each
+    epoch gets its own deterministic global shuffle (order key =
+    ``md5(id ':e' epoch ':' seed)``), documents land in one of 16 hash
+    shards, and positions within a shard follow the key order — the
+    data-order layer a training run needs to be RE-RUNNABLE (same seed
+    ⇒ byte-identical batch order) while still decorrelating epochs
+    (different epoch ⇒ a fresh permutation).
+
+    This is what ``df.orderBy(rand())`` cannot give: ``rand()`` depends
+    on partition layout, so a retry, a different file split, or AQE
+    re-planning silently changes the training order. Here the key is a
+    pure function of (id, epoch, seed).
+
+    Scale shape: key and shard derivation are map-only (the shard is the
+    FIRST HEX CHAR of a second md5 slice — 16 shards with no hex→int
+    conversion, so the same expression runs in the DuckDB oracle; wider
+    fleets take more hex chars for 16^k shards). The epoch replication
+    is a map-side explode. The single shuffle is the ``row_number``
+    window over (epoch, shard) — uniform md5 keys, so no shard skew by
+    construction — and it doubles as the sink partitioning for
+    per-shard sequence files. The audit output is BOUNDED
+    (``n_epochs · 16`` rows): per (epoch, shard) the doc count, the key
+    range, and an order fingerprint ``sum(pos · id)`` that pins the
+    exact permutation (any reordering changes it) without shipping the
+    order itself.
+
+    Returns ``(epoch, shard, n_docs, min_key, max_key, order_fp)``.
+    """
+    epochs = F.explode(
+        F.array(*[F.lit(e).cast("int") for e in range(n_epochs)])
+    ).alias("epoch")
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f":s:{seed}"))), 1, 1
+        ).alias("shard"),
+        epochs,
+    ).withColumn(
+        "_key",
+        F.substring(
+            F.md5(F.concat(
+                F.col("_id").cast("string"),
+                F.lit(":e"),
+                F.col("epoch").cast("string"),
+                F.lit(f":{seed}"),
+            )), 1, 8,
+        ),
+    )
+    w = W.partitionBy("epoch", "shard").orderBy("_key", "_id")
+    pos = keyed.withColumn("pos", F.row_number().over(w).cast("long"))
+    return pos.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("_key").alias("min_key"),
+        F.max("_key").alias("max_key"),
+        F.sum(F.col("pos") * F.col("_id")).cast("long").alias("order_fp"),
     )

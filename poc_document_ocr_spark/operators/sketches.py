@@ -43,6 +43,8 @@ __all__ = [
     "bloom_prefilter_audit",
     "cms_counters",
     "cms_heavy_audit",
+    "hdr_registers",
+    "hdr_quantiles",
 ]
 
 #: Register count (2 hex chars of the md5 prefix). Fixed: the rho path
@@ -463,4 +465,122 @@ def cms_heavy_audit(
             "CAST(CAST(cms_est - coalesce(exact_n, 0) AS DECIMAL(38,0))"
             " * 1000000 div greatest(coalesce(exact_n, 0), 1) AS BIGINT)"
         ).alias("over_ppm"),
+    )
+
+
+def hdr_registers(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    sub_buckets: int = 8,
+) -> DataFrame:
+    """The fourth mergeable sketch: HDR-histogram-style quantile
+    registers (power-of-two exponent buckets with linear sub-buckets —
+    the HdrHistogram / DDSketch family of relative-error quantile
+    summaries, here in the integer-exact, engine-portable form the repo's
+    other sketches use).
+
+    A positive value ``v`` lands in exponent bucket ``e = length(bin(v))``
+    (``= floor(log2 v) + 1`` — pure string arithmetic, no float log) and
+    linear sub-bucket ``(v - 2^(e-1)) div max(2^(e-1) div m, 1)``, so the
+    bucket's value range is at most ``2^(e-1)/m`` wide: any quantile read
+    from the registers carries relative error ≤ ``1/m``. The register
+    table is ``(group, e, sub, lo, hi, n)`` built with ONE map-side-
+    combinable groupBy — at most ``63·m`` rows per group on the wire
+    regardless of corpus size, vs the per-distinct-value histogram the
+    exact :func:`~.sampling.group_quantiles` path shuffles. Registers
+    over different slices (days, shards, snapshots) merge by re-summing
+    per bucket — the same persist-and-merge lifecycle as
+    :func:`hll_registers` and :func:`cms_counters`.
+
+    Non-positive values are counted into a single underflow bucket
+    ``e = 0`` (lo = hi = 0) so totals reconcile.
+    """
+    m = int(sub_buckets)
+    v = f"CAST({value_col} AS BIGINT)"
+    e = f"CASE WHEN {v} < 1 THEN 0 ELSE length(bin({v})) END"
+    lower = "shiftleft(CAST(1 AS BIGINT), _e - 1)"
+    width = f"greatest({lower} div {m}, CAST(1 AS BIGINT))"
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.expr(e).cast("int").alias("_e"),
+            F.expr(v).alias("_v"),
+        )
+        .select(
+            "grp",
+            "_e",
+            F.expr(
+                f"CASE WHEN _e = 0 THEN 0"
+                f" ELSE CAST((_v - {lower}) div {width} AS INT) END"
+            ).alias("_sub"),
+        )
+        .groupBy("grp", "_e", "_sub")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "grp",
+            F.col("_e").alias("e"),
+            F.col("_sub").alias("sub"),
+            F.expr(
+                f"CASE WHEN _e = 0 THEN CAST(0 AS BIGINT)"
+                f" ELSE {lower} + _sub * {width} END"
+            ).alias("lo"),
+            F.expr(
+                f"CASE WHEN _e = 0 THEN CAST(0 AS BIGINT)"
+                f" WHEN {lower} < {m} THEN {lower} + _sub * {width}"
+                f" ELSE {lower} + (_sub + 1) * {width} - 1 END"
+            ).alias("hi"),
+            "n",
+        )
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_col: str = "lang",
+    probs_pct: tuple[int, ...] = (50, 90, 99),
+    sub_buckets: int = 8,
+) -> DataFrame:
+    """Quantile probe over :func:`hdr_registers`: for each group and each
+    requested percentile, the register bucket that covers the quantile
+    index — a ``[q_lo, q_hi]`` bound on the true quantile with relative
+    error ≤ ``1/sub_buckets``.
+
+    The cumulative scan runs over the REGISTER domain (≤ ``63·m`` rows
+    per group), not the data: the only row-grain work is the register
+    build's map-side fold, so the sort window here is bounded however
+    large the corpus — the sketch answer to the dominant-group sort skew
+    the exact quantile path had to engineer around.
+
+    Returns ``(group, pct, q_lo, q_hi, n_total)``; the quantile index is
+    the ceiling rank ``ceil(pct·n/100)`` over ascending buckets.
+    """
+    from pyspark.sql import Window as W
+
+    regs = hdr_registers(df, value_col, group_col, sub_buckets)
+    w = (
+        W.partitionBy("grp")
+        .orderBy("e", "sub")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = regs.select(
+        "grp", "e", "sub", "lo", "hi", "n",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(W.partitionBy("grp")).alias("_tot"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)).cast("int") for p in probs_pct])
+    ).alias("pct")
+    probed = cum.select("*", pcts).filter(
+        # ceil(pct*tot/100) in integers: (pct*tot + 99) div 100
+        F.expr("_cum >= (pct * _tot + 99) div 100")
+        & F.expr("_cum - n < (pct * _tot + 99) div 100")
+    )
+    return probed.select(
+        F.col("grp").alias(group_col),
+        "pct",
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+        F.col("_tot").cast("long").alias("n_total"),
     )

@@ -1535,6 +1535,50 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
+    # hdr_quantiles: the register build MUST partial-aggregate map-side
+    # (≤ 63·m rows per group on the wire — the sketch's whole point) and
+    # the only windows run over the register domain, never the docs: the
+    # doc-grain stages are map-only, so ≤ 2 shuffles total (register
+    # groupBy + the bounded per-group cumulative window)
+    hq = ep.QUERIES["hdr_quantiles"](spark, sf_dir)
+    p = plan_of(hq)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "hdr_quantiles: register fold partial-aggregates map-side",
+        "partial_count" in p,
+        f"partial_count present={'partial_count' in p}",
+    )
+    check(
+        "hdr_quantiles: ≤2 shuffles (register build + bounded cum window)",
+        n_ex <= 2,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # epoch_shuffle: ONE shuffle — the row_number window partitions on
+    # (epoch, shard) and the audit groupBy reuses that partitioning; the
+    # epoch replication and key/shard hashing are map-side
+    es = ep.QUERIES["epoch_shuffle"](spark, sf_dir)
+    p = plan_of(es)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "epoch_shuffle: ONE shuffle (audit rollup reuses window part.)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # trunc_policy: the fwd/bwd cumulative windows and the per-conv
+    # rollup all share the conv_id partitioning (one shuffle); the
+    # 3-row unpivot is map-side and only the bounded per-policy
+    # aggregate adds a second exchange
+    tp = ep.QUERIES["trunc_policy"](spark, sf_dir)
+    p = plan_of(tp)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "trunc_policy: 2 shuffles (conv windows+rollup share; tiny final)",
+        n_ex == 2,
+        f"Exchange nodes = {n_ex}",
+    )
+
     # cms_heavy: the counter fold MUST partial-aggregate map-side (the
     # sketch's whole point: d·w rows on the wire, not the token stream)
     # and nothing in the probe/audit path is a cartesian

@@ -3131,3 +3131,103 @@ def test_conv_windows_turn_aligned_overlap(spark):
         not (k[0] == "c1" and v["last_turn"] == 4) for k, v in out.items()
     )
     assert out[("c2", 0)]["n_tokens"] == 1
+
+
+def test_hdr_registers_bucket_bounds_and_quantile_error(spark):
+    """Every value lands in a bucket whose [lo, hi] contains it; the
+    probed quantile bound brackets the true quantile with relative
+    error <= 1/m; registers stay bounded."""
+    from poc_document_ocr_spark.operators.sketches import (
+        hdr_quantiles,
+        hdr_registers,
+    )
+
+    vals = [1, 2, 3, 7, 8, 9, 100, 157, 1000, 1023, 1024, 50000, 0]
+    df = spark.createDataFrame(
+        [("en", v) for v in vals], "lang string, v long"
+    )
+    regs = hdr_registers(df, "v").collect()
+    assert sum(r["n"] for r in regs) == len(vals)
+    for r in regs:
+        assert r["lo"] <= r["hi"]
+        if r["e"] > 0:
+            # bucket width respects the 1/8 relative-error contract
+            assert r["hi"] - r["lo"] + 1 <= max((1 << (r["e"] - 1)) // 8, 1)
+    # every bucket that holds v must bracket it: rebuild the mapping
+    by_bucket = {(r["e"], r["sub"]): r for r in regs}
+    for v in vals:
+        e = 0 if v < 1 else len(bin(v)) - 2
+        if e == 0:
+            continue
+        lower = 1 << (e - 1)
+        sub = (v - lower) // max(lower // 8, 1)
+        r = by_bucket[(e, sub)]
+        assert r["lo"] <= v <= r["hi"], (v, dict(r.asDict()))
+    q = {
+        r["pct"]: r
+        for r in hdr_quantiles(df, "v", probs_pct=(50, 99)).collect()
+    }
+    pos = sorted(v for v in vals)
+    true_p50 = pos[-(-50 * len(pos) // 100) - 1]  # ceil-rank quantile
+    assert q[50]["q_lo"] <= true_p50 <= q[50]["q_hi"]
+    assert q[99]["q_lo"] <= max(vals) <= q[99]["q_hi"]
+
+
+def test_epoch_shuffle_reproducible_and_epoch_decorrelated(spark):
+    """Same seed => identical audit; different epochs => different
+    permutation fingerprints; counts conserve the corpus per epoch."""
+    from poc_document_ocr_spark.operators.sampling import (
+        epoch_shuffle_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    a = epoch_shuffle_audit(docs, n_epochs=2, seed=7).collect()
+    b = epoch_shuffle_audit(docs, n_epochs=2, seed=7).collect()
+    key = lambda r: (r["epoch"], r["shard"])
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_epoch = {}
+    for r in a:
+        per_epoch.setdefault(r["epoch"], []).append(r)
+    assert {e: sum(r["n_docs"] for r in rs) for e, rs in per_epoch.items()} \
+        == {0: 200, 1: 200}
+    # shard membership is epoch-independent, but the order inside a
+    # shard is not: at least one shard's fingerprint must change
+    fp0 = {r["shard"]: r["order_fp"] for r in per_epoch[0]}
+    fp1 = {r["shard"]: r["order_fp"] for r in per_epoch[1]}
+    assert set(fp0) == set(fp1)
+    assert any(fp0[s] != fp1[s] for s in fp0)
+    # and a different seed reshards
+    c = epoch_shuffle_audit(docs, n_epochs=1, seed=8).collect()
+    n7 = {r["shard"]: r["n_docs"] for r in per_epoch[0]}
+    n8 = {r["shard"]: r["n_docs"] for r in c}
+    assert n7 != n8
+
+
+def test_truncation_audit_hand_computed(spark):
+    """head/tail/edges retention on a hand-computed conversation."""
+    from poc_document_ocr_spark.operators.examples import truncation_audit
+
+    rows = [
+        ("c1", 1, "user", "a b c"),        # 3 tokens
+        ("c1", 2, "assistant", "d e f g"),  # 4
+        ("c1", 3, "user", "h i"),           # 2
+        ("c1", 4, "assistant", "j k l"),    # 3  (total 12)
+        ("c2", 1, "assistant", "one two"),  # fits everywhere
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["policy"]: r for r in truncation_audit(t, 8).collect()}
+    # c1 head (budget 8): cum 3,7,9,12 -> turns 1,2 kept (7 tokens)
+    # c1 tail: cum-from-end 3,5,9,12 -> turns 3,4 kept (5 tokens)
+    # c1 edges (4+4): head cum<=4 -> turn 1; tail cum<=4 -> turn 4
+    h, tl, ed = out["head"], out["tail"], out["edges"]
+    assert (h["n_tokens_kept"], h["asst_tokens_kept"]) == (7 + 2, 4 + 2)
+    assert (tl["n_tokens_kept"], tl["asst_tokens_kept"]) == (5 + 2, 3 + 2)
+    assert (ed["n_tokens_kept"], ed["asst_tokens_kept"]) == (6 + 2, 3 + 2)
+    assert h["convs_fit"] == tl["convs_fit"] == ed["convs_fit"] == 1
+    assert h["n_convs"] == 2
+    # ppm is exact integer math over the 14-token corpus
+    assert h["tokens_kept_ppm"] == 9 * 10**6 // 14
