@@ -7225,7 +7225,8 @@ pos AS (
 SELECT CAST(epoch AS INT) AS epoch, shard,
   CAST(count(*) AS BIGINT) AS n_docs,
   min(_key) AS min_key, max(_key) AS max_key,
-  CAST(sum(pos * id) AS BIGINT) AS order_fp
+  CAST(sum(((pos % 1000000007) * (id % 1000000007)) % 1000000007)
+    % 1000000007 AS BIGINT) AS order_fp
 FROM pos GROUP BY 1, 2
 """
 
@@ -7291,6 +7292,128 @@ SELECT policy, CAST(count(*) AS BIGINT) AS n_convs,
 FROM up GROUP BY policy
 """
 )
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template serialization audit: per conversation, the rendered
+    length and the loss-mask (assistant) span accounting from the
+    chat_spans offset table — the span table is the deliverable (the
+    writer re-derives byte offsets at materialization); nothing here
+    concatenates a conversation into one row."""
+    from .operators.examples import chat_spans
+
+    sp = chat_spans(spark_transcripts(spark, sf_dir))
+    fp = (
+        "pmod(pmod(text_start, 1000000007) * 1000003"
+        " + pmod(text_end, 1000000007), 1000000007)"
+    )
+    return sp.groupBy("conv_id").agg(
+        F.max("block_end").cast("long").alias("rendered_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("trainable"), 1).otherwise(0))
+        .cast("long").alias("n_trainable"),
+        F.sum(
+            F.when(
+                F.col("trainable"),
+                F.col("text_end") - F.col("text_start"),
+            ).otherwise(0)
+        ).cast("long").alias("trainable_chars"),
+        F.expr(
+            f"CAST(sum(CAST({fp} AS DECIMAL(38,0)))"
+            " % 1000000007 AS BIGINT)"
+        ).alias("spans_fp"),
+    )
+
+
+_O_CHAT_RENDER = oracle_cte(
+    """
+, blk AS (
+  SELECT conv_id, turn_idx, role,
+    role = 'assistant' AS trainable,
+    CAST(length(role) + 5 AS BIGINT) AS _hdr,
+    CAST(length(coalesce(text, '')) AS BIGINT) AS _len,
+    CAST(length(role) + 6 + length(coalesce(text, '')) AS BIGINT) AS _blk
+  FROM t
+),
+off AS (
+  SELECT conv_id, trainable, _hdr, _len, _blk,
+    CAST(coalesce(sum(_blk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS _before
+  FROM blk
+),
+sp AS (
+  SELECT conv_id, trainable,
+    _before + _hdr AS text_start,
+    _before + _hdr + _len AS text_end,
+    _before + _blk AS block_end
+  FROM off
+)
+SELECT conv_id,
+  CAST(max(block_end) AS BIGINT) AS rendered_chars,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN trainable THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_trainable,
+  CAST(sum(CASE WHEN trainable THEN text_end - text_start ELSE 0 END)
+    AS BIGINT) AS trainable_chars,
+  CAST(sum(((text_start % 1000000007) * 1000003
+    + (text_end % 1000000007)) % 1000000007) % 1000000007 AS BIGINT)
+    AS spans_fp
+FROM sp GROUP BY conv_id
+"""
+)
+
+
+def q_maxlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-budget tuning curve: padding/overflow/fill-ppm at four
+    candidate context budgets in ONE corpus pass — all budgets derive
+    their pack boundaries from the same exclusive prefix sum under the
+    same shard window."""
+    from .operators.sampling import maxlen_sweep, shard_assign
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return maxlen_sweep(
+        shard_assign(with_tokens, n_shards=8, seed=0),
+        budgets=(200, 500, 1000, 2000),
+    )
+
+
+_O_MAXLEN_SWEEP = """
+WITH s AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 2) AS h2
+  FROM documents),
+sh AS (SELECT doc_id, n_tokens,
+    CAST((ascii(substr(h2, 1, 1)) * 256 + ascii(substr(h2, 2, 1))) % 8
+      AS INT) AS shard
+  FROM s),
+pre AS (SELECT shard, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) AS _before
+  FROM sh),
+g AS (SELECT CAST(budget AS BIGINT) AS budget, shard,
+    _before // budget AS _pack, n_tokens
+  FROM pre CROSS JOIN (SELECT unnest([200, 500, 1000, 2000]) AS budget) b),
+pp AS (SELECT budget, shard, _pack,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS tok
+  FROM g GROUP BY 1, 2, 3)
+SELECT budget,
+  CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(tok) AS BIGINT) AS used_tokens,
+  CAST(count(*) * budget AS BIGINT) AS capacity,
+  CAST(sum(greatest(budget - tok, 0)) AS BIGINT) AS pad_tokens,
+  CAST(sum(greatest(tok - budget, 0)) AS BIGINT) AS overflow_tokens,
+  CAST(CAST(sum(least(tok, budget)) AS HUGEINT) * 1000000
+       // (count(*) * budget) AS BIGINT) AS fill_ppm
+FROM pp GROUP BY budget
+"""
 
 
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8126,6 +8249,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hdr_quantiles": q_hdr_quantiles,
     "epoch_shuffle": q_epoch_shuffle,
     "trunc_policy": q_trunc_policy,
+    "chat_render": q_chat_render,
+    "maxlen_sweep": q_maxlen_sweep,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8380,6 +8505,8 @@ ORACLES: dict[str, str] = {
     "hdr_quantiles": _O_HDR_QUANTILES,
     "epoch_shuffle": _O_EPOCH_SHUFFLE,
     "trunc_policy": _O_TRUNC_POLICY,
+    "chat_render": _O_CHAT_RENDER,
+    "maxlen_sweep": _O_MAXLEN_SWEEP,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -40,7 +40,7 @@ _TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
 
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
            "preference_pairs", "context_window_fit", "conv_windows",
-           "truncation_audit"]
+           "truncation_audit", "chat_spans"]
 
 
 def sft_pack_examples(
@@ -522,4 +522,58 @@ def truncation_audit(
                 " div greatest(_sum_tot, 1) AS BIGINT)"
             ).alias("tokens_kept_ppm"),
         )
+    )
+
+
+def chat_spans(
+    t: DataFrame,
+    train_role: str = "assistant",
+) -> DataFrame:
+    """Loss-mask span table for chat-template serialization: for every
+    turn, the character interval its text occupies inside the rendered
+    conversation string — WITHOUT materializing that string.
+
+    The render convention is fixed and trivially re-executable by any
+    writer: each turn serializes as ``'<|' role '|>' \\n text \\n``, so
+    a turn's block length is ``len(role) + 6 + len(text)`` and its text
+    starts ``len(role) + 5`` chars into the block. One exclusive
+    cumulative-length window under the conversation partitioning gives
+    every offset; the trainable flag marks ``train_role`` turns (the
+    spans a loss mask keeps). The writer that later materializes
+    shard files re-derives byte offsets from these char offsets plus
+    its own encoding — the span table IS the deliverable (materializing
+    a 10⁶-turn conversation's string inside the plan would put the
+    whole conversation in one task's row).
+
+    Map-only except the ONE conversation-partitioned window. Returns
+    ``(conv_id, turn_idx, role, trainable, text_start, text_end,
+    block_end)`` with ``text_end - text_start = length(text)`` and
+    consecutive blocks abutting exactly.
+    """
+    hdr_len = F.length("role") + F.lit(5)  # '<|' + role + '|>' + '\n'
+    blk_len = hdr_len + F.length(_TEXT()) + F.lit(1)  # trailing '\n'
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        (F.col("role") == train_role).alias("trainable"),
+        hdr_len.cast("long").alias("_hdr"),
+        F.length(_TEXT()).cast("long").alias("_len"),
+        blk_len.cast("long").alias("_blk"),
+    ).withColumn(
+        "_before", F.coalesce(F.sum("_blk").over(w), F.lit(0)).cast("long")
+    )
+    return base.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "trainable",
+        (F.col("_before") + F.col("_hdr")).alias("text_start"),
+        (F.col("_before") + F.col("_hdr") + F.col("_len")).alias("text_end"),
+        (F.col("_before") + F.col("_blk")).alias("block_end"),
     )

@@ -47,6 +47,7 @@ __all__ = [
     "weighted_sample_k",
     "mix_concentration",
     "padding_waste",
+    "maxlen_sweep",
     "skew_report",
     "mix_drift_report",
     "source_frequency_cap",
@@ -1318,9 +1319,14 @@ def epoch_shuffle_audit(
     construction — and it doubles as the sink partitioning for
     per-shard sequence files. The audit output is BOUNDED
     (``n_epochs · 16`` rows): per (epoch, shard) the doc count, the key
-    range, and an order fingerprint ``sum(pos · id)`` that pins the
-    exact permutation (any reordering changes it) without shipping the
-    order itself.
+    range, and an order fingerprint ``Σ (pos·id) mod p`` (p = 10⁹+7;
+    both factors reduce mod p BEFORE the multiply so the product stays
+    under ~10¹⁸ — 64-bit-hash ids and 10¹²-row shards never overflow
+    BIGINT under ANSI mode, a failure the 1.88M-row bench caught when
+    ids were xxhash64 values — and the term sum widens to
+    DECIMAL(38,0)) that pins the exact permutation: swapping two docs
+    changes it by ``(pos_i−pos_j)(id_i−id_j) mod p``, without shipping
+    the order itself.
 
     Returns ``(epoch, shard, n_docs, min_key, max_key, order_fp)``.
     """
@@ -1351,5 +1357,104 @@ def epoch_shuffle_audit(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("_key").alias("min_key"),
         F.max("_key").alias("max_key"),
-        F.sum(F.col("pos") * F.col("_id")).cast("long").alias("order_fp"),
+        F.expr(
+            "CAST(sum(CAST(pmod(pmod(pos, 1000000007)"
+            " * pmod(_id, 1000000007), 1000000007)"
+            " AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
+        ).alias("order_fp"),
+    )
+
+
+def maxlen_sweep(
+    packed_input: DataFrame,
+    budgets: tuple[int, ...] = (128, 256, 512, 1024),
+    part_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Packing-budget tuning curve: the padding / overflow / fill-rate
+    audit of :func:`padding_waste` evaluated at a GRID of candidate
+    context budgets in one pass — the sweep a training team runs before
+    fixing max sequence length, where each point trades padding waste
+    (budget too big) against boundary overflow (budget too small).
+
+    The trick that keeps the sweep one-pass: every budget's packing
+    derives from the SAME exclusive prefix sum (``pack_id = before div
+    b`` — :func:`pack_contiguous`'s closed form), so the corpus is
+    scanned once, the single ``part_col`` window is shared by all
+    budgets, and the per-budget explode is map-side (``|budgets|``
+    bounded copies of an 8-byte pair, not of the documents). The
+    per-(budget, part, pack) rollup hash-reuses the window's
+    partitioning (subset-of-keys), then a bounded global rollup per
+    budget.
+
+    Returns one row per budget: ``(budget, n_packs, n_docs,
+    used_tokens, capacity, pad_tokens, overflow_tokens, fill_ppm)`` —
+    same column contract as :func:`padding_waste` minus the shard
+    grain.
+    """
+    if not budgets or any(b <= 0 for b in budgets):
+        raise ValueError("budgets must be non-empty and positive")
+    w = W.partitionBy(part_col).orderBy(id_col)
+    before = F.coalesce(
+        F.sum(F.col(tokens_col).cast("long")).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    # NOTE: part_col keeps its own name end-to-end — aliasing it would
+    # sever the window's output-partitioning lineage at the explode
+    # (GenerateExec propagates partitioning but not alias rewrites), and
+    # the per-pack rollup would re-shuffle what is already clustered
+    base = packed_input.select(
+        F.col(part_col),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        before.alias("_before"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(int(b)).cast("long") for b in budgets])
+    ).alias("budget")
+    per_pack = (
+        base.select(part_col, "_tok", "_before", grid)
+        .select(
+            "budget",
+            part_col,
+            F.expr("_before div budget").alias("_pack"),
+            "_tok",
+        )
+        .groupBy("budget", part_col, "_pack")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_docs"),
+            F.sum("_tok").cast("long").alias("_ptok"),
+        )
+    )
+    return (
+        per_pack.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.sum("_ptok").cast("long").alias("used_tokens"),
+            F.sum(F.greatest(F.col("budget") - F.col("_ptok"),
+                             F.lit(0).cast("long")))
+            .cast("long").alias("pad_tokens"),
+            F.sum(F.greatest(F.col("_ptok") - F.col("budget"),
+                             F.lit(0).cast("long")))
+            .cast("long").alias("overflow_tokens"),
+            F.sum(F.least(F.col("_ptok"), F.col("budget")))
+            .cast("long").alias("_filled"),
+        )
+        .select(
+            "budget",
+            "n_packs",
+            "n_docs",
+            "used_tokens",
+            (F.col("n_packs") * F.col("budget")).cast("long")
+            .alias("capacity"),
+            "pad_tokens",
+            "overflow_tokens",
+            F.expr(
+                "CAST(CAST(_filled AS DECIMAL(38,0)) * 1000000"
+                " div (n_packs * budget) AS BIGINT)"
+            ).alias("fill_ppm"),
+        )
     )

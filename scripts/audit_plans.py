@@ -1579,6 +1579,43 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
+    # chat_render: ONE shuffle — the offset window partitions on
+    # conv_id and the per-conv audit rollup reuses it; offsets are pure
+    # column arithmetic (no collect_list, no conversation string ever
+    # materializes in the plan)
+    cr = ep.QUERIES["chat_render"](spark, sf_dir)
+    p = plan_of(cr)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "chat_render: ONE shuffle (audit reuses offset-window part.)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+    check(
+        "chat_render: no conversation-string materialization",
+        "collect_list" not in p,
+        f"collect_list present={'collect_list' in p}",
+    )
+
+    # maxlen_sweep: all budgets ride ONE prefix-sum window (one corpus
+    # scan); the per-(budget, shard, pack) rollup reuses the shard
+    # partitioning (subset-of-keys) and only the bounded per-budget
+    # rollup adds a second exchange
+    ms = ep.QUERIES["maxlen_sweep"](spark, sf_dir)
+    p = plan_of(ms)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    n_scan = len(re.findall(r"Scan parquet", p))
+    check(
+        "maxlen_sweep: 2 shuffles (shared prefix window; tiny rollup)",
+        n_ex == 2,
+        f"Exchange nodes = {n_ex}",
+    )
+    check(
+        "maxlen_sweep: ONE corpus scan for all budgets",
+        n_scan == 1,
+        f"parquet scans = {n_scan}",
+    )
+
     # cms_heavy: the counter fold MUST partial-aggregate map-side (the
     # sketch's whole point: d·w rows on the wire, not the token stream)
     # and nothing in the probe/audit path is a cartesian

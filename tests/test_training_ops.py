@@ -3231,3 +3231,79 @@ def test_truncation_audit_hand_computed(spark):
     assert h["n_convs"] == 2
     # ppm is exact integer math over the 14-token corpus
     assert h["tokens_kept_ppm"] == 9 * 10**6 // 14
+
+
+def test_chat_spans_offsets_reconstruct_render(spark):
+    """chat_spans offsets must agree with an actual string render of the
+    fixed template — blocks abut, text intervals slice out the text."""
+    from poc_document_ocr_spark.operators.examples import chat_spans
+
+    rows = [
+        ("c1", 1, "user", "hello there"),
+        ("c1", 2, "assistant", "hi"),
+        ("c1", 3, "tool", ""),
+        ("c1", 4, "assistant", None),  # NULL text renders as ''
+        ("c2", 1, "assistant", "solo"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = chat_spans(t).collect()
+    by_conv = {}
+    for r in sorted(out, key=lambda r: (r["conv_id"], r["turn_idx"])):
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    texts = {(c, i): (x or "") for c, i, _, x in rows}
+    for conv, spans in by_conv.items():
+        rendered = "".join(
+            f"<|{r['role']}|>\n{texts[(conv, r['turn_idx'])]}\n"
+            for r in spans
+        )
+        prev_end = 0
+        for r in spans:
+            body = texts[(conv, r["turn_idx"])]
+            assert rendered[r["text_start"]:r["text_end"]] == body
+            # blocks abut exactly: this block starts where the last ended
+            hdr = f"<|{r['role']}|>\n"
+            assert rendered[prev_end:r["text_start"]] == hdr
+            prev_end = r["block_end"]
+            assert r["trainable"] == (r["role"] == "assistant")
+        assert prev_end == len(rendered)
+
+
+def test_maxlen_sweep_matches_padding_waste_pointwise(spark):
+    """The sweep at a single budget equals padding_waste's global rollup
+    at that budget — same packing, same accounting."""
+    from poc_document_ocr_spark.operators.sampling import (
+        maxlen_sweep,
+        pack_contiguous,
+        padding_waste,
+        shard_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 7 + (i * 13) % 40) for i in range(300)],
+        "doc_id long, n_tokens long",
+    )
+    sharded = shard_assign(docs, n_shards=4, seed=0)
+    sweep = {
+        r["budget"]: r
+        for r in maxlen_sweep(sharded, budgets=(64, 128)).collect()
+    }
+    for b in (64, 128):
+        packed = pack_contiguous(sharded, budget=b)
+        pw = padding_waste(packed, budget=b).collect()
+        want = {
+            "n_packs": sum(r["n_packs"] for r in pw),
+            "n_docs": sum(r["n_docs"] for r in pw),
+            "used_tokens": sum(r["used_tokens"] for r in pw),
+            "pad_tokens": sum(r["pad_tokens"] for r in pw),
+            "overflow_tokens": sum(r["overflow_tokens"] for r in pw),
+        }
+        got = sweep[b]
+        for k, v in want.items():
+            assert got[k] == v, (b, k, got[k], v)
+        assert got["capacity"] == got["n_packs"] * b
+        # fill ppm: filled = used - overflow (tokens beyond budget are
+        # exactly the ones not counted by least(tok, budget))
+        filled = want["used_tokens"] - want["overflow_tokens"]
+        assert got["fill_ppm"] == filled * 10**6 // got["capacity"]
