@@ -7416,6 +7416,113 @@ FROM pp GROUP BY budget
 """
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget coverage curve over the documents token stream:
+    exact token-coverage and OOV ppm at candidate vocabulary sizes
+    (10 / 100 / 100000 — the last one past the corpus vocabulary to
+    exercise the full-coverage branch), computed skew-free over the
+    count-of-counts domain."""
+    from .operators.textstats import vocab_coverage
+
+    return vocab_coverage(
+        _docs(spark, sf_dir), vocab_sizes=(10, 100, 100_000)
+    )
+
+
+_O_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+pt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE term <> '' GROUP BY term
+),
+coc AS (SELECT cnt, CAST(count(*) AS BIGINT) AS m FROM pt GROUP BY cnt),
+cum AS (
+  SELECT cnt, m,
+    CAST(coalesce(sum(m) OVER (ORDER BY cnt DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS types_before,
+    CAST(coalesce(sum(m * cnt) OVER (ORDER BY cnt DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS tokens_before,
+    CAST(sum(m * cnt) OVER () AS BIGINT) AS total_tokens,
+    CAST(sum(m) OVER () AS BIGINT) AS vocab_total
+  FROM coc
+),
+hit AS (
+  SELECT * FROM cum CROSS JOIN (
+    SELECT CAST(unnest([10, 100, 100000]) AS BIGINT) AS vocab_size) v
+  WHERE (types_before < vocab_size AND types_before + m >= vocab_size)
+     OR (vocab_size > vocab_total AND types_before + m = vocab_total)
+)
+SELECT vocab_size, vocab_total,
+  CAST(tokens_before + least(vocab_size - types_before, m) * cnt
+    AS BIGINT) AS covered_tokens,
+  total_tokens,
+  CAST(CAST(tokens_before + least(vocab_size - types_before, m) * cnt
+    AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS coverage_ppm,
+  CAST(1000000 - CAST(tokens_before
+    + least(vocab_size - types_before, m) * cnt
+    AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS oov_ppm
+FROM hit
+"""
+
+
+def q_pack_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-purity histogram of the contiguous packing: per
+    distinct-source count, how many packs and the exact dominant-source
+    token share — the attention-contamination exposure of packing
+    without a block-diagonal mask."""
+    from .operators.sampling import pack_mixing, shard_assign
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_mixing(
+        shard_assign(with_tokens, n_shards=8, seed=0),
+        budget=_PACK_BUDGET,
+    )
+
+
+_O_PACK_MIXING = f"""
+WITH s AS (SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 2) AS h2
+  FROM documents),
+sh AS (SELECT doc_id, source, n_tokens,
+    CAST((ascii(substr(h2, 1, 1)) * 256 + ascii(substr(h2, 2, 1))) % 8
+      AS INT) AS shard
+  FROM s),
+p AS (SELECT shard, source, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) AS BIGINT) // {_PACK_BUDGET} AS pack_id
+  FROM sh),
+ps AS (SELECT shard, pack_id, source,
+    CAST(count(*) AS BIGINT) AS docs,
+    CAST(sum(n_tokens) AS BIGINT) AS stok
+  FROM p GROUP BY 1, 2, 3),
+pp AS (SELECT shard, pack_id,
+    CAST(count(*) AS BIGINT) AS n_sources,
+    CAST(sum(docs) AS BIGINT) AS docs,
+    CAST(sum(stok) AS BIGINT) AS ptok,
+    CAST(max(stok) AS BIGINT) AS top
+  FROM ps GROUP BY 1, 2)
+SELECT n_sources,
+  CAST(count(*) AS BIGINT) AS n_packs,
+  CAST(sum(docs) AS BIGINT) AS n_docs,
+  CAST(sum(ptok) AS BIGINT) AS pack_tokens,
+  CAST(sum(top) AS BIGINT) AS top_source_tokens,
+  CAST(CAST(sum(top) AS HUGEINT) * 1000000
+    // greatest(sum(ptok), 1) AS BIGINT) AS purity_ppm
+FROM pp GROUP BY n_sources
+"""
+
+
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over the documents token stream:
     the d×w counter sketch (the only full-stream pass), probed with the
@@ -8251,6 +8358,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trunc_policy": q_trunc_policy,
     "chat_render": q_chat_render,
     "maxlen_sweep": q_maxlen_sweep,
+    "vocab_coverage": q_vocab_coverage,
+    "pack_mixing": q_pack_mixing,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8507,6 +8616,8 @@ ORACLES: dict[str, str] = {
     "trunc_policy": _O_TRUNC_POLICY,
     "chat_render": _O_CHAT_RENDER,
     "maxlen_sweep": _O_MAXLEN_SWEEP,
+    "vocab_coverage": _O_VOCAB_COVERAGE,
+    "pack_mixing": _O_PACK_MIXING,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

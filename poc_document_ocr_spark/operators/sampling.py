@@ -48,6 +48,7 @@ __all__ = [
     "mix_concentration",
     "padding_waste",
     "maxlen_sweep",
+    "pack_mixing",
     "skew_report",
     "mix_drift_report",
     "source_frequency_cap",
@@ -1456,5 +1457,86 @@ def maxlen_sweep(
                 "CAST(CAST(_filled AS DECIMAL(38,0)) * 1000000"
                 " div (n_packs * budget) AS BIGINT)"
             ).alias("fill_ppm"),
+        )
+    )
+
+
+def pack_mixing(
+    docs: DataFrame,
+    budget: int,
+    part_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-document contamination audit of contiguous packing: how
+    many distinct sources share each training pack, and how pure packs
+    are — without an attention-reset mask, every extra source in a pack
+    bleeds into every sequence packed after it, so the pack-purity
+    distribution is the exposure measure a pretraining run checks
+    before choosing between plain packing and block-diagonal masking.
+
+    Packs are re-derived with :func:`pack_contiguous`'s closed form
+    (``pack_id = exclusive_prefix_sum div budget``) so the source
+    column rides along without a join. Both rollups after the ONE
+    prefix-sum window reuse its ``part_col`` partitioning (per-(pack,
+    source) token sums, then a ``max`` over them electing each pack's
+    dominant-source token mass — order-insensitive aggregates, no
+    second window), and the output
+    is the BOUNDED histogram over distinct-source counts.
+
+    Returns one row per n_sources value: ``(n_sources, n_packs,
+    n_docs, pack_tokens, top_source_tokens, purity_ppm)`` where
+    ``purity_ppm`` is the exact token share of each pack's dominant
+    source, aggregated over packs in the bucket.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    w = W.partitionBy(part_col).orderBy(id_col)
+    before = F.coalesce(
+        F.sum(F.col(tokens_col).cast("long")).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    packed = docs.select(
+        F.col(part_col),
+        F.col(source_col).alias("_src"),
+        F.col(tokens_col).cast("long").alias("_tok"),
+        before.alias("_before"),
+    ).select(
+        part_col,
+        "_src",
+        "_tok",
+        F.expr(f"_before div {int(budget)}").alias("_pack"),
+    )
+    per_src = packed.groupBy(part_col, "_pack", "_src").agg(
+        F.count(F.lit(1)).cast("long").alias("_docs"),
+        F.sum("_tok").cast("long").alias("_stok"),
+    )
+    per_pack = per_src.groupBy(part_col, "_pack").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("_docs").cast("long").alias("_docs"),
+        F.sum("_stok").cast("long").alias("_ptok"),
+        F.max("_stok").alias("_top"),
+    )
+    return (
+        per_pack.groupBy("n_sources")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.sum("_ptok").cast("long").alias("pack_tokens"),
+            F.sum("_top").cast("long").alias("top_source_tokens"),
+        )
+        .select(
+            "n_sources",
+            "n_packs",
+            "n_docs",
+            "pack_tokens",
+            "top_source_tokens",
+            F.expr(
+                "CAST(CAST(top_source_tokens AS DECIMAL(38,0)) * 1000000"
+                " div greatest(pack_tokens, 1) AS BIGINT)"
+            ).alias("purity_ppm"),
         )
     )

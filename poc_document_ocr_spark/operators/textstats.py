@@ -37,6 +37,7 @@ __all__ = [
     "blocklist_keep",
     "blocklist_hits",
     "zipf_stats",
+    "vocab_coverage",
     "bigram_familiarity",
     "bpe_merge_candidates",
     "dsir_affinity",
@@ -2128,4 +2129,97 @@ def script_mix(df: DataFrame, id_col: str = "doc_id",
             " AS BIGINT)"
         ).alias("mixed_ppm"),
         (n_mixed == F.lit(0)).alias("clean"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_sizes: tuple[int, ...] = (1_000, 10_000, 100_000),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-budget coverage curve: for each candidate vocabulary
+    size V, the exact share of corpus tokens covered by the top-V most
+    frequent types (and its complement, the OOV rate) — the number that
+    sizes a vocabulary before training a tokenizer.
+
+    The skew-free trick is COUNT-OF-COUNTS (the zipf/group-quantiles
+    family): after the one corpus-sized shuffle (``groupBy(type)``), the
+    per-type counts collapse to the tiny ``(count, n_types)`` domain,
+    and both cumulative types and cumulative tokens run as windows over
+    THAT domain ordered by count descending — never a global rank over
+    the vocabulary. Within a count class every type contributes the
+    same token count, so a V that lands inside a class is exact:
+    ``covered = cum_before + (V - types_before) · count``. No
+    approximation anywhere; ties broken by construction (any V types of
+    equal count cover identical token mass).
+
+    Returns one row per V: ``(vocab_size, vocab_total, covered_tokens,
+    total_tokens, coverage_ppm, oov_ppm)``.
+    """
+    if not vocab_sizes or any(v <= 0 for v in vocab_sizes):
+        raise ValueError("vocab_sizes must be non-empty and positive")
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("term")
+    per_term = (
+        df.select(toks)
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    coc = per_term.groupBy("cnt").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    w = W.orderBy(F.desc("cnt")).rowsBetween(W.unboundedPreceding, -1)
+    cum = coc.select(
+        "cnt",
+        "m",
+        F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+        .alias("types_before"),
+        F.coalesce(F.sum(F.col("m") * F.col("cnt")).over(w), F.lit(0))
+        .cast("long")
+        .alias("tokens_before"),
+        F.sum(F.col("m") * F.col("cnt")).over(
+            W.orderBy("cnt").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("long").alias("total_tokens"),
+        F.sum("m").over(
+            W.orderBy("cnt").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("long").alias("vocab_total"),
+    )
+    grid = F.explode(
+        F.array(*[F.lit(int(v)).cast("long") for v in vocab_sizes])
+    ).alias("vocab_size")
+    # V lands in exactly one count class: the one whose type range
+    # [types_before, types_before + m) contains V-1 — or past the end
+    # of the vocabulary, where coverage is total
+    hit = cum.select("*", grid).filter(
+        (
+            (F.col("types_before") < F.col("vocab_size"))
+            & (F.col("types_before") + F.col("m") >= F.col("vocab_size"))
+        )
+        | (
+            (F.col("vocab_size") > F.col("vocab_total"))
+            & (F.col("types_before") + F.col("m") == F.col("vocab_total"))
+        )
+    )
+    covered = F.expr(
+        "tokens_before + least(vocab_size - types_before, m) * cnt"
+    )
+    return hit.select(
+        "vocab_size",
+        "vocab_total",
+        covered.cast("long").alias("covered_tokens"),
+        "total_tokens",
+        F.expr(
+            "CAST(CAST(tokens_before"
+            " + least(vocab_size - types_before, m) * cnt"
+            " AS DECIMAL(38,0)) * 1000000 div total_tokens AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.expr(
+            "CAST(1000000 - CAST(tokens_before"
+            " + least(vocab_size - types_before, m) * cnt"
+            " AS DECIMAL(38,0)) * 1000000 div total_tokens AS BIGINT)"
+        ).alias("oov_ppm"),
     )

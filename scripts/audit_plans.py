@@ -1616,6 +1616,35 @@ def audit(spark, sf_dir: str):
         f"parquet scans = {n_scan}",
     )
 
+    # vocab_coverage: the only corpus-sized shuffle is the type count
+    # (map-side partial) — the coverage windows run over the tiny
+    # count-of-counts domain, never a global rank over the vocabulary
+    vc = ep.QUERIES["vocab_coverage"](spark, sf_dir)
+    p = plan_of(vc)
+    check(
+        "vocab_coverage: type count partial-aggregates map-side",
+        "partial_count" in p,
+        f"partial_count present={'partial_count' in p}",
+    )
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "vocab_coverage: ≤3 shuffles (types, count-of-counts, tiny window)",
+        n_ex <= 3,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # pack_mixing: ONE corpus shuffle — the prefix-sum window partitions
+    # on shard and BOTH rollups ((pack, source) sums and the per-pack
+    # election) reuse it; only the bounded histogram adds an exchange
+    pm = ep.QUERIES["pack_mixing"](spark, sf_dir)
+    p = plan_of(pm)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "pack_mixing: 2 shuffles (rollups reuse shard window; tiny hist)",
+        n_ex == 2,
+        f"Exchange nodes = {n_ex}",
+    )
+
     # cms_heavy: the counter fold MUST partial-aggregate map-side (the
     # sketch's whole point: d·w rows on the wire, not the token stream)
     # and nothing in the probe/audit path is a cartesian

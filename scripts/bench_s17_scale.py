@@ -1,6 +1,7 @@
 """Scale points for the SESSION-16/17 operators (CMS heavy hitters,
 span lint, script-mix screen, publish diff, conv windows, truncation
-audit, HDR quantile registers, epoch shuffle).
+audit, HDR quantile registers, epoch shuffle, chat-template spans,
+packing-budget sweep).
 
 Inputs come from the shared ``.bench_cache`` corpus (1.88M extracted
 turns at scale 0.1, 18.8M at scale 1), reshaped per op:
@@ -131,6 +132,39 @@ def epoch_shuffle_job(docs):
     )
 
 
+def chat_render_job(transcripts):
+    from poc_document_ocr_spark.operators.examples import chat_spans
+
+    sp = chat_spans(transcripts)
+    fp = (
+        "pmod(pmod(text_start, 1000000007) * 1000003"
+        " + pmod(text_end, 1000000007), 1000000007)"
+    )
+    return sp.groupBy("conv_id").agg(
+        F.max("block_end").alias("rendered_chars"),
+        F.count(F.lit(1)).alias("n_turns"),
+        F.expr(
+            f"CAST(sum(CAST({fp} AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
+        ).alias("spans_fp"),
+    )
+
+
+def maxlen_sweep_job(docs):
+    from poc_document_ocr_spark.operators.sampling import (
+        maxlen_sweep,
+        shard_assign,
+    )
+
+    wt = docs.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return maxlen_sweep(
+        shard_assign(wt, n_shards=32, seed=0),
+        budgets=(512, 1024, 2048, 4096),
+    )
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
@@ -172,6 +206,8 @@ def main() -> None:
         "trunc_policy": lambda: consume(trunc_policy_job(transcripts)),
         "hdr_quantiles": lambda: consume(hdr_job(docs)),
         "epoch_shuffle": lambda: consume(epoch_shuffle_job(docs)),
+        "chat_render": lambda: consume(chat_render_job(transcripts)),
+        "maxlen_sweep": lambda: consume(maxlen_sweep_job(docs)),
     }
     unknown = only - set(jobs)
     if unknown:
@@ -198,6 +234,8 @@ def main() -> None:
         "trunc_policy": lambda: consume(trunc_policy_job(small_t)),
         "hdr_quantiles": lambda: consume(hdr_job(small_d)),
         "epoch_shuffle": lambda: consume(epoch_shuffle_job(small_d)),
+        "chat_render": lambda: consume(chat_render_job(small_t)),
+        "maxlen_sweep": lambda: consume(maxlen_sweep_job(small_d)),
     }
     for name in selected:
         warm[name]()

@@ -3307,3 +3307,67 @@ def test_maxlen_sweep_matches_padding_waste_pointwise(spark):
         # exactly the ones not counted by least(tok, budget))
         filled = want["used_tokens"] - want["overflow_tokens"]
         assert got["fill_ppm"] == filled * 10**6 // got["capacity"]
+
+
+def test_vocab_coverage_exact_counts(spark):
+    """Coverage at each V equals the brute-force top-V token share,
+    including a V that lands inside a tie class and a V past the
+    vocabulary end."""
+    from collections import Counter
+
+    from poc_document_ocr_spark.operators.textstats import vocab_coverage
+
+    texts = [
+        "a a a a b b b c c d",   # a:4 b:3 c:2 d:1
+        "b c d e e",             # b:4 c:3 d:2 e:2
+        "f",                     # singletons tail
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    counts = Counter(" ".join(texts).split())
+    total = sum(counts.values())
+    ordered = sorted(counts.values(), reverse=True)
+    out = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(df, vocab_sizes=(2, 4, 99)).collect()
+    }
+    for v in (2, 4, 99):
+        covered = sum(ordered[:v])
+        r = out[v]
+        assert r["covered_tokens"] == covered, (v, dict(r.asDict()))
+        assert r["total_tokens"] == total
+        assert r["coverage_ppm"] == covered * 10**6 // total
+        assert r["oov_ppm"] == 10**6 - covered * 10**6 // total
+        assert r["vocab_total"] == len(counts)
+    # exactly one row per requested size — the class-boundary and
+    # past-the-end branches must not double-match
+    assert sorted(out) == [2, 4, 99]
+
+
+def test_pack_mixing_purity_histogram(spark):
+    """Hand-checked pack purity: sources co-packed within one shard
+    roll up into the right n_sources bucket with exact token shares."""
+    from poc_document_ocr_spark.operators.sampling import pack_mixing
+
+    # single shard, ordered by doc_id; budget 10 cuts packs at
+    # exclusive-prefix-sum 0..9 / 10..19 / ...
+    rows = [
+        (1, 0, "s1", 6),   # pack 0 (before=0)
+        (2, 0, "s1", 3),   # pack 0 (before=6)
+        (3, 0, "s2", 5),   # pack 0 (before=9) -> straddles, starts in 0
+        (4, 0, "s2", 7),   # pack 1 (before=14)
+        (5, 0, "s2", 2),   # pack 2 (before=21)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, shard int, source string, n_tokens long"
+    )
+    out = {r["n_sources"]: r for r in pack_mixing(docs, 10).collect()}
+    # pack 0: s1=9, s2=5 -> 2 sources, 14 tokens, top 9
+    # pack 1: s2=7 -> 1 source; pack 2: s2=2 -> 1 source
+    assert out[2]["n_packs"] == 1
+    assert out[2]["pack_tokens"] == 14
+    assert out[2]["top_source_tokens"] == 9
+    assert out[2]["purity_ppm"] == 9 * 10**6 // 14
+    assert out[1]["n_packs"] == 2
+    assert out[1]["pack_tokens"] == 9
+    assert out[1]["top_source_tokens"] == 9
+    assert out[1]["purity_ppm"] == 10**6
