@@ -7522,6 +7522,126 @@ SELECT n_sources,
 FROM pp GROUP BY n_sources
 """
 
+#: data_budget demo parameters: target training budget (tokens) and the
+#: Muennighoff-style repeat cap (4 epochs, x1000)
+_BUDGET_TOKENS = 5_000_000
+_REPEAT_CAP_X1000 = 4_000
+
+
+def q_data_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-to-exhaustion planner: per language, the tokens a 5M-token
+    training budget demands of it under the α=0.5 temperature mixture,
+    the epochs of its available data that implies, and whether it
+    crosses the 4-epoch repeat cap (Muennighoff et al. 2305.16264)."""
+    from .operators.sampling import data_budget
+
+    return data_budget(
+        _docs(spark, sf_dir),
+        budget_tokens=_BUDGET_TOKENS,
+        repeat_cap_x1000=_REPEAT_CAP_X1000,
+    )
+
+
+_O_DATA_BUDGET = f"""
+WITH mw AS ({_O_MIX_WEIGHTS}),
+d AS (SELECT lang, n_tokens, w_ppm,
+    CAST(CAST(w_ppm AS HUGEINT) * {_BUDGET_TOKENS} // 1000000 AS BIGINT)
+      AS demand_tokens
+  FROM mw),
+e AS (SELECT *,
+    CAST(CAST(demand_tokens AS HUGEINT) * 1000
+      // greatest(n_tokens, 1) AS BIGINT) AS epochs_x1000
+  FROM d)
+SELECT lang, n_tokens, w_ppm, demand_tokens, epochs_x1000,
+  epochs_x1000 > {_REPEAT_CAP_X1000} AS over_cap
+FROM e
+"""
+
+
+def q_pii_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-turn PII re-identification audit over the derived
+    transcripts: the phone values seeded by the corpus construction
+    are regex-extracted on the Spark side, while the oracle derives
+    the expected values closed-form from ``doc_id`` — so the row is a
+    ground-truth check of the extraction regex itself."""
+    from .operators.textstats import pii_spread
+
+    return pii_spread(spark_transcripts(spark, sf_dir))
+
+
+_O_PII_SPREAD = oracle_cte("""
+, p AS (SELECT conv_id, turn_idx,
+    '555-01' || lpad(CAST(doc_id % 100 AS STRING), 2, '0') AS pii_value
+  FROM t WHERE doc_id % 8 = 5),
+v AS (SELECT conv_id, pii_value,
+    CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_turns,
+    CAST(count(*) AS BIGINT) AS n_hits,
+    min(turn_idx) AS first_t, max(turn_idx) AS last_t
+  FROM p GROUP BY 1, 2)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_values,
+  CAST(sum(n_hits) AS BIGINT) AS n_hits,
+  CAST(sum(CASE WHEN n_turns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_repeated,
+  CAST(max(last_t - first_t) AS BIGINT) AS max_spread
+FROM v GROUP BY conv_id
+""")
+
+#: dialect-neutral tool-call argument payload over the derived
+#: transcripts' tool turns: valid JSON in the common case, an unclosed
+#: object on doc_id % 17 = 3 (malformed), a dropped required "k" key on
+#: doc_id % 19 = 5 — the oracle never parses JSON, it re-derives the
+#: verdicts from the same modular conditions, making the query a
+#: ground-truth check of Spark's JVM-side JSON path reader
+_TOOL_ARGS_SQL = (
+    "CASE WHEN doc_id % 17 = 3 THEN"
+    " '{\"query\": \"q' || CAST(doc_id % 50 AS STRING) || '\", \"k\": '"
+    " || CAST(doc_id % 10 AS STRING)"
+    " WHEN doc_id % 19 = 5 THEN"
+    " '{\"query\": \"q' || CAST(doc_id % 50 AS STRING) || '\"}'"
+    " ELSE"
+    " '{\"query\": \"q' || CAST(doc_id % 50 AS STRING) || '\", \"k\": '"
+    " || CAST(doc_id % 10 AS STRING) || '}' END"
+)
+
+_TOOL_NAME_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'browse'"
+    " ELSE 'calc' END"
+)
+
+
+def q_tool_call_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-call schema validation: per tool, calls whose JSON
+    argument payload is malformed or omits a required argument, with
+    the exact ok-ppm admission rate (see
+    :func:`~poc_document_ocr_spark.operators.examples.tool_call_lint`)."""
+    from .operators.examples import tool_call_lint
+
+    calls = (
+        spark_transcripts(spark, sf_dir)
+        .filter("doc_id % 4 = 3")
+        .selectExpr(
+            f"{_TOOL_NAME_SQL} AS tool", f"{_TOOL_ARGS_SQL} AS args"
+        )
+    )
+    return tool_call_lint(calls, required=("query", "k"))
+
+
+_O_TOOL_CALL_LINT = oracle_cte(f"""
+, c AS (SELECT {_TOOL_NAME_SQL} AS tool,
+    CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END AS malformed,
+    CASE WHEN doc_id % 17 <> 3 AND doc_id % 19 = 5 THEN 1 ELSE 0 END
+      AS missing
+  FROM t WHERE doc_id % 4 = 3)
+SELECT tool,
+  CAST(count(*) AS BIGINT) AS n_calls,
+  CAST(sum(malformed) AS BIGINT) AS n_malformed,
+  CAST(sum(missing) AS BIGINT) AS n_missing,
+  CAST(CAST(count(*) - sum(malformed) - sum(missing) AS HUGEINT)
+    * 1000000 // count(*) AS BIGINT) AS ok_ppm
+FROM c GROUP BY tool
+""")
+
 
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over the documents token stream:
@@ -8360,6 +8480,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "maxlen_sweep": q_maxlen_sweep,
     "vocab_coverage": q_vocab_coverage,
     "pack_mixing": q_pack_mixing,
+    "data_budget": q_data_budget,
+    "pii_spread": q_pii_spread,
+    "tool_call_lint": q_tool_call_lint,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8618,6 +8741,9 @@ ORACLES: dict[str, str] = {
     "maxlen_sweep": _O_MAXLEN_SWEEP,
     "vocab_coverage": _O_VOCAB_COVERAGE,
     "pack_mixing": _O_PACK_MIXING,
+    "data_budget": _O_DATA_BUDGET,
+    "pii_spread": _O_PII_SPREAD,
+    "tool_call_lint": _O_TOOL_CALL_LINT,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -40,7 +40,7 @@ _TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
 
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
            "preference_pairs", "context_window_fit", "conv_windows",
-           "truncation_audit", "chat_spans"]
+           "truncation_audit", "chat_spans", "tool_call_lint"]
 
 
 def sft_pack_examples(
@@ -576,4 +576,58 @@ def chat_spans(
         (F.col("_before") + F.col("_hdr")).alias("text_start"),
         (F.col("_before") + F.col("_hdr") + F.col("_len")).alias("text_end"),
         (F.col("_before") + F.col("_blk")).alias("block_end"),
+    )
+
+
+def tool_call_lint(
+    calls: DataFrame,
+    tool_col: str = "tool",
+    args_col: str = "args",
+    required: tuple[str, ...] = ("query", "k"),
+) -> DataFrame:
+    """Agent tool-call schema validation: parse each call's JSON
+    argument payload and report, per tool, how many calls are
+    malformed JSON and how many parse but omit a required argument —
+    the admission gate agent transcripts pass before tool-use
+    fine-tuning (a malformed argument string teaches the model to emit
+    malformed calls).
+
+    Parsing is Spark's JVM-side ``get_json_object``: path ``$`` is
+    NULL iff the payload is not valid JSON (that defines
+    ``malformed``); a required key is missing iff the doc parses but
+    ``$.key`` is NULL. Contract: a required key explicitly set to JSON
+    null counts as missing — both states are invisible to a downstream
+    consumer reading the key. No Python touches a row.
+
+    Shape: map-only checks, then ONE groupBy on the (bounded) tool
+    name. Returns per tool: ``(tool, n_calls, n_malformed, n_missing,
+    ok_ppm)``, ``ok_ppm`` exact via DECIMAL widening.
+    """
+    if not required:
+        raise ValueError("required must name at least one argument key")
+    parsed = F.get_json_object(F.col(args_col), "$")
+    missing_any = None
+    for key in required:
+        miss = F.get_json_object(F.col(args_col), f"$.{key}").isNull()
+        missing_any = miss if missing_any is None else (missing_any | miss)
+    flagged = calls.select(
+        F.col(tool_col),
+        parsed.isNull().alias("_malformed"),
+        (parsed.isNotNull() & missing_any).alias("_missing"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        flagged.groupBy(tool_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            one_if(F.col("_malformed")).alias("n_malformed"),
+            one_if(F.col("_missing")).alias("n_missing"),
+        )
+        .withColumn(
+            "ok_ppm",
+            F.expr(
+                "CAST(CAST(n_calls - n_malformed - n_missing"
+                " AS DECIMAL(38,0)) * 1000000 div n_calls AS BIGINT)"
+            ),
+        )
     )

@@ -49,6 +49,7 @@ __all__ = [
     "padding_waste",
     "maxlen_sweep",
     "pack_mixing",
+    "data_budget",
     "skew_report",
     "mix_drift_report",
     "source_frequency_cap",
@@ -1538,5 +1539,62 @@ def pack_mixing(
                 "CAST(CAST(top_source_tokens AS DECIMAL(38,0)) * 1000000"
                 " div greatest(pack_tokens, 1) AS BIGINT)"
             ).alias("purity_ppm"),
+        )
+    )
+
+
+def data_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    repeat_cap_x1000: int = 4000,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Epochs-to-exhaustion planner for a data-constrained training run
+    (Muennighoff et al. arXiv:2305.16264: repeating data beyond ~4
+    epochs yields rapidly diminishing returns): given a target training
+    budget ``B`` tokens and the temperature mixture's per-language
+    shares, how many tokens each language must SUPPLY (``B·w``), how
+    many epochs of its available data that demand implies, and whether
+    it crosses the repeat cap — the table that tells a data team which
+    languages need new collection before the run is scoped.
+
+    All arithmetic after :func:`mixture_weights` is integer-exact:
+    ``demand_tokens = B·w_ppm div 10⁶`` and
+    ``epochs_x1000 = 1000·demand div available`` both widen through
+    DECIMAL(38,0) so a 10¹³-token budget cannot overflow (same ANSI-mode
+    rule as the ppm shares themselves).
+
+    Shape: everything downstream of the one ``groupBy(lang)`` in
+    :func:`mixture_weights` operates on the languages-sized table —
+    driver-trivial at any corpus size.
+
+    Returns per language: ``(lang, n_tokens, w_ppm, demand_tokens,
+    epochs_x1000, over_cap)``.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if repeat_cap_x1000 <= 0:
+        raise ValueError("repeat_cap_x1000 must be positive")
+    mw = mixture_weights(df, lang_col=lang_col, text_col=text_col)
+    return (
+        mw.select(
+            lang_col,
+            "n_tokens",
+            "w_ppm",
+            F.expr(
+                f"CAST(CAST(w_ppm AS DECIMAL(38,0)) * {int(budget_tokens)}"
+                " div 1000000 AS BIGINT)"
+            ).alias("demand_tokens"),
+        )
+        .withColumn(
+            "epochs_x1000",
+            F.expr(
+                "CAST(CAST(demand_tokens AS DECIMAL(38,0)) * 1000"
+                " div greatest(n_tokens, 1) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "over_cap", F.col("epochs_x1000") > F.lit(int(repeat_cap_x1000))
         )
     )

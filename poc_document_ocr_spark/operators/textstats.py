@@ -30,6 +30,7 @@ __all__ = [
     "tfidf_top_terms",
     "chunk_text",
     "redact_pii",
+    "pii_spread",
     "corpus_composition",
     "bpe_token_count",
     "lm_quality_bands",
@@ -2222,4 +2223,66 @@ def vocab_coverage(
             " + least(vocab_size - types_before, m) * cnt"
             " AS DECIMAL(38,0)) * 1000000 div total_tokens AS BIGINT)"
         ).alias("oov_ppm"),
+    )
+
+
+def pii_spread(
+    t: DataFrame,
+    pattern: str = r"phoneNumber: (555-01\d\d)",
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-turn PII re-identification audit: per-turn redaction (the
+    :func:`redact_pii` pass) treats each turn independently, but the
+    same identifier recurring across several turns of one conversation
+    is a linkage surface even after masking — span positions and
+    repeat structure survive placeholder substitution. This measures
+    that exposure BEFORE redaction: for each conversation, how many
+    distinct PII values appear, how many recur in more than one turn,
+    and how far apart (in turns) the most-spread value travels.
+
+    Shape: one ``regexp_extract_all`` map pass (capture group 1 of
+    ``pattern``) whose within-turn repeats collapse map-side via array
+    HOFs (``array_distinct`` + a ``filter`` count per distinct value),
+    so every exploded row is a distinct (conv, turn, value) — the
+    turn count downstream is a plain ``count(*)``, never a
+    ``count(DISTINCT)`` re-shuffle. Two groupBys follow: the (conv,
+    value) one is the only corpus-sized shuffle; the per-conv rollup
+    exchanges the already-collapsed value table. Output cardinality =
+    conversations with at least one hit.
+
+    Returns per conversation: ``(conv_id, n_values, n_hits,
+    n_repeated, max_spread)`` where ``max_spread`` is
+    ``max(last_turn - first_turn)`` over that conversation's values.
+    """
+    matches = F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+    per_turn = F.transform(
+        F.array_distinct(matches),
+        lambda v: F.struct(
+            v.alias("pii_value"),
+            F.size(F.filter(matches, lambda x: x == v))
+            .cast("long")
+            .alias("cnt_in_turn"),
+        ),
+    )
+    hits = t.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.explode(per_turn).alias("_h"),
+    ).select(conv_col, turn_col, "_h.pii_value", "_h.cnt_in_turn")
+    per_val = hits.groupBy(conv_col, "pii_value").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_turns"),
+        F.sum("cnt_in_turn").cast("long").alias("_n_hits"),
+        F.min(turn_col).alias("_first"),
+        F.max(turn_col).alias("_last"),
+    )
+    return per_val.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.sum("_n_hits").cast("long").alias("n_hits"),
+        F.sum(
+            F.when(F.col("_n_turns") > 1, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("n_repeated"),
+        F.max(F.col("_last") - F.col("_first")).cast("long")
+        .alias("max_spread"),
     )

@@ -1645,6 +1645,52 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
+    # data_budget: one corpus shuffle (the lang groupBy with map-side
+    # partials); the totals join is the broadcast of a 1-row aggregate,
+    # never a sort-merge
+    db = ep.QUERIES["data_budget"](spark, sf_dir)
+    p = plan_of(db)
+    # (n_docs' count(1) is column-pruned away — the token sum is the
+    # load-bearing aggregate)
+    check(
+        "data_budget: lang token sum partial-aggregates map-side",
+        "partial_sum" in p,
+        f"partial_sum present={'partial_sum' in p}",
+    )
+    check(
+        "data_budget: totals joined by broadcast, no SortMergeJoin",
+        "BroadcastNestedLoopJoin" in p and "SortMergeJoin" not in p,
+        "BNLJ present / SMJ absent",
+    )
+
+    # pii_spread: exactly 2 shuffles — the (conv, value) groupBy over the
+    # exploded hits is the only corpus-sized one; the per-conv rollup
+    # exchanges the already-collapsed value table
+    ps = ep.QUERIES["pii_spread"](spark, sf_dir)
+    p = plan_of(ps)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "pii_spread: 2 shuffles (hits groupBy; collapsed-conv rollup)",
+        n_ex == 2,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # tool_call_lint: map-only JSON-path checks, then ONE groupBy on the
+    # bounded tool-name domain with map-side partials
+    tl = ep.QUERIES["tool_call_lint"](spark, sf_dir)
+    p = plan_of(tl)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "tool_call_lint: 1 shuffle (bounded tool-name groupBy)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+    check(
+        "tool_call_lint: verdict counts partial-aggregate map-side",
+        "partial_count" in p,
+        f"partial_count present={'partial_count' in p}",
+    )
+
     # cms_heavy: the counter fold MUST partial-aggregate map-side (the
     # sketch's whole point: d·w rows on the wire, not the token stream)
     # and nothing in the probe/audit path is a cartesian

@@ -1,0 +1,156 @@
+"""Scale points for the SESSION-20 operators (data-budget planner,
+cross-turn PII spread, tool-call lint).
+
+Inputs come from the shared ``.bench_cache`` corpus (1.88M extracted
+turns at scale 0.1, 18.8M at scale 1), reshaped per op: the PII corpus
+seeds a deterministic phone line into ~1/8 of turns (mirroring the
+oracle corpus construction) so the extract→group path has real hits;
+the tool-call corpus synthesizes JSON argument payloads with the same
+malformed/missing modular mix as the oracle-checked query.
+
+One timed run per op after a small-slice warm-up; per-window hypervisor
+steal share sampled (>2% = soft number). Run after bench.py populated
+``.bench_cache``::
+
+    python scripts/bench_s20_scale.py [op ...]              # 1.88M rows
+    SPARK_GRAFT_BENCH_SCALE=1 python scripts/bench_s20_scale.py  # 18.8M
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from poc_document_ocr_spark.session import get_spark
+from scripts._bench_common import steal_sample as _steal_sample
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def data_budget_job(docs):
+    from poc_document_ocr_spark.operators.sampling import data_budget
+
+    # a 10^12-token budget exercises the DECIMAL(38,0) widening path
+    return data_budget(docs, budget_tokens=10**12, repeat_cap_x1000=4000)
+
+
+def pii_corpus(transcripts):
+    """~1/8 of turns get a deterministic phone line appended (the
+    oracle corpus shape), leaving 7/8 as regex-scan-only rows."""
+    h = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(8))
+    p = F.pmod(F.xxhash64("conv_id", "turn_idx", F.lit("p")), F.lit(100))
+    return transcripts.withColumn(
+        "text",
+        F.when(
+            h == 5,
+            F.concat(
+                F.col("text"),
+                F.lit("\nphoneNumber: 555-01"),
+                F.lpad(p.cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+def pii_spread_job(transcripts):
+    from poc_document_ocr_spark.operators.textstats import pii_spread
+
+    return pii_spread(pii_corpus(transcripts))
+
+
+def tool_call_lint_job(transcripts):
+    from poc_document_ocr_spark.operators.examples import tool_call_lint
+
+    h = F.xxhash64("conv_id", "turn_idx")
+    q = F.pmod(h, F.lit(50)).cast("string")
+    k = F.pmod(h, F.lit(10)).cast("string")
+    base = F.concat(F.lit('{"query": "q'), q, F.lit('", "k": '), k)
+    args = (
+        F.when(F.pmod(h, F.lit(17)) == 3, base)  # unclosed object
+        .when(
+            F.pmod(h, F.lit(19)) == 5,
+            F.concat(F.lit('{"query": "q'), q, F.lit('"}')),
+        )
+        .otherwise(F.concat(base, F.lit("}")))
+    )
+    calls = transcripts.select(
+        F.concat(F.lit("tool"), F.pmod(h, F.lit(3))).alias("tool"),
+        args.alias("args"),
+    )
+    return tool_call_lint(calls, required=("query", "k"))
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
+    only = set(sys.argv[1:])
+    spark = get_spark(
+        "bench_s20_scale", cpus=cpus, shuffle_partitions=cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)
+        },
+    )
+
+    extracted = spark.read.parquet(
+        os.path.join(REPO, ".bench_cache", f"extracted_{scale}.parquet")
+    )
+    transcripts = spark.read.parquet(
+        os.path.join(REPO, ".bench_cache", f"transcripts_{scale}_v2.parquet")
+    )
+    docs = extracted.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+        F.concat(
+            F.lit("lang"), F.pmod(F.xxhash64("conv_id", F.lit("l")),
+                                  F.lit(5))
+        ).alias("lang"),
+    )
+
+    def consume(df):
+        cols = [F.col(c) for c in df.columns]
+        return df.select(F.xxhash64(*cols).alias("_h")).agg(
+            F.expr("bit_xor(_h)")
+        ).collect()
+
+    jobs = {
+        "data_budget": lambda: consume(data_budget_job(docs)),
+        "pii_spread": lambda: consume(pii_spread_job(transcripts)),
+        "tool_call_lint": lambda: consume(tool_call_lint_job(transcripts)),
+    }
+    unknown = only - set(jobs)
+    if unknown:
+        raise SystemExit(f"unknown op name(s): {sorted(unknown)}; "
+                         f"choose from {sorted(jobs)}")
+    selected = {n: f for n, f in jobs.items() if not only or n in only}
+
+    small_t = transcripts.limit(5000).localCheckpoint()
+    small_d = docs.limit(5000).localCheckpoint()
+    warm = {
+        "data_budget": lambda: consume(data_budget_job(small_d)),
+        "pii_spread": lambda: consume(pii_spread_job(small_t)),
+        "tool_call_lint": lambda: consume(tool_call_lint_job(small_t)),
+    }
+    for name in selected:
+        warm[name]()
+
+    timings, steal = {}, {}
+    for name, fn in selected.items():
+        spark.catalog.clearCache()
+        s0, j0 = _steal_sample()
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 2)
+        s1, j1 = _steal_sample()
+        steal[name] = round((s1 - s0) / max(j1 - j0, 1), 4)
+
+    print(json.dumps({"scale": scale, "timings": timings, "steal": steal}))
+
+
+if __name__ == "__main__":
+    main()

@@ -3371,3 +3371,88 @@ def test_pack_mixing_purity_histogram(spark):
     assert out[1]["pack_tokens"] == 9
     assert out[1]["top_source_tokens"] == 9
     assert out[1]["purity_ppm"] == 10**6
+
+
+def test_data_budget_epochs_and_cap(spark):
+    """Hand-checked epochs-to-exhaustion: demand = B·w_ppm div 1e6,
+    epochs_x1000 = 1000·demand div available, cap flag exact."""
+    from poc_document_ocr_spark.operators.sampling import (
+        data_budget,
+        mixture_weights,
+    )
+
+    rows = [
+        ("en", " ".join(["w"] * 90)),   # 90 tokens
+        ("fr", " ".join(["w"] * 10)),   # 10 tokens
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    w = {r["lang"]: r["w_ppm"] for r in mixture_weights(df).collect()}
+    out = {
+        r["lang"]: r
+        for r in data_budget(
+            df, budget_tokens=200, repeat_cap_x1000=4000
+        ).collect()
+    }
+    for lang, avail in (("en", 90), ("fr", 10)):
+        demand = w[lang] * 200 // 10**6
+        r = out[lang]
+        assert r["demand_tokens"] == demand
+        assert r["epochs_x1000"] == demand * 1000 // avail
+        assert r["over_cap"] == (r["epochs_x1000"] > 4000)
+    # α=0.5 up-samples fr (w≈0.25 vs natural 0.10): the 200-token budget
+    # demands ~5 epochs of fr's 10 tokens but only ~1.7 of en's 90
+    assert out["fr"]["over_cap"] is True
+    assert out["en"]["over_cap"] is False
+
+
+def test_pii_spread_repeat_and_span(spark):
+    """A value recurring across turns counts as repeated with the right
+    turn spread; single-turn values don't."""
+    from poc_document_ocr_spark.operators.textstats import pii_spread
+
+    rows = [
+        ("c0", 1, "call phoneNumber: 555-0142 now"),
+        ("c0", 4, "again phoneNumber: 555-0142 later"),
+        ("c0", 6, "other phoneNumber: 555-0107 once"),
+        # twice in ONE turn: 2 hits but not "repeated" (1 turn)
+        ("c1", 2, "phoneNumber: 555-0199 and phoneNumber: 555-0199"),
+        ("c2", 3, "no pii in this turn"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    out = {r["conv_id"]: r for r in pii_spread(t).collect()}
+    assert sorted(out) == ["c0", "c1"]  # c2 has no hits
+    assert out["c0"]["n_values"] == 2
+    assert out["c0"]["n_hits"] == 3
+    assert out["c0"]["n_repeated"] == 1     # only 555-0142 recurs
+    assert out["c0"]["max_spread"] == 3     # turns 1 -> 4
+    assert out["c1"]["n_values"] == 1
+    assert out["c1"]["n_hits"] == 2       # within-turn repeat counted
+    assert out["c1"]["n_repeated"] == 0   # ...but it's still one turn
+    assert out["c1"]["max_spread"] == 0
+
+
+def test_tool_call_lint_verdicts(spark):
+    """Malformed JSON, missing key, and explicit-null key all gate a
+    call; ok_ppm is exact."""
+    from poc_document_ocr_spark.operators.examples import tool_call_lint
+
+    rows = [
+        ("search", '{"query": "a", "k": 3}'),     # ok
+        ("search", '{"query": "b", "k": 1'),      # malformed (unclosed)
+        ("search", '{"query": "c"}'),             # missing k
+        ("search", '{"query": null, "k": 2}'),    # null required key
+        ("calc", '{"query": "d", "k": 9}'),       # ok
+    ]
+    calls = spark.createDataFrame(rows, "tool string, args string")
+    out = {
+        r["tool"]: r
+        for r in tool_call_lint(calls, required=("query", "k")).collect()
+    }
+    s = out["search"]
+    assert (s["n_calls"], s["n_malformed"], s["n_missing"]) == (4, 1, 2)
+    assert s["ok_ppm"] == 1 * 10**6 // 4
+    c = out["calc"]
+    assert (c["n_calls"], c["n_malformed"], c["n_missing"]) == (1, 0, 0)
+    assert c["ok_ppm"] == 10**6
