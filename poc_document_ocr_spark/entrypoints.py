@@ -2007,6 +2007,39 @@ JOIN sz zb ON zb.doc_id = i.id_b
 """
 
 
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the near-dup candidate pairs:
+    exact Levenshtein + sim_ppm over the same seeded corpus/pairs the
+    Jaccard verify uses — the char-level last rung of the ladder."""
+    from .operators.dedup import edit_distance_verify
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    pairs = _sql_over(spark, sf_dir, _NEAR_PAIRS, "documents")
+    return edit_distance_verify(corpus, pairs)
+
+
+_O_EDIT_VERIFY = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+pairs AS ({_NEAR_PAIRS}),
+j AS (SELECT p.id_a, p.id_b,
+    CAST(length(a.text) AS BIGINT) AS len_a,
+    CAST(length(b.text) AS BIGINT) AS len_b,
+    CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist
+  FROM pairs p
+  JOIN corpus a ON a.doc_id = p.id_a
+  JOIN corpus b ON b.doc_id = p.id_b)
+SELECT id_a, id_b, len_a, len_b,
+  CAST(abs(len_a - len_b) AS BIGINT) AS len_gap,
+  lev_dist,
+  CAST(CASE WHEN greatest(len_a, len_b) = 0 THEN 1000000
+    ELSE CAST(greatest(len_a, len_b) - lev_dist AS HUGEINT) * 1000000
+      // greatest(len_a, len_b) END AS BIGINT) AS sim_ppm
+FROM j
+"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup ladder: 64-bit fingerprints, 8-bit block equi-join
     for candidates (complete for Hamming ≤ 7), exact Hamming filter."""
@@ -7300,29 +7333,9 @@ def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     chat_spans offset table — the span table is the deliverable (the
     writer re-derives byte offsets at materialization); nothing here
     concatenates a conversation into one row."""
-    from .operators.examples import chat_spans
+    from .operators.examples import chat_render_report, chat_spans
 
-    sp = chat_spans(spark_transcripts(spark, sf_dir))
-    fp = (
-        "pmod(pmod(text_start, 1000000007) * 1000003"
-        " + pmod(text_end, 1000000007), 1000000007)"
-    )
-    return sp.groupBy("conv_id").agg(
-        F.max("block_end").cast("long").alias("rendered_chars"),
-        F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.sum(F.when(F.col("trainable"), 1).otherwise(0))
-        .cast("long").alias("n_trainable"),
-        F.sum(
-            F.when(
-                F.col("trainable"),
-                F.col("text_end") - F.col("text_start"),
-            ).otherwise(0)
-        ).cast("long").alias("trainable_chars"),
-        F.expr(
-            f"CAST(sum(CAST({fp} AS DECIMAL(38,0)))"
-            " % 1000000007 AS BIGINT)"
-        ).alias("spans_fp"),
-    )
+    return chat_render_report(chat_spans(spark_transcripts(spark, sf_dir)))
 
 
 _O_CHAT_RENDER = oracle_cte(
@@ -7643,6 +7656,54 @@ FROM c GROUP BY tool
 """)
 
 
+def q_stats_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus statistics via mergeable moment registers:
+    the corpus is split into a 'yesterday' slice and a 'delta' batch
+    (``doc_id % 5``), each folded independently to per-language
+    ``(n, sum, sumsq, min, max)`` registers, then MERGED — while the
+    oracle computes the same registers directly over the full corpus
+    in one pass. Equality IS the algebraic-merge invariant: daily
+    ingest updates corpus stats from yesterday's persisted registers
+    plus the delta's, never a rescan of history."""
+    from .operators.sketches import merge_moments, moment_registers
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    old = moment_registers(docs.filter("doc_id % 5 != 0"))
+    delta = moment_registers(docs.filter("doc_id % 5 = 0"))
+    merged = merge_moments(old, delta)
+    return merged.select(
+        "lang",
+        "n",
+        "sum",
+        "sumsq",
+        "min",
+        "max",
+        F.expr(
+            "CAST(CAST(sum AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+        ).alias("mean_tokens_ppm"),
+    )
+
+
+_O_STATS_MERGE = """
+WITH d AS (SELECT lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(n_tokens) AS BIGINT) AS sum,
+  sum(CAST(n_tokens AS HUGEINT) * CAST(n_tokens AS HUGEINT)) AS sumsq,
+  CAST(min(n_tokens) AS BIGINT) AS min,
+  CAST(max(n_tokens) AS BIGINT) AS max,
+  CAST(CAST(sum(n_tokens) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+    AS mean_tokens_ppm
+FROM d GROUP BY lang
+"""
+
+
 def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min heavy-hitter audit over the documents token stream:
     the d×w counter sketch (the only full-stream pass), probed with the
@@ -7650,8 +7711,7 @@ def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the measured one-sided overestimate."""
     from .operators.sketches import cms_heavy_audit
 
-    load_views(spark, sf_dir, "documents")
-    docs = spark.table("documents")
+    docs = _docs(spark, sf_dir)
     stream = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("token")
     )
@@ -8483,6 +8543,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "data_budget": q_data_budget,
     "pii_spread": q_pii_spread,
     "tool_call_lint": q_tool_call_lint,
+    "stats_merge": q_stats_merge,
+    "edit_verify": q_edit_verify,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8744,6 +8806,8 @@ ORACLES: dict[str, str] = {
     "data_budget": _O_DATA_BUDGET,
     "pii_spread": _O_PII_SPREAD,
     "tool_call_lint": _O_TOOL_CALL_LINT,
+    "stats_merge": _O_STATS_MERGE,
+    "edit_verify": _O_EDIT_VERIFY,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "lsh_incremental_pairs",
     "ngram_jaccard",
+    "edit_distance_verify",
     "simhash64",
     "simhash_hamming",
     "simhash_near_pairs",
@@ -1550,5 +1551,63 @@ def cluster_purity(
                 "CAST(CAST(-_best.neg AS DECIMAL(38,0)) * 1000000"
                 " div n_docs AS BIGINT)"
             ).alias("purity_ppm"),
+        )
+    )
+
+
+def edit_distance_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level verification of near-dup candidate pairs: exact
+    Levenshtein distance (JVM-side ``levenshtein``) plus an integer
+    similarity ``sim_ppm = 10⁶·(maxlen − dist) div maxlen`` — the last
+    rung of the verify ladder, below shingle Jaccard: it certifies
+    *edit-level* closeness where token-set measures can't distinguish
+    a reorder from a rewrite.
+
+    Cost contract: the DP is O(|a|·|b|) PER PAIR, so this runs only on
+    pairs already admitted by a bounded candidate generator (LSH band
+    collision, SimHash block, Jaccard threshold) — never corpus×corpus.
+    The two text joins leave strategy to AQE (``docs`` is
+    corpus-cardinality, so forcing a broadcast of it is banned by the
+    repo's broadcast policy); ``len_gap`` rides along because
+    ``dist ≥ |len_a − len_b|`` — a caller enforcing a max distance can
+    pre-filter on it and skip the DP for free.
+
+    Returns ``(id_a, id_b, len_a, len_b, len_gap, lev_dist, sim_ppm)``.
+    """
+    ta = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a")
+    )
+    tb = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b")
+    )
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.length("_text_a").cast("long").alias("len_a"),
+            F.length("_text_b").cast("long").alias("len_b"),
+            F.levenshtein("_text_a", "_text_b").cast("long")
+            .alias("lev_dist"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "len_a",
+            "len_b",
+            F.abs(F.col("len_a") - F.col("len_b")).alias("len_gap"),
+            "lev_dist",
+            F.expr(
+                "CAST(CASE WHEN greatest(len_a, len_b) = 0 THEN 1000000"
+                " ELSE CAST((greatest(len_a, len_b) - lev_dist)"
+                " AS DECIMAL(38,0)) * 1000000 div greatest(len_a, len_b)"
+                " END AS BIGINT)"
+            ).alias("sim_ppm"),
         )
     )

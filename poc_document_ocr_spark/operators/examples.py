@@ -40,7 +40,8 @@ _TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
 
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
            "preference_pairs", "context_window_fit", "conv_windows",
-           "truncation_audit", "chat_spans", "tool_call_lint"]
+           "truncation_audit", "chat_spans", "chat_render_report",
+           "tool_call_lint"]
 
 
 def sft_pack_examples(
@@ -454,6 +455,8 @@ def truncation_audit(
     Returns ``(policy, n_convs, convs_fit, n_turns_kept, n_tokens_kept,
     asst_tokens_kept, tokens_kept_ppm)``.
     """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
     b = int(budget_tokens)
     b_head, b_tail = b // 2, b - b // 2
     n_tok = F.size(
@@ -630,4 +633,33 @@ def tool_call_lint(
                 " AS DECIMAL(38,0)) * 1000000 div n_calls AS BIGINT)"
             ),
         )
+    )
+
+
+def chat_render_report(spans: DataFrame) -> DataFrame:
+    """Per-conversation rollup of a :func:`chat_spans` table: rendered
+    length, loss-mask (assistant-span) accounting, and an
+    order-insensitive span fingerprint (``Σ(start·10⁶+3 + end) mod
+    10⁹+7``, both offsets reduced before the fold so ANSI mode cannot
+    overflow). ONE definition shared by the oracle-checked query and
+    the scale bench so the measured plan is the validated plan."""
+    fp = (
+        "pmod(pmod(text_start, 1000000007) * 1000003"
+        " + pmod(text_end, 1000000007), 1000000007)"
+    )
+    return spans.groupBy("conv_id").agg(
+        F.max("block_end").cast("long").alias("rendered_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(F.col("trainable"), 1).otherwise(0))
+        .cast("long").alias("n_trainable"),
+        F.sum(
+            F.when(
+                F.col("trainable"),
+                F.col("text_end") - F.col("text_start"),
+            ).otherwise(0)
+        ).cast("long").alias("trainable_chars"),
+        F.expr(
+            f"CAST(sum(CAST({fp} AS DECIMAL(38,0)))"
+            " % 1000000007 AS BIGINT)"
+        ).alias("spans_fp"),
     )

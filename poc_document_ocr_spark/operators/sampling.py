@@ -1332,6 +1332,8 @@ def epoch_shuffle_audit(
 
     Returns ``(epoch, shard, n_docs, min_key, max_key, order_fp)``.
     """
+    if n_epochs <= 0:
+        raise ValueError("n_epochs must be positive")
     epochs = F.explode(
         F.array(*[F.lit(e).cast("int") for e in range(n_epochs)])
     ).alias("epoch")

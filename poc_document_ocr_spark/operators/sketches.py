@@ -45,6 +45,8 @@ __all__ = [
     "cms_heavy_audit",
     "hdr_registers",
     "hdr_quantiles",
+    "moment_registers",
+    "merge_moments",
 ]
 
 #: Register count (2 hex chars of the md5 prefix). Fixed: the rho path
@@ -353,6 +355,29 @@ def bloom_prefilter_audit(
     )
 
 
+def _cms_hash_rows(value_col: str, d: int, w: int):
+    """The (cms_row, cms_col) hash pairs for one value — the ONE
+    definition shared by the sketch build and the probe side: CMS is
+    only correct if both hash identically, so neither may drift.
+    Hashing is the repo's portable md5 idiom
+    (``conv(substring(md5(value || '|' || row), 1, 15), 16, 10) % w``
+    — 60-bit, non-negative, so Spark ``pmod`` and DuckDB ``%``
+    agree)."""
+    return F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).cast("int").alias("cms_row"),
+                F.expr(
+                    f"pmod(CAST(conv(substring(md5(concat(CAST({value_col}"
+                    f" AS STRING), '|', '{j}')), 1, 15), 16, 10)"
+                    f" AS BIGINT), {w})"
+                ).alias("cms_col"),
+            )
+            for j in range(d)
+        ])
+    )
+
+
 def cms_counters(
     df: DataFrame,
     value_col: str = "token",
@@ -368,25 +393,11 @@ def cms_counters(
     at most ``d·w`` rows per map task regardless of corpus size, and two
     counter tables over different slices (days, shards) merge by
     re-summing per (row, col) — the same persist-and-merge lifecycle as
-    the HLL registers. Hashing is the repo's portable md5 idiom
-    (``conv(substring(md5(value || '|' || row), 1, 15), 16, 10) % w`` —
-    60-bit, non-negative, so Spark ``pmod`` and DuckDB ``%`` agree).
+    the HLL registers. Hashing is :func:`_cms_hash_rows`, shared with
+    the probe side of :func:`cms_heavy_audit`.
     """
-    rows = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(j).cast("int").alias("cms_row"),
-                F.expr(
-                    f"pmod(CAST(conv(substring(md5(concat(CAST({value_col}"
-                    f" AS STRING), '|', '{j}')), 1, 15), 16, 10)"
-                    f" AS BIGINT), {w})"
-                ).alias("cms_col"),
-            )
-            for j in range(d)
-        ])
-    )
     return (
-        df.select(rows.alias("_rc"))
+        df.select(_cms_hash_rows(value_col, d, w).alias("_rc"))
         .select("_rc.cms_row", "_rc.cms_col")
         .groupBy("cms_row", "cms_col")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -422,20 +433,7 @@ def cms_heavy_audit(
     cms = cms_counters(stream, value_col, d=d, w=w)
     probes = candidates.select(F.col(value_col).alias("_v")).distinct()
     probe_rows = probes.select(
-        "_v",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).cast("int").alias("cms_row"),
-                    F.expr(
-                        f"pmod(CAST(conv(substring(md5(concat(CAST(_v"
-                        f" AS STRING), '|', '{j}')), 1, 15), 16, 10)"
-                        f" AS BIGINT), {w})"
-                    ).alias("cms_col"),
-                )
-                for j in range(d)
-            ])
-        ).alias("_rc"),
+        "_v", _cms_hash_rows("_v", d, w).alias("_rc")
     ).select("_v", "_rc.cms_row", "_rc.cms_col")
     est = (
         probe_rows.join(cms, ["cms_row", "cms_col"], "left")
@@ -583,4 +581,65 @@ def hdr_quantiles(
         F.col("lo").alias("q_lo"),
         F.col("hi").alias("q_hi"),
         F.col("_tot").cast("long").alias("n_total"),
+    )
+
+
+def moment_registers(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_tokens",
+) -> DataFrame:
+    """Mergeable moment registers per group — the algebraic-aggregate
+    state behind incremental corpus statistics: ``(n, sum, sumsq, min,
+    max)`` over a BIGINT value column. Every field is commutative and
+    associative, so registers over different corpus slices (days,
+    shards, snapshots) merge EXACTLY with :func:`merge_moments` —
+    tomorrow's corpus stats are yesterday's registers plus the delta
+    batch's, never a full rescan. Fourth mergeable sketch family next
+    to the HLL registers, Bloom bit tables, and CMS counters (this one
+    is lossless).
+
+    ``sumsq`` widens through DECIMAL(38,0): a per-doc token count up to
+    ~10⁹ squared and summed over 10¹² docs stays inside 38 digits,
+    where BIGINT would overflow at ~3M such docs (ANSI mode would abort
+    the job).
+
+    Shape: ONE map-side-combinable groupBy; register cardinality =
+    groups.
+    """
+    v = F.col(value_col).cast("long")
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sum"),
+        F.sum(F.expr(
+            f"CAST({value_col} AS DECIMAL(38,0))"
+            f" * CAST({value_col} AS DECIMAL(38,0))"
+        )).cast("decimal(38,0)").alias("sumsq"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_moments(*registers: DataFrame) -> DataFrame:
+    """Merge moment-register tables from disjoint corpus slices into
+    the registers of their union: ``n``/``sum``/``sumsq`` add, ``min``/
+    ``max`` fold — exact by algebra, no approximation. The group column
+    is whatever the inputs share (first column by convention).
+
+    Shape: a union of register tables (groups-sized, NOT corpus-sized)
+    and one groupBy over it — the whole merge is driver-trivial
+    regardless of how much data the registers summarize.
+    """
+    if not registers:
+        raise ValueError("merge_moments needs at least one register table")
+    group_col = registers[0].columns[0]
+    u = registers[0]
+    for r in registers[1:]:
+        u = u.unionByName(r)
+    return u.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum").cast("long").alias("sum"),
+        F.sum("sumsq").cast("decimal(38,0)").alias("sumsq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
     )

@@ -1691,6 +1691,40 @@ def audit(spark, sf_dir: str):
         f"partial_count present={'partial_count' in p}",
     )
 
+    # stats_merge: each slice folds to registers map-side (two corpus
+    # scans by design — they simulate two days' independently persisted
+    # register jobs); the merge exchanges only register-cardinality rows
+    sm = ep.QUERIES["stats_merge"](spark, sf_dir)
+    p = plan_of(sm)
+    check(
+        "stats_merge: register folds partial-aggregate map-side",
+        "partial_count" in p and "partial_sum" in p,
+        "partial_count & partial_sum present",
+    )
+    # ...and the merge rollup adds NO third exchange: both union
+    # branches exit their folds hash-partitioned on lang with identical
+    # expressions, so the final aggregate's clustering requirement is
+    # already satisfied through the Union
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "stats_merge: 2 shuffles (per-slice folds; merge reuses their"
+        " partitioning)",
+        n_ex == 2,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # edit_verify: candidates-only — both text joins are equi on ids,
+    # never a cartesian/nested-loop (the O(|a|·|b|) DP must only ever
+    # run on admitted candidate pairs)
+    ev = ep.QUERIES["edit_verify"](spark, sf_dir)
+    p = plan_of(ev)
+    check(
+        "edit_verify: equi joins only, no cartesian/nested-loop",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+        "no CartesianProduct / BNLJ in executed plan",
+    )
+
     # cms_heavy: the counter fold MUST partial-aggregate map-side (the
     # sketch's whole point: d·w rows on the wire, not the token stream)
     # and nothing in the probe/audit path is a cartesian

@@ -30,14 +30,13 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
 from poc_document_ocr_spark.session import get_spark
-from scripts._bench_common import steal_sample as _steal_sample
+from scripts._bench_common import consume, docs_of, run_timed
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -133,20 +132,13 @@ def epoch_shuffle_job(docs):
 
 
 def chat_render_job(transcripts):
-    from poc_document_ocr_spark.operators.examples import chat_spans
+    # the shipped rollup, so the measured plan IS the validated plan
+    from poc_document_ocr_spark.operators.examples import (
+        chat_render_report,
+        chat_spans,
+    )
 
-    sp = chat_spans(transcripts)
-    fp = (
-        "pmod(pmod(text_start, 1000000007) * 1000003"
-        " + pmod(text_end, 1000000007), 1000000007)"
-    )
-    return sp.groupBy("conv_id").agg(
-        F.max("block_end").alias("rendered_chars"),
-        F.count(F.lit(1)).alias("n_turns"),
-        F.expr(
-            f"CAST(sum(CAST({fp} AS DECIMAL(38,0))) % 1000000007 AS BIGINT)"
-        ).alias("spans_fp"),
-    )
+    return chat_render_report(chat_spans(transcripts))
 
 
 def maxlen_sweep_job(docs):
@@ -182,20 +174,7 @@ def main() -> None:
     transcripts = spark.read.parquet(
         os.path.join(REPO, ".bench_cache", f"transcripts_{scale}_v2.parquet")
     )
-    docs = extracted.select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
-        F.col("extracted_text").alias("text"),
-        F.concat(
-            F.lit("lang"), F.pmod(F.xxhash64("conv_id", F.lit("l")),
-                                  F.lit(5))
-        ).alias("lang"),
-    )
-
-    def consume(df):
-        cols = [F.col(c) for c in df.columns]
-        return df.select(F.xxhash64(*cols).alias("_h")).agg(
-            F.expr("bit_xor(_h)")
-        ).collect()
+    docs = docs_of(extracted)
 
     jobs = {
         "cms_heavy": lambda: consume(cms_job(docs)),
@@ -217,14 +196,7 @@ def main() -> None:
 
     small_e = extracted.limit(5000).localCheckpoint()
     small_t = transcripts.limit(5000).localCheckpoint()
-    small_d = small_e.select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
-        F.col("extracted_text").alias("text"),
-        F.concat(
-            F.lit("lang"), F.pmod(F.xxhash64("conv_id", F.lit("l")),
-                                  F.lit(5))
-        ).alias("lang"),
-    )
+    small_d = docs_of(small_e).localCheckpoint()
     warm = {
         "cms_heavy": lambda: consume(cms_job(small_d)),
         "span_lint": lambda: consume(span_lint_job(small_e)),
@@ -237,18 +209,7 @@ def main() -> None:
         "chat_render": lambda: consume(chat_render_job(small_t)),
         "maxlen_sweep": lambda: consume(maxlen_sweep_job(small_d)),
     }
-    for name in selected:
-        warm[name]()
-
-    timings, steal = {}, {}
-    for name, fn in selected.items():
-        spark.catalog.clearCache()
-        s0, j0 = _steal_sample()
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 2)
-        s1, j1 = _steal_sample()
-        steal[name] = round((s1 - s0) / max(j1 - j0, 1), 4)
+    timings, steal = run_timed(spark, selected, warm)
 
     print(json.dumps({"scale": scale, "timings": timings, "steal": steal}))
 

@@ -1,5 +1,5 @@
 """Scale points for the SESSION-20 operators (data-budget planner,
-cross-turn PII spread, tool-call lint).
+cross-turn PII spread, tool-call lint, moment-register merge).
 
 Inputs come from the shared ``.bench_cache`` corpus (1.88M extracted
 turns at scale 0.1, 18.8M at scale 1), reshaped per op: the PII corpus
@@ -21,16 +21,53 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
 from poc_document_ocr_spark.session import get_spark
-from scripts._bench_common import steal_sample as _steal_sample
+from scripts._bench_common import consume, docs_of, run_timed
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def edit_verify_job(docs):
+    from poc_document_ocr_spark.operators.dedup import edit_distance_verify
+    from pyspark.sql import functions as F
+
+    # pair 1-in-10 docs with a mutated twin (id+1 never collides with
+    # the xxhash64 ids) so the measurement isolates the verify stage --
+    # the equi joins + per-pair DP -- not a candidate generator
+    sel = docs.filter("pmod(doc_id, 10) = 0")
+    twins = sel.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tokens here"))
+        .alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    pairs = sel.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    )
+    return edit_distance_verify(corpus, pairs)
+
+
+def stats_merge_job(docs):
+    from poc_document_ocr_spark.operators.sketches import (
+        merge_moments,
+        moment_registers,
+    )
+    from pyspark.sql import functions as F
+
+    wt = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return merge_moments(
+        moment_registers(wt.filter("doc_id % 5 != 0")),
+        moment_registers(wt.filter("doc_id % 5 = 0")),
+    )
 
 
 def data_budget_job(docs):
@@ -103,22 +140,11 @@ def main() -> None:
     transcripts = spark.read.parquet(
         os.path.join(REPO, ".bench_cache", f"transcripts_{scale}_v2.parquet")
     )
-    docs = extracted.select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
-        F.col("extracted_text").alias("text"),
-        F.concat(
-            F.lit("lang"), F.pmod(F.xxhash64("conv_id", F.lit("l")),
-                                  F.lit(5))
-        ).alias("lang"),
-    )
-
-    def consume(df):
-        cols = [F.col(c) for c in df.columns]
-        return df.select(F.xxhash64(*cols).alias("_h")).agg(
-            F.expr("bit_xor(_h)")
-        ).collect()
+    docs = docs_of(extracted)
 
     jobs = {
+        "edit_verify": lambda: consume(edit_verify_job(docs)),
+        "stats_merge": lambda: consume(stats_merge_job(docs)),
         "data_budget": lambda: consume(data_budget_job(docs)),
         "pii_spread": lambda: consume(pii_spread_job(transcripts)),
         "tool_call_lint": lambda: consume(tool_call_lint_job(transcripts)),
@@ -132,22 +158,13 @@ def main() -> None:
     small_t = transcripts.limit(5000).localCheckpoint()
     small_d = docs.limit(5000).localCheckpoint()
     warm = {
+        "edit_verify": lambda: consume(edit_verify_job(small_d)),
+        "stats_merge": lambda: consume(stats_merge_job(small_d)),
         "data_budget": lambda: consume(data_budget_job(small_d)),
         "pii_spread": lambda: consume(pii_spread_job(small_t)),
         "tool_call_lint": lambda: consume(tool_call_lint_job(small_t)),
     }
-    for name in selected:
-        warm[name]()
-
-    timings, steal = {}, {}
-    for name, fn in selected.items():
-        spark.catalog.clearCache()
-        s0, j0 = _steal_sample()
-        t0 = time.monotonic()
-        fn()
-        timings[name] = round(time.monotonic() - t0, 2)
-        s1, j1 = _steal_sample()
-        steal[name] = round((s1 - s0) / max(j1 - j0, 1), 4)
+    timings, steal = run_timed(spark, selected, warm)
 
     print(json.dumps({"scale": scale, "timings": timings, "steal": steal}))
 

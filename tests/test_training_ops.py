@@ -3185,7 +3185,6 @@ def test_epoch_shuffle_reproducible_and_epoch_decorrelated(spark):
     )
     a = epoch_shuffle_audit(docs, n_epochs=2, seed=7).collect()
     b = epoch_shuffle_audit(docs, n_epochs=2, seed=7).collect()
-    key = lambda r: (r["epoch"], r["shard"])
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     per_epoch = {}
     for r in a:
@@ -3456,3 +3455,76 @@ def test_tool_call_lint_verdicts(spark):
     c = out["calc"]
     assert (c["n_calls"], c["n_malformed"], c["n_missing"]) == (1, 0, 0)
     assert c["ok_ppm"] == 10**6
+
+
+def test_moment_registers_merge_equals_direct(spark):
+    """Registers over disjoint slices merge into exactly the direct
+    full-data registers (the algebraic invariant incremental stats
+    rely on), including min/max folds and the DECIMAL sumsq."""
+    from poc_document_ocr_spark.operators.sketches import (
+        merge_moments,
+        moment_registers,
+    )
+
+    rows = [
+        ("en", 4), ("en", 7), ("en", 2),
+        ("fr", 10), ("fr", 1),
+        ("de", 5),
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_tokens long")
+    a = df.filter("n_tokens % 2 = 0")   # en:4, en:2, fr:10
+    b = df.filter("n_tokens % 2 = 1")   # en:7, fr:1, de:5
+    merged = {
+        r["lang"]: r
+        for r in merge_moments(
+            moment_registers(a), moment_registers(b)
+        ).collect()
+    }
+    direct = {r["lang"]: r for r in moment_registers(df).collect()}
+    assert sorted(merged) == sorted(direct) == ["de", "en", "fr"]
+    for lang in direct:
+        assert tuple(merged[lang]) == tuple(direct[lang]), lang
+    # hand numbers: en n=3 sum=13 sumsq=16+49+4=69 min=2 max=7
+    en = merged["en"]
+    assert (en["n"], en["sum"], int(en["sumsq"]), en["min"], en["max"]) \
+        == (3, 13, 69, 2, 7)
+    # single-slice merge is the identity
+    ident = {
+        r["lang"]: r for r in merge_moments(moment_registers(df)).collect()
+    }
+    for lang in direct:
+        assert tuple(ident[lang]) == tuple(direct[lang]), lang
+
+
+def test_edit_distance_verify_hand_checked(spark):
+    """Levenshtein + sim_ppm on hand-computed pairs, including the
+    len-gap lower bound and the empty-string edge."""
+    from poc_document_ocr_spark.operators.dedup import edit_distance_verify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitting"),
+            (3, "kitten"),
+            (4, ""),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (1, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in edit_distance_verify(docs, pairs).collect()
+    }
+    r = out[(1, 2)]
+    assert (r["lev_dist"], r["len_gap"]) == (3, 1)
+    assert r["sim_ppm"] == (7 - 3) * 10**6 // 7
+    assert r["lev_dist"] >= r["len_gap"]   # DP-free lower bound holds
+    r = out[(1, 3)]
+    assert (r["lev_dist"], r["sim_ppm"]) == (0, 10**6)
+    r = out[(4, 5)]                         # both empty: identical
+    assert (r["lev_dist"], r["sim_ppm"]) == (0, 10**6)
+    r = out[(1, 4)]                         # vs empty: all deletions
+    assert (r["lev_dist"], r["sim_ppm"]) == (6, 0)
