@@ -2040,6 +2040,84 @@ FROM j
 """
 
 
+#: role override for the turn-merge query: the derived corpus has a
+#: constant role per conversation (doc_id % 4 ≡ conv % 4), so both
+#: engines re-derive a turn-dependent role that produces real same-role
+#: runs (user,user,assistant,tool cycling by turn)
+_MERGE_ROLE_SQL = (
+    "CASE turn_idx % 4 WHEN 1 THEN 'user' WHEN 2 THEN 'user'"
+    " WHEN 3 THEN 'assistant' ELSE 'tool' END"
+)
+
+
+def q_turn_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive same-role turn merge (gaps-and-islands re-index with
+    order-pinned text concat) over the derived transcripts with a
+    turn-cycling role so same-role runs actually occur (see
+    :func:`~poc_document_ocr_spark.operators.examples.merge_same_role_turns`)."""
+    from .operators.examples import merge_same_role_turns
+
+    t = spark_transcripts(spark, sf_dir).withColumn(
+        "role", F.expr(_MERGE_ROLE_SQL)
+    )
+    return merge_same_role_turns(t)
+
+
+_O_TURN_MERGE = oracle_cte(f"""
+, x AS (SELECT conv_id, turn_idx, {_MERGE_ROLE_SQL} AS role, text FROM t),
+c AS (SELECT *,
+    CASE WHEN lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           IS DISTINCT FROM role THEN 1 ELSE 0 END AS chg
+  FROM x),
+i AS (SELECT *, sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+    ROWS UNBOUNDED PRECEDING) AS island FROM c)
+SELECT conv_id,
+  CAST(island AS BIGINT) AS new_turn_idx,
+  min(role) AS role,
+  string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+  CAST(count(*) AS BIGINT) AS n_merged,
+  min(turn_idx) AS first_turn,
+  max(turn_idx) AS last_turn
+FROM i GROUP BY conv_id, island
+""")
+
+#: system-prompt override: a 3-prompt canned head plus a 1-in-7
+#: long-tail of unique prompts — the census must get both right
+_SYS_TEXT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN 'rare prompt ' || CAST(doc_id AS STRING)"
+    " ELSE 'canned prompt ' || CAST(doc_id % 3 AS STRING) END"
+)
+
+
+def q_sys_prompts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """System-prompt census over the derived transcripts' system turns,
+    with a canned-head + long-tail prompt override shared with the
+    oracle (see
+    :func:`~poc_document_ocr_spark.operators.examples.system_prompt_profile`)."""
+    from .operators.examples import system_prompt_profile
+
+    t = spark_transcripts(spark, sf_dir).withColumn(
+        "text", F.expr(_SYS_TEXT_SQL)
+    )
+    return system_prompt_profile(t)
+
+
+_O_SYS_PROMPTS = oracle_cte(f"""
+, s AS (SELECT conv_id, {_SYS_TEXT_SQL} AS text FROM t
+        WHERE role = 'system'),
+pc AS (SELECT text, conv_id, CAST(count(*) AS BIGINT) AS n
+       FROM s GROUP BY 1, 2),
+pt AS (SELECT text, CAST(sum(n) AS BIGINT) AS n_turns,
+         CAST(count(*) AS BIGINT) AS n_convs
+       FROM pc GROUP BY text),
+tot AS (SELECT CAST(sum(n_turns) AS BIGINT) AS _tot FROM pt)
+SELECT text, n_turns, n_convs,
+  CAST(CAST(n_turns AS HUGEINT) * 1000000 // greatest(_tot, 1)
+    AS BIGINT) AS share_ppm
+FROM pt, tot
+""")
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup ladder: 64-bit fingerprints, 8-bit block equi-join
     for candidates (complete for Hamming ≤ 7), exact Hamming filter."""
@@ -8545,6 +8623,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tool_call_lint": q_tool_call_lint,
     "stats_merge": q_stats_merge,
     "edit_verify": q_edit_verify,
+    "turn_merge": q_turn_merge,
+    "sys_prompts": q_sys_prompts,
     "curate_pipeline": q_curate_pipeline,
     "sft_examples": q_sft_examples,
     "extractiveness": q_extractiveness,
@@ -8808,6 +8888,8 @@ ORACLES: dict[str, str] = {
     "tool_call_lint": _O_TOOL_CALL_LINT,
     "stats_merge": _O_STATS_MERGE,
     "edit_verify": _O_EDIT_VERIFY,
+    "turn_merge": _O_TURN_MERGE,
+    "sys_prompts": _O_SYS_PROMPTS,
     "lsh_band_sweep": _O_LSH_BAND_SWEEP,
     "fleiss_kappa": _O_FLEISS_KAPPA,
     "mix_concentration": _O_MIX_CONCENTRATION,

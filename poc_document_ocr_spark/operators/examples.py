@@ -41,7 +41,8 @@ _TEXT = lambda: F.coalesce(F.col("text"), F.lit(""))
 __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
            "preference_pairs", "context_window_fit", "conv_windows",
            "truncation_audit", "chat_spans", "chat_render_report",
-           "tool_call_lint"]
+           "tool_call_lint", "merge_same_role_turns",
+           "system_prompt_profile"]
 
 
 def sft_pack_examples(
@@ -662,4 +663,112 @@ def chat_render_report(spans: DataFrame) -> DataFrame:
             f"CAST(sum(CAST({fp} AS DECIMAL(38,0)))"
             " % 1000000007 AS BIGINT)"
         ).alias("spans_fp"),
+    )
+
+
+def merge_same_role_turns(
+    t: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Normalize consecutive same-role turns into one turn — the
+    standard transcript repair before chat templating (a template
+    renders each turn with a role header, so an unmerged same-role run
+    teaches the model that a speaker re-announces itself mid-message).
+
+    Gaps-and-islands under the conversation partitioning: a lag flags
+    role changes, a cumulative sum numbers the islands (that number IS
+    the re-index), and the island fold concatenates texts in exact
+    ``turn_col`` order via ``sort_array`` over (turn, text) structs —
+    ``collect_list`` alone has no order guarantee across partial
+    aggregation. ONE window + ONE groupBy, both on the conversation
+    key, so the corpus shuffles once.
+
+    Returns ``(conv, new_turn_idx, role, text, n_merged, first_turn,
+    last_turn)`` — one row per island, ``new_turn_idx`` dense from 1.
+    """
+    w = W.partitionBy(conv_col).orderBy(turn_col)
+    change = F.when(
+        F.lag(role_col).over(w).isNull()
+        | (F.lag(role_col).over(w) != F.col(role_col)),
+        1,
+    ).otherwise(0)
+    island = F.sum(change).over(
+        w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = t.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col),
+        F.col(text_col),
+        island.alias("_island"),
+    )
+    return (
+        flagged.groupBy(conv_col, "_island")
+        .agg(
+            F.min(role_col).alias(role_col),  # constant within island
+            F.expr(
+                f"array_join(transform(sort_array(collect_list("
+                f"struct({turn_col}, {text_col}))), s -> s.{text_col}),"
+                f" '{sep}')"
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.min(turn_col).alias("first_turn"),
+            F.max(turn_col).alias("last_turn"),
+        )
+        .select(
+            conv_col,
+            F.col("_island").cast("long").alias("new_turn_idx"),
+            role_col,
+            text_col,
+            "n_merged",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+def system_prompt_profile(
+    t: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Census of distinct system-prompt texts: how many turns and how
+    many conversations each exact prompt appears in, and its ppm share
+    of all system turns — the dedup-exposure profile of the most
+    boilerplate-heavy role (one canned system prompt repeated across
+    10⁶ conversations dominates naive token counts and leaks across
+    train/eval splits).
+
+    Two-level aggregation instead of ``count(DISTINCT conv)``: the
+    (text, conv) fold collapses the corpus first, then the text rollup
+    runs over the already-collapsed table — same shape as
+    :func:`~poc_document_ocr_spark.operators.textstats.pii_spread`.
+
+    Returns ``(text, n_turns, n_convs, share_ppm)`` over rows with
+    ``role = 'system'``.
+    """
+    sys_turns = t.filter(F.col(role_col) == "system")
+    per_conv = sys_turns.groupBy(text_col, conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    per_text = per_conv.groupBy(text_col).agg(
+        F.sum("_n").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+    )
+    total = per_text.agg(
+        F.sum("n_turns").cast("long").alias("_tot")
+    )
+    return per_text.crossJoin(F.broadcast(total)).select(
+        text_col,
+        "n_turns",
+        "n_convs",
+        F.expr(
+            "CAST(CAST(n_turns AS DECIMAL(38,0)) * 1000000"
+            " div greatest(_tot, 1) AS BIGINT)"
+        ).alias("share_ppm"),
     )

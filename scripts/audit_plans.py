@@ -1713,6 +1713,33 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
+    # turn_merge: gaps-and-islands — the island groupBy(conv, island)
+    # must reuse the window's conv hash-partitioning (partitioning on a
+    # subset of the group keys co-locates every group), so the corpus
+    # shuffles exactly ONCE
+    tm = ep.QUERIES["turn_merge"](spark, sf_dir)
+    p = plan_of(tm)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "turn_merge: 1 shuffle (island groupBy reuses conv window"
+        " partitioning)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # sys_prompts: the (text, conv) fold partial-aggregates map-side;
+    # at runtime AQE reuses that corpus-sized fold for the totals
+    # branch (verified: ReusedExchange in the final adaptive plan), so
+    # only census-cardinality work repeats
+    sp2 = ep.QUERIES["sys_prompts"](spark, sf_dir)
+    p = plan_of(sp2)
+    check(
+        "sys_prompts: census folds partial-aggregate map-side, no"
+        " sort-merge join",
+        "partial_count" in p and "SortMergeJoin" not in p,
+        "partial_count present, SMJ absent",
+    )
+
     # edit_verify: candidates-only — both text joins are equi on ids,
     # never a cartesian/nested-loop (the O(|a|·|b|) DP must only ever
     # run on admitted candidate pairs)

@@ -1,5 +1,6 @@
 """Scale points for the SESSION-20 operators (data-budget planner,
-cross-turn PII spread, tool-call lint, moment-register merge).
+cross-turn PII spread, tool-call lint, moment-register merge,
+edit verify, turn merge, system-prompt census).
 
 Inputs come from the shared ``.bench_cache`` corpus (1.88M extracted
 turns at scale 0.1, 18.8M at scale 1), reshaped per op: the PII corpus
@@ -51,6 +52,34 @@ def edit_verify_job(docs):
         (F.col("doc_id") + 1).alias("id_b"),
     )
     return edit_distance_verify(corpus, pairs)
+
+
+def turn_merge_job(transcripts):
+    from poc_document_ocr_spark.operators.examples import (
+        merge_same_role_turns,
+    )
+
+    return merge_same_role_turns(transcripts)
+
+
+def sys_prompts_job(transcripts):
+    from poc_document_ocr_spark.operators.examples import (
+        system_prompt_profile,
+    )
+    from pyspark.sql import functions as F
+
+    # canned-head + long-tail prompt mix (the oracle-query corpus shape)
+    h = F.xxhash64("conv_id", "turn_idx")
+    t = transcripts.withColumn(
+        "text",
+        F.when(
+            F.pmod(h, F.lit(7)) == 0,
+            F.concat(F.lit("rare prompt "), h.cast("string")),
+        ).otherwise(
+            F.concat(F.lit("canned prompt "), F.pmod(h, F.lit(3)))
+        ),
+    )
+    return system_prompt_profile(t)
 
 
 def stats_merge_job(docs):
@@ -143,6 +172,8 @@ def main() -> None:
     docs = docs_of(extracted)
 
     jobs = {
+        "turn_merge": lambda: consume(turn_merge_job(transcripts)),
+        "sys_prompts": lambda: consume(sys_prompts_job(transcripts)),
         "edit_verify": lambda: consume(edit_verify_job(docs)),
         "stats_merge": lambda: consume(stats_merge_job(docs)),
         "data_budget": lambda: consume(data_budget_job(docs)),
@@ -158,6 +189,8 @@ def main() -> None:
     small_t = transcripts.limit(5000).localCheckpoint()
     small_d = docs.limit(5000).localCheckpoint()
     warm = {
+        "turn_merge": lambda: consume(turn_merge_job(small_t)),
+        "sys_prompts": lambda: consume(sys_prompts_job(small_t)),
         "edit_verify": lambda: consume(edit_verify_job(small_d)),
         "stats_merge": lambda: consume(stats_merge_job(small_d)),
         "data_budget": lambda: consume(data_budget_job(small_d)),

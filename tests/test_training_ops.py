@@ -3528,3 +3528,61 @@ def test_edit_distance_verify_hand_checked(spark):
     assert (r["lev_dist"], r["sim_ppm"]) == (0, 10**6)
     r = out[(1, 4)]                         # vs empty: all deletions
     assert (r["lev_dist"], r["sim_ppm"]) == (6, 0)
+
+
+def test_merge_same_role_turns_islands(spark):
+    """Hand-checked islands: runs merge in turn order with dense
+    re-index; singleton islands pass through."""
+    from poc_document_ocr_spark.operators.examples import (
+        merge_same_role_turns,
+    )
+
+    rows = [
+        ("c0", 1, "user", "hi"),
+        ("c0", 2, "user", "there"),
+        ("c0", 3, "assistant", "hello"),
+        ("c0", 4, "user", "bye"),
+        ("c1", 1, "assistant", "a"),
+        ("c1", 2, "assistant", "b"),
+        ("c1", 3, "assistant", "c"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        (r["conv_id"], r["new_turn_idx"]): r
+        for r in merge_same_role_turns(t).collect()
+    }
+    assert sorted(out) == [("c0", 1), ("c0", 2), ("c0", 3), ("c1", 1)]
+    r = out[("c0", 1)]
+    assert (r["role"], r["text"], r["n_merged"]) == ("user", "hi\nthere", 2)
+    assert (r["first_turn"], r["last_turn"]) == (1, 2)
+    assert out[("c0", 2)]["text"] == "hello"
+    assert out[("c0", 3)]["text"] == "bye"
+    r = out[("c1", 1)]
+    assert (r["text"], r["n_merged"]) == ("a\nb\nc", 3)
+
+
+def test_system_prompt_profile_census(spark):
+    """Canned prompt counted across conversations and turns; share_ppm
+    exact over system turns only."""
+    from poc_document_ocr_spark.operators.examples import (
+        system_prompt_profile,
+    )
+
+    rows = [
+        ("c0", 1, "system", "canned"),
+        ("c0", 5, "system", "canned"),     # same conv, twice
+        ("c1", 1, "system", "canned"),
+        ("c2", 1, "system", "rare"),
+        ("c2", 2, "user", "not a system turn"),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r["text"]: r for r in system_prompt_profile(t).collect()}
+    assert sorted(out) == ["canned", "rare"]
+    assert (out["canned"]["n_turns"], out["canned"]["n_convs"]) == (3, 2)
+    assert (out["rare"]["n_turns"], out["rare"]["n_convs"]) == (1, 1)
+    assert out["canned"]["share_ppm"] == 3 * 10**6 // 4
+    assert out["rare"]["share_ppm"] == 1 * 10**6 // 4
