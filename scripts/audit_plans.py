@@ -1713,15 +1713,16 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
-    # turn_merge: gaps-and-islands — the island groupBy(conv, island)
-    # must reuse the window's conv hash-partitioning (partitioning on a
-    # subset of the group keys co-locates every group), so the corpus
+    # turn_merge: gaps-and-islands — the island fold is a WINDOW over
+    # (conv, island) that must reuse the conv window's hash-partitioning
+    # (partitioning on a subset of the window keys co-locates every
+    # island; only an in-partition re-sort is added), so the corpus
     # shuffles exactly ONCE
     tm = ep.QUERIES["turn_merge"](spark, sf_dir)
     p = plan_of(tm)
     n_ex = len(re.findall(r"\bExchange\b", p))
     check(
-        "turn_merge: 1 shuffle (island groupBy reuses conv window"
+        "turn_merge: 1 shuffle (island window fold reuses conv window"
         " partitioning)",
         n_ex == 1,
         f"Exchange nodes = {n_ex}",

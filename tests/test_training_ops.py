@@ -3586,3 +3586,88 @@ def test_system_prompt_profile_census(spark):
     assert (out["rare"]["n_turns"], out["rare"]["n_convs"]) == (1, 1)
     assert out["canned"]["share_ppm"] == 3 * 10**6 // 4
     assert out["rare"]["share_ppm"] == 1 * 10**6 // 4
+
+
+def test_turn_merge_conservation_property(spark):
+    """Property over randomized conversations: merging conserves turn
+    counts (Σ n_merged = turns), conserves text content (island text
+    equals the '\\n'-join of its member turns in order), produces dense
+    island indices, and never leaves two adjacent islands with the
+    same role."""
+    from hypothesis import given, settings, strategies as st
+
+    from poc_document_ocr_spark.operators.examples import (
+        merge_same_role_turns,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["user", "assistant", "tool"]),
+                      st.sampled_from(["", "x", "yy zz"])),
+            min_size=1, max_size=20,
+        )
+    )
+    def prop(turns):
+        rows = [("c", i + 1, role, txt) for i, (role, txt) in
+                enumerate(turns)]
+        t = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string"
+        )
+        out = sorted(
+            merge_same_role_turns(t).collect(),
+            key=lambda r: r["new_turn_idx"],
+        )
+        assert sum(r["n_merged"] for r in out) == len(rows)
+        assert [r["new_turn_idx"] for r in out] == list(
+            range(1, len(out) + 1)
+        )
+        for a, b in zip(out, out[1:]):
+            assert a["role"] != b["role"]
+            assert a["last_turn"] + 1 == b["first_turn"]
+        for r in out:
+            members = rows[r["first_turn"] - 1: r["last_turn"]]
+            assert all(m[2] == r["role"] for m in members)
+            assert r["text"] == "\n".join(m[3] for m in members)
+
+    prop()
+
+
+def test_merge_moments_random_split_property(spark):
+    """Property over randomized value sets and 3-way splits: registers
+    merged from any partition of the data equal the direct registers."""
+    from hypothesis import given, settings, strategies as st
+
+    from poc_document_ocr_spark.operators.sketches import (
+        merge_moments,
+        moment_registers,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["en", "fr"]),
+                      st.integers(min_value=0, max_value=10**6),
+                      st.integers(min_value=0, max_value=2)),
+            min_size=1, max_size=30,
+        )
+    )
+    def prop(rows):
+        df = spark.createDataFrame(
+            [(lang, v, s) for lang, v, s in rows],
+            "lang string, n_tokens long, slice int",
+        )
+        slices = [
+            moment_registers(df.filter(F.col("slice") == s))
+            for s in (0, 1, 2)
+            if df.filter(F.col("slice") == s).take(1)
+        ]
+        merged = {
+            r["lang"]: r for r in merge_moments(*slices).collect()
+        }
+        direct = {r["lang"]: r for r in moment_registers(df).collect()}
+        assert sorted(merged) == sorted(direct)
+        for lang in direct:
+            assert tuple(merged[lang]) == tuple(direct[lang])
+
+    prop()
