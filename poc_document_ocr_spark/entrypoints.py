@@ -7994,6 +7994,73 @@ FROM tot JOIN w USING (source)
 """
 
 
+#: score corpus for the calibration demo — integer group from doc_id and a
+#: group-SHIFTED score (n_chars mod 97 + 25·group) so every group has a
+#: different raw-score location: one global raw cutoff keeps wildly
+#: different shares per group, which is exactly the problem per-source
+#: ECDF calibration exists to fix
+_CORPUS_SCAL = (
+    "SELECT doc_id % 4 AS src,"
+    " (n_chars % 97) + 25 * (doc_id % 4) AS score FROM documents"
+)
+
+#: global raw cutoff / calibrated percentile target for the demo
+_CAL_RAW_CUTOFF = 60
+_CAL_TARGET_PPM = 800_000
+
+
+def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ECDF score calibration report: a global raw cutoff's
+    keep share per source (wildly uneven by construction) vs the
+    calibrated percentile cutoff's (equalized), plus each source's
+    implied effective raw-score cutoff — the cross-source score
+    normalization step that runs before any global quality threshold
+    (CCNet-style per-bucket ranking, Wenzek et al. 1911.00359)."""
+    from .operators.textstats import calibrate_scores, calibration_report
+
+    c = _sql_over(spark, sf_dir, _CORPUS_SCAL, "documents")
+    m = calibrate_scores(c, group_col="src", score_col="score")
+    return calibration_report(
+        m, raw_cutoff=_CAL_RAW_CUTOFF, target_ppm=_CAL_TARGET_PPM,
+        group_col="src",
+    )
+
+
+_O_SCORE_CALIBRATE = f"""
+WITH c AS ({_CORPUS_SCAL}),
+h AS (SELECT src, CAST(score AS BIGINT) AS score,
+        CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY 1, 2),
+m AS (SELECT src, score, cnt,
+        CAST(sum(cnt) OVER (PARTITION BY src ORDER BY score)
+             AS BIGINT) AS cum,
+        CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS n FROM h),
+mm AS (SELECT src, score, cnt, n,
+         CASE WHEN n > 1 THEN
+           CAST(CAST(cum - cnt AS HUGEINT) * 1000000 // (n - 1)
+                AS BIGINT)
+         ELSE 0 END AS cal_ppm FROM m),
+tot AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS n_docs,
+          CAST(count(*) AS BIGINT) AS n_scores FROM mm GROUP BY 1),
+raw AS (SELECT src, CAST(sum(cnt) AS BIGINT) AS k FROM mm
+        WHERE score >= {_CAL_RAW_CUTOFF} GROUP BY 1),
+cut AS (SELECT src, min(score) AS cal_cutoff FROM mm
+        WHERE cal_ppm >= {_CAL_TARGET_PPM} GROUP BY 1),
+calk AS (SELECT mm.src, CAST(sum(cnt) AS BIGINT) AS k FROM mm
+         JOIN cut ON mm.src = cut.src AND mm.score >= cut.cal_cutoff
+         GROUP BY 1)
+SELECT tot.src AS src, n_docs, n_scores,
+  CAST(CAST(coalesce(raw.k, 0) AS HUGEINT) * 1000000 // n_docs
+       AS BIGINT) AS raw_keep_ppm,
+  cut.cal_cutoff AS cal_cutoff,
+  CAST(CAST(coalesce(calk.k, 0) AS HUGEINT) * 1000000 // n_docs
+       AS BIGINT) AS cal_keep_ppm
+FROM tot
+LEFT JOIN raw ON tot.src = raw.src
+LEFT JOIN cut ON tot.src = cut.src
+LEFT JOIN calk ON tot.src = calk.src
+"""
+
+
 #: annotation budget for the quota-allocation demo — deliberately prime
 #: so floors never sum to k and the largest-remainder seats are exercised
 _QUOTA_K = 137
@@ -8560,6 +8627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prune": q_bloom_prune,
     "quota_alloc": q_quota_alloc,
     "quality_drift": q_quality_drift,
+    "score_calibrate": q_score_calibrate,
     "bitext_mine": q_bitext_mine,
     "consolidate_long": q_consolidate_long,
     "streaming_flush": q_streaming_flush,
@@ -8870,6 +8938,7 @@ ORACLES: dict[str, str] = {
     "bloom_prune": _O_BLOOM_PRUNE,
     "quota_alloc": _O_QUOTA_ALLOC,
     "quality_drift": _O_QUALITY_DRIFT,
+    "score_calibrate": _O_SCORE_CALIBRATE,
     "bitext_mine": _O_BITEXT_MINE,
     "publish_diff": _O_PUBLISH_DIFF,
     "script_mix": _O_SCRIPT_MIX,

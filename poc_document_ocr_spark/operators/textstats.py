@@ -55,6 +55,8 @@ __all__ = [
     "screen_confusion",
     "fleiss_kappa",
     "quality_drift",
+    "calibrate_scores",
+    "calibration_report",
     "CTRL_CHAR_RE",
     "MOJIBAKE_MARKERS",
     "REFUSAL_RE",
@@ -2285,4 +2287,136 @@ def pii_spread(
         ).cast("long").alias("n_repeated"),
         F.max(F.col("_last") - F.col("_first")).cast("long")
         .alias("max_spread"),
+    )
+
+
+def calibrate_scores(
+    scored: DataFrame,
+    group_col: str = "source",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-group ECDF score calibration: map each raw integer score to
+    its within-group percentile rank in ppm.
+
+    Quality scorers drift across sources — the same raw number means
+    "great" on a low-scoring crawl and "mediocre" on a curated one — so
+    a single GLOBAL raw threshold keeps wildly different shares per
+    source. Calibrating each source's scores to their within-source
+    percentile (the classic rank/ECDF normalization; cf. CCNet's
+    per-language perplexity buckets, Wenzek et al. 1911.00359) makes one
+    threshold mean the same thing everywhere. Convention:
+    ``cal_ppm(v) = floor(#\\{rows with score < v\\} * 10^6 / (n - 1))``
+    — the integer-exact ``percent_rank`` twin (0 for the group minimum,
+    10^6 for a unique maximum, 0 when n = 1), bit-identical across
+    engines because no float division happens.
+
+    Shape — skew-safe two-pass over the VALUE HISTOGRAM, never a
+    per-group row sort (the ``group_quantiles`` lesson: a
+    ``row_number().over(partitionBy(group).orderBy(score))`` funnels a
+    dominant source through ONE task at 100 TB): the corpus-cardinality
+    stage is exactly one map-side-combinable ``groupBy(group, score)``;
+    the cumulative and total windows then run over the BOUNDED
+    (groups x distinct scores) histogram. The 10^6 multiply runs in
+    DECIMAL(38,0), so group sizes up to 10^32 rows cannot overflow
+    (the BIGINT formulation would cap at ~9.2e12).
+
+    Returns the mapping ``(group, score, cnt, n, cal_ppm)`` — bounded by
+    the score domain, broadcast-joinable back onto the corpus to stamp
+    per-row calibrated scores.
+    """
+    hist = (
+        scored.select(
+            F.col(group_col), F.col(score_col).cast("long").alias("score")
+        )
+        .groupBy(group_col, "score")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    wg = W.partitionBy(group_col)
+    return (
+        hist.withColumn("cum", F.sum("cnt").over(wg.orderBy("score")))
+        .withColumn("n", F.sum("cnt").over(wg))
+        .select(
+            group_col,
+            "score",
+            "cnt",
+            "n",
+            F.when(
+                F.col("n") > 1,
+                F.expr(
+                    "CAST(CAST(cum - cnt AS DECIMAL(38,0)) * 1000000"
+                    " div (n - 1) AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cal_ppm"),
+        )
+    )
+
+
+def calibration_report(
+    mapping: DataFrame,
+    raw_cutoff: int,
+    target_ppm: int,
+    group_col: str = "source",
+) -> DataFrame:
+    """Keep-rate comparison of a global RAW cutoff vs the CALIBRATED
+    percentile cutoff, per group, over a :func:`calibrate_scores`
+    mapping.
+
+    Per group: the raw cutoff's keep share (the number that varies
+    wildly across sources — the problem), the per-group effective score
+    cutoff implied by the calibrated threshold (the smallest score at or
+    above the target percentile — the number a fleet would deploy), and
+    the calibrated keep share (≈ equal everywhere — the point). A group
+    whose every row shares one score never reaches a positive
+    percentile: its ``cal_cutoff`` is NULL and ``cal_keep_ppm`` 0,
+    faithfully reporting "this source cannot be thresholded by rank".
+
+    Every stage here runs on the bounded mapping (groups x scores):
+    joins are histogram-cardinality, never corpus-cardinality, so AQE
+    broadcasts them for free.
+
+    Returns ``(group, n_docs, n_scores, raw_keep_ppm, cal_cutoff,
+    cal_keep_ppm)`` — all BIGINT ppm, NULL-able cal_cutoff.
+    """
+    ppm = (
+        "CAST(CAST({k} AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"
+    )
+    tot = mapping.groupBy(group_col).agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+    )
+    raw = (
+        mapping.filter(F.col("score") >= F.lit(int(raw_cutoff)))
+        .groupBy(group_col)
+        .agg(F.sum("cnt").cast("long").alias("_raw_k"))
+    )
+    cut = (
+        mapping.filter(F.col("cal_ppm") >= F.lit(int(target_ppm)))
+        .groupBy(group_col)
+        .agg(F.min("score").alias("cal_cutoff"))
+    )
+    calk = (
+        mapping.join(cut, group_col)
+        .filter(F.col("score") >= F.col("cal_cutoff"))
+        .groupBy(group_col)
+        .agg(F.sum("cnt").cast("long").alias("_cal_k"))
+    )
+    return (
+        tot.join(raw, group_col, "left")
+        .join(cut, group_col, "left")
+        .join(calk, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "n_scores",
+            F.expr(ppm.format(k="coalesce(_raw_k, 0)")).alias(
+                "raw_keep_ppm"
+            ),
+            "cal_cutoff",
+            F.expr(ppm.format(k="coalesce(_cal_k, 0)")).alias(
+                "cal_keep_ppm"
+            ),
+        )
     )

@@ -1764,6 +1764,22 @@ def audit(spark, sf_dir: str):
         f"partial_count present={'partial_count' in p}",
     )
 
+    # score_calibrate: the ECDF calibration must ride the value
+    # HISTOGRAM (map-side-combinable groupBy(src, score) is the only
+    # corpus-cardinality stage — the group_quantiles skew rule), never a
+    # per-group row sort; the report joins are histogram-cardinality
+    sc = ep.QUERIES["score_calibrate"](spark, sf_dir)
+    p = plan_of(sc)
+    check(
+        "score_calibrate: ECDF over the score histogram (map-side"
+        " partial fold, no per-group row_number sort, no cartesian)",
+        "row_number" not in p
+        and "partial_count" in p
+        and "CartesianProduct" not in p,
+        f"partial_count present={'partial_count' in p},"
+        f" row_number absent={'row_number' not in p}",
+    )
+
     # script_mix: a per-doc screen must ride the ingest scan — map-only,
     # zero Exchange, scan pruned to (doc_id, text)
     sm = ep.QUERIES["script_mix"](spark, sf_dir)

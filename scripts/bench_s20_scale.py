@@ -152,6 +152,27 @@ def tool_call_lint_job(transcripts):
     return tool_call_lint(calls, required=("query", "k"))
 
 
+def score_calibrate_job(docs):
+    from poc_document_ocr_spark.operators.textstats import (
+        calibrate_scores,
+        calibration_report,
+    )
+    from pyspark.sql import functions as F
+
+    # the oracle corpus shape: 4 integer sources with SHIFTED score
+    # locations, so the global raw cutoff keeps uneven shares and the
+    # calibrated cutoff equalizes them
+    src = F.pmod(F.col("doc_id"), F.lit(4))
+    c = docs.select(
+        src.alias("src"),
+        (F.length("text") % 97 + 25 * src).alias("score"),
+    )
+    m = calibrate_scores(c, group_col="src", score_col="score")
+    return calibration_report(
+        m, raw_cutoff=60, target_ppm=800_000, group_col="src"
+    )
+
+
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scale = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "0.1")
@@ -179,6 +200,7 @@ def main() -> None:
         "data_budget": lambda: consume(data_budget_job(docs)),
         "pii_spread": lambda: consume(pii_spread_job(transcripts)),
         "tool_call_lint": lambda: consume(tool_call_lint_job(transcripts)),
+        "score_calibrate": lambda: consume(score_calibrate_job(docs)),
     }
     unknown = only - set(jobs)
     if unknown:
@@ -196,6 +218,7 @@ def main() -> None:
         "data_budget": lambda: consume(data_budget_job(small_d)),
         "pii_spread": lambda: consume(pii_spread_job(small_t)),
         "tool_call_lint": lambda: consume(tool_call_lint_job(small_t)),
+        "score_calibrate": lambda: consume(score_calibrate_job(small_d)),
     }
     timings, steal = run_timed(spark, selected, warm)
 

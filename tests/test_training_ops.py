@@ -3671,3 +3671,67 @@ def test_merge_moments_random_split_property(spark):
             assert tuple(merged[lang]) == tuple(direct[lang])
 
     prop()
+
+
+def test_calibrate_scores_mapping(spark):
+    """Hand-computed ECDF ppm mapping: percent_rank convention
+    (strictly-below count over n-1), ties share one bucket, n=1 group
+    maps to 0."""
+    from poc_document_ocr_spark.operators.textstats import (
+        calibrate_scores,
+    )
+
+    rows = (
+        [("a", 10), ("a", 20), ("a", 20), ("a", 30), ("a", 40)]
+        + [("b", 7)]
+    )
+    df = spark.createDataFrame(rows, "src string, score int")
+    out = {
+        (r["src"], r["score"]): (r["cnt"], r["n"], r["cal_ppm"])
+        for r in calibrate_scores(df, "src", "score").collect()
+    }
+    # group a: n=5, below-counts 0/1/3/4 over n-1=4
+    assert out[("a", 10)] == (1, 5, 0)
+    assert out[("a", 20)] == (2, 5, 250000)
+    assert out[("a", 30)] == (1, 5, 750000)
+    assert out[("a", 40)] == (1, 5, 1000000)
+    # singleton group: percentile undefined, pinned to 0
+    assert out[("b", 7)] == (1, 1, 0)
+
+
+def test_calibration_report_equalizes_keep(spark):
+    """The report's point: a global raw cutoff keeps uneven shares;
+    the calibrated cutoff keeps the same share in every group. A
+    constant-score group cannot be rank-thresholded: NULL cutoff,
+    0 keep."""
+    from poc_document_ocr_spark.operators.textstats import (
+        calibrate_scores,
+        calibration_report,
+    )
+
+    rows = (
+        [("lo", v) for v in range(10)]          # scores 0..9
+        + [("hi", 100 + v) for v in range(10)]  # scores 100..109
+        + [("flat", 50)] * 4                    # all identical
+    )
+    df = spark.createDataFrame(rows, "src string, score int")
+    m = calibrate_scores(df, "src", "score")
+    rep = {
+        r["src"]: r
+        for r in calibration_report(
+            m, raw_cutoff=100, target_ppm=800_000, group_col="src"
+        ).collect()
+    }
+    # raw cutoff 100 keeps nothing of lo, all of hi
+    assert rep["lo"]["raw_keep_ppm"] == 0
+    assert rep["hi"]["raw_keep_ppm"] == 1000000
+    # calibrated cutoff = the score at >=80th pct in EACH group
+    # (below-count/(n-1) >= 0.8 -> index 8 of 0..9), keeping 2/10
+    assert rep["lo"]["cal_cutoff"] == 8
+    assert rep["hi"]["cal_cutoff"] == 108
+    assert rep["lo"]["cal_keep_ppm"] == 200000
+    assert rep["hi"]["cal_keep_ppm"] == 200000
+    # degenerate group: every row at one score -> cal_ppm 0 everywhere
+    assert rep["flat"]["cal_cutoff"] is None
+    assert rep["flat"]["cal_keep_ppm"] == 0
+    assert rep["flat"]["n_scores"] == 1
