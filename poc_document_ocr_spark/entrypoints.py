@@ -8579,6 +8579,153 @@ FROM pp GROUP BY 1
 """
 
 
+#: epoch override for the timestamp lint: the derived corpus's natural
+#: epoch (doc_id*60 + anchor) is strictly monotone within every
+#: conversation, so both engines perturb it on modular conditions to
+#: plant real clock damage — a 25h backward jump (doc_id % 13 = 7 →
+#: negative inter-turn gap) and an exact repeat (doc_id % 17 = 5 →
+#: zero gap: non-monotonic but not backward)
+_TS_EPOCH_SQL = (
+    "doc_id * 60 + 1704067200"
+    " - CASE WHEN doc_id % 13 = 7 THEN 90000"
+    " WHEN doc_id % 17 = 5 THEN 2400 ELSE 0 END"
+)
+
+
+def q_timestamp_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-integrity lint per conversation (ordering violations,
+    gap bounds, span) over the derived transcripts with a shared
+    clock-damage perturbation so both violation classes occur (see
+    :func:`~poc_document_ocr_spark.operators.examples.timestamp_lint`)."""
+    from .operators.examples import timestamp_lint
+
+    t = spark_transcripts(spark, sf_dir).withColumn(
+        "epoch", F.expr(_TS_EPOCH_SQL)
+    )
+    return timestamp_lint(t)
+
+
+_O_TIMESTAMP_LINT = oracle_cte(f"""
+, e AS (SELECT conv_id, turn_idx, {_TS_EPOCH_SQL} AS epoch FROM t),
+g AS (SELECT conv_id, epoch,
+        epoch - lag(epoch) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+          AS gap
+      FROM e)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN gap <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_nonmonotonic,
+  CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_backward,
+  CAST(min(gap) AS BIGINT) AS min_gap_s,
+  CAST(max(gap) AS BIGINT) AS max_gap_s,
+  CAST(max(epoch) - min(epoch) AS BIGINT) AS span_s
+FROM g GROUP BY conv_id
+""")
+
+
+#: artifact-phrase injection for the census: the synthetic corpus has no
+#: model boilerplate, so both engines append canned phrases on modular
+#: conditions — mixed case (exercises the lower() path), one double
+#: occurrence (exercises occurrence counting vs doc counting)
+_AI_INJECT_SQL = (
+    "text || CASE WHEN doc_id % 7 = 2 THEN"
+    " ' As an AI language model, I cannot assist with that.'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 3 THEN"
+    " ' Certainly! Here is the answer. Certainly! Here is more.'"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 5 THEN"
+    " ' As of my knowledge cutoff it held. Regenerate response'"
+    " ELSE '' END"
+)
+
+
+def q_ai_artifact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned assistant-artifact contamination census over documents
+    with a shared phrase injection (see
+    :func:`~poc_document_ocr_spark.operators.textstats.ai_artifact_census`)."""
+    from .operators.textstats import ai_artifact_census
+
+    docs = _docs(spark, sf_dir).withColumn("text", F.expr(_AI_INJECT_SQL))
+    return ai_artifact_census(docs)
+
+
+def _o_ai_artifact_census() -> str:
+    """DuckDB twin generated from the same phrase tuple (single source
+    of truth for the phrase list)."""
+    from .operators.textstats import AI_ARTIFACT_PHRASES
+
+    phrases = ", ".join(f"'{p}'" for p in AI_ARTIFACT_PHRASES)
+    return f"""
+WITH a AS (SELECT doc_id, lower({_AI_INJECT_SQL}) AS lt FROM documents),
+p AS (SELECT unnest([{phrases}]) AS phrase),
+h AS (SELECT p.phrase,
+        (length(a.lt) - length(replace(a.lt, p.phrase, '')))
+          // length(p.phrase) AS n
+      FROM a CROSS JOIN p),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS _tot FROM a)
+SELECT phrase,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n) AS BIGINT) AS n_occurrences,
+  CAST(CAST(count(*) AS HUGEINT) * 1000000 // greatest(_tot, 1)
+    AS BIGINT) AS doc_ppm
+FROM h, tot WHERE n > 0 GROUP BY phrase, _tot
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease in exact milli-points per document (see
+    :func:`~poc_document_ocr_spark.operators.textstats.readability`)."""
+    from .operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+_O_READABILITY = """
+WITH b AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+    CAST(greatest(1, length(text) - length(translate(text, '.!?', '')))
+      AS BIGINT) AS n_sentences,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables
+  FROM documents)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CAST(206835 - (1015 * n_words) // n_sentences
+       - (84600 * n_syllables) // greatest(n_words, 1) AS BIGINT)
+    AS flesch_milli
+FROM b
+"""
+
+
+def q_length_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source OLS chars→tokens calibration in exact integer
+    arithmetic (see
+    :func:`~poc_document_ocr_spark.operators.textstats.length_token_fit`)."""
+    from .operators.textstats import length_token_fit
+
+    return length_token_fit(_docs(spark, sf_dir), group_col="source")
+
+
+_O_LENGTH_TOKEN_FIT = """
+WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS x,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents),
+s AS (SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(x * y) AS HUGEINT) AS sxy,
+    CAST(sum(x * x) AS HUGEINT) AS sxx,
+    CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM d GROUP BY source)
+SELECT source, n_docs,
+  CAST(((n_docs * sxy - sx * sy) * 1000000)
+       // greatest(n_docs * sxx - sx * sx, 1) AS BIGINT) AS slope_ppm,
+  CAST((((n_docs * sxy - sx * sy) * 1000000)
+        // greatest(n_docs * sxx - sx * sx, 1)) * (n_docs * sxy - sx * sy)
+       // greatest(n_docs * syy - sy * sy, 1) AS BIGINT) AS r2_ppm
+FROM s
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # The driver's correctness gate records the FIRST 50 entries only;
     # more queries exist than slots, so the window is allocated
@@ -8724,6 +8871,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "loop_detect": q_loop_detect,
     "context_taint": q_context_taint,
     "compress_ratio": q_compress_ratio,
+    # round-4 session-18 ops (overflow; CORRECTNESS_FULL-verified)
+    "timestamp_lint": q_timestamp_lint,
+    "ai_artifacts": q_ai_artifact_census,
+    "readability": q_readability,
+    "length_token_fit": q_length_token_fit,
     # tail: hash-verified by the driver in earlier rounds (window
     # bookkeeping moved them out of the 50-entry front to make room for
     # never-recorded ops)
@@ -8966,6 +9118,10 @@ ORACLES: dict[str, str] = {
     "encoding_screen": _O_ENCODING_SCREEN,
     "novelty_curve": _O_NOVELTY_CURVE,
     "lsh_calibration": _O_LSH_CALIBRATION,
+    "timestamp_lint": _O_TIMESTAMP_LINT,
+    "ai_artifacts": _o_ai_artifact_census(),
+    "readability": _O_READABILITY,
+    "length_token_fit": _O_LENGTH_TOKEN_FIT,
 }
 
 

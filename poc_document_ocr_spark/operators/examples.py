@@ -42,7 +42,7 @@ __all__ = ["sft_pack_examples", "extractiveness", "best_of_n",
            "preference_pairs", "context_window_fit", "conv_windows",
            "truncation_audit", "chat_spans", "chat_render_report",
            "tool_call_lint", "merge_same_role_turns",
-           "system_prompt_profile"]
+           "system_prompt_profile", "timestamp_lint"]
 
 
 def sft_pack_examples(
@@ -774,4 +774,48 @@ def system_prompt_profile(
             "CAST(CAST(n_turns AS DECIMAL(38,0)) * 1000000"
             " div greatest(_tot, 1) AS BIGINT)"
         ).alias("share_ppm"),
+    )
+
+
+def timestamp_lint(
+    t: DataFrame,
+    epoch_col: str = "epoch",
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Timestamp-integrity lint per conversation: ordering violations and
+    inter-turn gap bounds.
+
+    A transcript corpus's ``ts`` column is load-bearing (sessionization,
+    temporal splits, latency profiles all key off it), so ingest must
+    quantify clock damage before those operators run: turns whose
+    timestamp is not strictly after the previous turn's
+    (``n_nonmonotonic``), the strictly-backward subset (``n_backward``),
+    and the min/max inter-turn gap in seconds. Complements
+    ``turn_lint`` (structural integrity) — same one-window-one-groupBy
+    shape under the conversation partitioning, so the groupBy reuses the
+    window's Exchange and the whole lint is a single shuffle.
+
+    ``epoch_col`` is epoch seconds as BIGINT rather than a timestamp
+    type: the math is pure integer arithmetic, dialect-neutral, and
+    avoids timestamp/interval syntax differences across engines.
+
+    Returns ``(conv_id, n_turns, n_nonmonotonic, n_backward, min_gap_s,
+    max_gap_s, span_s)``; ``min/max_gap_s`` are NULL for single-turn
+    conversations.
+    """
+    w = W.partitionBy(conv_col).orderBy(idx_col)
+    gap = (F.col(epoch_col) - F.lag(epoch_col).over(w)).cast("long")
+    one_if = lambda c: F.sum(
+        F.when(c, 1).otherwise(0)
+    ).cast("long")
+    g = t.select(conv_col, F.col(epoch_col).cast("long").alias("_e"),
+                 gap.alias("_gap"))
+    return g.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        one_if(F.col("_gap") <= 0).alias("n_nonmonotonic"),
+        one_if(F.col("_gap") < 0).alias("n_backward"),
+        F.min("_gap").alias("min_gap_s"),
+        F.max("_gap").alias("max_gap_s"),
+        (F.max("_e") - F.min("_e")).cast("long").alias("span_s"),
     )

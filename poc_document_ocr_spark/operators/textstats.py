@@ -18,6 +18,10 @@ from pyspark.sql.window import Window as W
 
 __all__ = [
     "STOPWORDS",
+    "AI_ARTIFACT_PHRASES",
+    "ai_artifact_census",
+    "readability",
+    "length_token_fit",
     "LANG_MARKERS",
     "token_stats",
     "lang_id",
@@ -2419,4 +2423,183 @@ def calibration_report(
                 "cal_keep_ppm"
             ),
         )
+    )
+
+
+#: canned assistant-artifact phrases a synthetic-data screen hunts for —
+#: model-generated boilerplate that leaks into scraped corpora and, left
+#: in a training mix, teaches the student model to parrot its teacher's
+#: refusal/filler register (public practice: phrase blocklists in the
+#: OpenAssistant / Alpaca-cleaning pipelines).
+AI_ARTIFACT_PHRASES = (
+    "as an ai language model",
+    "i cannot assist with that",
+    "certainly! here is",
+    "as of my knowledge cutoff",
+    "regenerate response",
+)
+
+
+def ai_artifact_census(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrases: tuple[str, ...] = AI_ARTIFACT_PHRASES,
+) -> DataFrame:
+    """Canned-phrase contamination census: per phrase, how many documents
+    carry it and how often.
+
+    Occurrence counting is a character-length difference after
+    ``replace`` (exact integers, no regex), computed per (doc, phrase)
+    after exploding a constant phrase array — 5x map-side row fan-out,
+    then a groupBy over a phrase domain of ``len(phrases)`` rows, so the
+    shuffle moves at most ``len(phrases)`` partial rows per task
+    regardless of corpus size. ``doc_ppm`` uses the corpus doc count via
+    a single-row broadcast cross join.
+
+    Returns ``(phrase, n_docs, n_occurrences, doc_ppm)`` — one row per
+    phrase that occurs at least once.
+
+    Reference analog: the confidence/identifier screens the reference
+    applies per page before admitting fields
+    (``DocumentIntelligenceService.cs:108-183``), lifted to a
+    corpus-level contamination audit.
+    """
+    lower = F.lower(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col),
+        lower.alias("_lt"),
+        F.explode(
+            F.array(*[F.lit(p) for p in phrases])
+        ).alias("phrase"),
+    )
+    n_occ = (
+        (
+            F.length("_lt")
+            - F.length(F.replace(F.col("_lt"), F.col("phrase")))
+        )
+        / F.length("phrase")
+    ).cast("long")
+    hits = (
+        pairs.select("phrase", n_occ.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("n_occurrences"),
+        )
+    )
+    tot = df.agg(F.count(F.lit(1)).cast("long").alias("_tot"))
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "phrase",
+        "n_docs",
+        "n_occurrences",
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+            " div greatest(_tot, 1) AS BIGINT)"
+        ).alias("doc_ppm"),
+    )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Flesch-reading-ease per document, in exact milli-points.
+
+    Words = space-split token count; sentences = ``.!?`` occurrences
+    (via ``translate`` char-map, floor 1); syllables = vowel-group count
+    (``[aeiouy]+`` runs — the standard cheap heuristic). The score is
+    computed in integer milli-points with truncating division so the
+    DuckDB oracle reproduces it bit-for-bit:
+    ``206835 - 1015*words div sentences - 84600*syllables div words``.
+
+    Map-only (no shuffle); exactly ONE regex pattern per task (the
+    vowel-run extractor) — sentence counting deliberately uses
+    ``translate`` to stay off the two-Patterns-per-task megamorphic
+    cliff documented at the top of this module.
+
+    Returns ``(id, *keep_cols, n_words, n_sentences, n_syllables,
+    flesch_milli)`` — ``keep_cols`` are passed through untouched so a
+    grouping dimension (e.g. ``source``) survives without a re-join.
+    """
+    text = F.col(text_col)
+    words = F.size(F.split(text, " ")).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        (F.length(text) - F.length(F.translate(text, ".!?", ""))).cast(
+            "long"
+        ),
+    )
+    syllables = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)")
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+    )
+    return out.withColumn(
+        "flesch_milli",
+        F.expr(
+            "CAST(206835 - (1015 * n_words) div n_sentences"
+            " - (84600 * n_syllables) div greatest(n_words, 1)"
+            " AS BIGINT)"
+        ),
+    )
+
+
+def length_token_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    x_col: str = "n_chars",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group OLS fit of token count on character count, in exact
+    integer arithmetic — a chars-per-token calibration a budget planner
+    uses to convert byte budgets to token budgets per source, and a
+    drift alarm when one source's slope diverges (tables/code/boilerplate
+    change the chars:token ratio long before eyeballing does).
+
+    The five sufficient statistics (n, Σx, Σy, Σxy, Σx²,& Σy²) are exact
+    BIGINT sums — one map-side-combinable groupBy, a result of
+    ``|groups|`` rows, no second pass. Slope and r² are then formed with
+    widening DECIMAL(38,0) arithmetic and truncating division, so both
+    engines produce identical integers: no float aggregation order
+    dependence anywhere.
+
+    Returns ``(group, n_docs, slope_ppm, r2_ppm)`` where ``slope_ppm``
+    is tokens-per-char x 1e6 and ``r2_ppm`` is the squared Pearson
+    correlation x 1e6.
+    """
+    y = F.size(F.split(F.col(text_col), " ")).cast("long")
+    x = F.col(x_col).cast("long")
+    s = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(x).cast("long").alias("_sx"),
+        F.sum(y).cast("long").alias("_sy"),
+        F.sum(x * y).cast("long").alias("_sxy"),
+        F.sum(x * x).cast("long").alias("_sxx"),
+        F.sum(y * y).cast("long").alias("_syy"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    cov = (
+        f"({dec.format('n_docs')} * _sxy - {dec.format('_sx')} * _sy)"
+    )
+    vx = f"({dec.format('n_docs')} * _sxx - {dec.format('_sx')} * _sx)"
+    vy = f"({dec.format('n_docs')} * _syy - {dec.format('_sy')} * _sy)"
+    return s.select(
+        group_col,
+        "n_docs",
+        F.expr(
+            f"CAST(({cov} * 1000000) div greatest({vx}, 1) AS BIGINT)"
+        ).alias("slope_ppm"),
+        F.expr(
+            f"CAST((({cov} * 1000000) div greatest({vx}, 1)) * {cov}"
+            f" div greatest({vy}, 1) AS BIGINT)"
+        ).alias("r2_ppm"),
     )

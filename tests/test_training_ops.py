@@ -3735,3 +3735,108 @@ def test_calibration_report_equalizes_keep(spark):
     assert rep["flat"]["cal_cutoff"] is None
     assert rep["flat"]["cal_keep_ppm"] == 0
     assert rep["flat"]["n_scores"] == 1
+
+
+def test_timestamp_lint_violation_classes(spark):
+    """Backward jump and exact repeat are classified separately; gap
+    bounds and span are exact; single-turn conversations get NULL gaps."""
+    from poc_document_ocr_spark.operators.examples import timestamp_lint
+
+    rows = [
+        ("c0", 1, 1000),
+        ("c0", 2, 1600),    # +600
+        ("c0", 3, 1600),    # +0   -> nonmonotonic, not backward
+        ("c0", 4, 1100),    # -500 -> nonmonotonic AND backward
+        ("c0", 5, 2000),    # +900
+        ("c1", 1, 42),      # single turn: NULL gaps, span 0
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, epoch long"
+    )
+    out = {r["conv_id"]: r for r in timestamp_lint(t).collect()}
+    r = out["c0"]
+    assert (r["n_turns"], r["n_nonmonotonic"], r["n_backward"]) == (5, 2, 1)
+    assert (r["min_gap_s"], r["max_gap_s"]) == (-500, 900)
+    assert r["span_s"] == 1000
+    r = out["c1"]
+    assert (r["n_turns"], r["n_nonmonotonic"], r["n_backward"]) == (1, 0, 0)
+    assert r["min_gap_s"] is None and r["max_gap_s"] is None
+    assert r["span_s"] == 0
+
+
+def test_ai_artifact_census_counts(spark):
+    """Occurrences counted exactly (incl. repeats within one doc),
+    case-insensitively; doc_ppm over the full corpus; phrase rows with
+    zero hits absent."""
+    from poc_document_ocr_spark.operators.textstats import (
+        ai_artifact_census,
+    )
+
+    rows = [
+        (1, "AS AN AI LANGUAGE MODEL I decline. as an ai language model"),
+        (2, "Certainly! Here is one thing."),
+        (3, "plain document, no artifacts"),
+        (4, "regenerate response at the footer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["phrase"]: r for r in ai_artifact_census(df).collect()}
+    assert sorted(out) == [
+        "as an ai language model", "certainly! here is",
+        "regenerate response",
+    ]
+    r = out["as an ai language model"]
+    assert (r["n_docs"], r["n_occurrences"]) == (1, 2)
+    assert r["doc_ppm"] == 10**6 // 4
+    assert out["certainly! here is"]["n_occurrences"] == 1
+    assert out["regenerate response"]["n_docs"] == 1
+
+
+def test_readability_exact_milli(spark):
+    """Hand-checked Flesch milli-points; sentence floor of 1 on
+    punctuation-free text."""
+    from poc_document_ocr_spark.operators.textstats import readability
+
+    rows = [
+        (1, "the cat sat. the dog ran!"),   # 6 words, 2 sentences
+        (2, "no punctuation here"),         # 3 words, floor 1 sentence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in readability(df).collect()}
+    r = out[1]
+    # words: the,cat,sat.,the,dog,ran! = 6; sentences: . and ! = 2
+    # syllables (vowel runs): e,a,a,e,o,a = 6
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    assert r["flesch_milli"] == 206835 - (1015 * 6) // 2 - (84600 * 6) // 6
+    r = out[2]
+    # no punctuation here -> o,u,ua,io,e,e = vowel runs: n[o] p[u]nct[ua]t[io]n h[e]r[e] = 6
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 6)
+
+
+def test_length_token_fit_perfect_line(spark):
+    """On an exact line y = x/5 the slope is 200000 ppm and r2 is
+    1000000 ppm; a noisy group lands strictly below r2 = 1e6."""
+    from poc_document_ocr_spark.operators.textstats import (
+        length_token_fit,
+    )
+
+    def words(n):
+        return " ".join("w" * 4 for _ in range(n))  # 5 chars/word incl sep
+
+    rows = []
+    for n in (2, 4, 8, 16):
+        txt = words(n)
+        rows.append(("clean", len(txt) + 1, txt))  # x = 5*n exactly
+    rows += [
+        ("noisy", 10, "a b"),
+        ("noisy", 10, "a b c d e"),
+        ("noisy", 40, "a b c"),
+        ("noisy", 40, "a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "source string, n_chars long, text string")
+    out = {r["source"]: r for r in length_token_fit(df).collect()}
+    r = out["clean"]
+    assert r["n_docs"] == 4
+    assert r["slope_ppm"] == 200000
+    assert r["r2_ppm"] == 1000000
+    r = out["noisy"]
+    assert 0 <= r["r2_ppm"] < 1000000
