@@ -8673,6 +8673,76 @@ FROM h, tot WHERE n > 0 GROUP BY phrase, _tot
 """
 
 
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard similarity join (PPJoin shape) at
+    t = 0.6 over the seeded near-dup corpus. The oracle is the BRUTE
+    FORCE all-pairs join — so a green row proves the prefix filter
+    missed nothing, the completeness property LSH can't offer (see
+    :func:`~poc_document_ocr_spark.operators.dedup.prefix_similarity_join`)."""
+    from .operators.dedup import prefix_similarity_join, word_shingles
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    return prefix_similarity_join(word_shingles(corpus), t_ppm=600_000)
+
+
+_O_PREFIX_JOIN = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        CAST(za.sz + zb.sz - inter AS BIGINT) AS union_n
+      FROM inter
+      JOIN sz za ON za.doc_id = id_a
+      JOIN sz zb ON zb.doc_id = id_b)
+SELECT id_a, id_b, inter, union_n,
+  CAST(inter * 1000000 // union_n AS BIGINT) AS jac_ppm
+FROM j WHERE inter * 1000000 >= 600000 * union_n
+"""
+
+
+def q_emb_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding variance / dead-dimension / anisotropy
+    audit in exact micro-unit² integers (see
+    :func:`~poc_document_ocr_spark.operators.similarity.emb_dim_profile`)."""
+    from .operators.similarity import emb_dim_profile
+
+    load_views(spark, sf_dir, "embeddings")
+    return emb_dim_profile(spark.table("embeddings"))
+
+
+_O_EMB_DIMS = """
+WITH q AS (SELECT i - 1 AS dim,
+        CAST(floor((CAST(embedding[i] AS DOUBLE) + 2.0) * 1000000)
+          AS BIGINT) AS v
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(sum(v) AS BIGINT) AS sv,
+        CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+      FROM q GROUP BY dim),
+v AS (SELECT dim, n_vecs,
+        CAST(sv // n_vecs AS BIGINT) AS mean_q,
+        CAST((n_vecs * svv - CAST(sv AS HUGEINT) * sv)
+             // (CAST(n_vecs AS HUGEINT) * n_vecs) AS BIGINT) AS var_q2
+      FROM s),
+tot AS (SELECT CAST(sum(var_q2) AS HUGEINT) AS tot_var FROM v)
+SELECT dim, n_vecs, mean_q, var_q2,
+  var_q2 < 1000000 AS is_dead,
+  CAST(CAST(var_q2 AS HUGEINT) * 1000000 // greatest(tot_var, 1)
+    AS BIGINT) AS var_share_ppm
+FROM v, tot
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-reading-ease in exact milli-points per document (see
     :func:`~poc_document_ocr_spark.operators.textstats.readability`)."""
@@ -8876,6 +8946,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ai_artifacts": q_ai_artifact_census,
     "readability": q_readability,
     "length_token_fit": q_length_token_fit,
+    "prefix_join": q_prefix_join,
+    "emb_dims": q_emb_dims,
     # tail: hash-verified by the driver in earlier rounds (window
     # bookkeeping moved them out of the 50-entry front to make room for
     # never-recorded ops)
@@ -9122,6 +9194,8 @@ ORACLES: dict[str, str] = {
     "ai_artifacts": _o_ai_artifact_census(),
     "readability": _O_READABILITY,
     "length_token_fit": _O_LENGTH_TOKEN_FIT,
+    "prefix_join": _O_PREFIX_JOIN,
+    "emb_dims": _O_EMB_DIMS,
 }
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "lsh_incremental_pairs",
     "ngram_jaccard",
+    "prefix_similarity_join",
     "edit_distance_verify",
     "simhash64",
     "simhash_hamming",
@@ -1609,5 +1610,100 @@ def edit_distance_verify(
                 " AS DECIMAL(38,0)) * 1000000 div greatest(len_a, len_b)"
                 " END AS BIGINT)"
             ).alias("sim_ppm"),
+        )
+    )
+
+
+def prefix_similarity_join(
+    shingled: DataFrame,
+    t_ppm: int = 600_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pair Jaccard similarity join via prefix filtering —
+    the deterministic twin of the LSH candidate generator (public
+    algorithm: Chaudhuri et al. ICDE'06 prefix filter; Xiao et al.
+    WWW'08 PPJoin).
+
+    LSH banding admits a qualifying pair only with probability
+    1-(1-s^r)^b; prefix filtering admits EVERY pair with Jaccard ≥ t,
+    provably. Shingles get a global rarity order (ascending corpus
+    frequency, ties on the shingle), each document keeps only its
+    prefix — the first ``|d| - ceil(t·|d|) + 1`` shingles in that order
+    — and candidates are the prefix-token equi-join. Completeness: if
+    ``J(a,b) ≥ t`` then ``|a∩b| ≥ t·|a∪b| ≥ ceil(t·max(|a|,|b|))``,
+    and two sets with overlap ≥ α whose (globally ordered) prefixes of
+    length ``|x| - α + 1`` were disjoint could share at most
+    ``min(α-1, α-1)`` elements — contradiction; the per-set
+    ``α_x = ceil(t·|x|) ≤ α`` only lengthens the kept prefix, so the
+    join can only over-generate, never miss. The size filter
+    ``min(sz)·10⁶ ≥ t_ppm·max(sz)`` (Jaccard ≥ t forces
+    ``|a| ≥ t·|b|``) prunes before verification.
+
+    Scale shape: the frequency join is shingle-equi (AQE strategy — the
+    vocabulary is corpus-cardinality, never broadcast); the per-doc
+    rarity rank is a window over ``hash(id)`` with bounded rows per doc;
+    prefix buckets are keyed by RARE shingles by construction, so the
+    candidate equi-join's fan-out per bucket is small where frequency
+    is high exactly because frequent shingles never reach a prefix.
+    Verification touches candidates only (``ngram_jaccard``), and the
+    final threshold compare is exact integer:
+    ``inter·10⁶ ≥ t_ppm·union``.
+
+    Returns ``(id_a, id_b, inter, union_n, jac_ppm)`` for every pair
+    with Jaccard ≥ t_ppm/10⁶ — id_a < id_b, no duplicates, NO missed
+    pairs (the property the DuckDB oracle verifies by brute force).
+    """
+    from pyspark.sql.window import Window as W
+
+    freq = shingled.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_freq")
+    )
+    wd = W.partitionBy(id_col)
+    ranked = (
+        shingled.join(freq, "shingle")
+        .withColumn(
+            "_rn",
+            F.row_number().over(wd.orderBy("_freq", "shingle")),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(wd))
+    )
+    # prefix length |d| - ceil(t·|d|) + 1 in exact integer arithmetic
+    ceil_ts = F.expr(
+        f"CAST((_sz * CAST({t_ppm} AS BIGINT) + 999999) div 1000000"
+        " AS BIGINT)"
+    )
+    prefix = ranked.filter(F.col("_rn") <= F.col("_sz") - ceil_ts + 1)
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("_sz").alias("_sz_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_sz").alias("_sz_b")
+    )
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.least("_sz_a", "_sz_b") * F.lit(1_000_000).cast("long")
+            >= F.lit(int(t_ppm)).cast("long")
+            * F.greatest("_sz_a", "_sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = ngram_jaccard(shingled, cands, id_col=id_col)
+    return (
+        verified.filter(
+            F.col("inter") * F.lit(1_000_000).cast("long")
+            >= F.lit(int(t_ppm)).cast("long") * F.col("union_n")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "union_n",
+            F.expr(
+                "CAST(inter * CAST(1000000 AS BIGINT) div union_n"
+                " AS BIGINT)"
+            ).alias("jac_ppm"),
         )
     )

@@ -33,6 +33,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "quantize_vec",
+    "emb_dim_profile",
     "kmeans_lloyd",
     "semantic_dedup",
     "bitext_mine",
@@ -724,4 +725,71 @@ def bitext_mine(
             (F.col("_best_a") == F.col("a_id")).alias("mutual"),
         )
         .filter(F.col("margin_ppm") >= margin_threshold_ppm)
+    )
+
+
+def emb_dim_profile(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dead_var_q2: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension embedding health profile: mean, variance,
+    dead-dimension flag, and each dimension's share of total variance —
+    the anisotropy audit run before trusting cosine distances (a few
+    dominant dimensions or near-constant "dead" ones silently degrade
+    both ANN recall and semantic-dedup quality; public background:
+    Ethayarajh EMNLP'19 on anisotropic embedding geometry).
+
+    Exactness: components are fixed-point quantized with the SAME
+    ``floor((x+2)·10⁶)`` micro-units the integer k-means uses
+    (cross-engine bit-stable), then everything is integer arithmetic —
+    ``mean_q = Σv div n``, ``var_q2 = (n·Σv² − (Σv)²) div n²`` in
+    micro-unit² with DECIMAL(38,0) widening, and
+    ``var_share_ppm = var·10⁶ div Σvar``. A dimension is dead when its
+    variance falls below ``dead_var_q2`` (default 10⁶ µu² = (10⁻³)² in
+    original units).
+
+    Scale shape: ``posexplode`` fans out map-side to n·d rows, the
+    groupBy(dim) partial-aggregates map-side to d rows per task, and
+    the total-variance branch is a d-row aggregate joined back as a
+    single-row broadcast — the corpus is scanned ONCE and at most
+    ``d`` rows per task cross the wire.
+
+    Returns ``(dim, n_vecs, mean_q, var_q2, is_dead, var_share_ppm)``
+    — one row per dimension.
+    """
+    q = emb.select(
+        F.posexplode(quantize_vec(F.col(vec_col))).alias("dim", "_v")
+    )
+    # Σv² is DECIMAL-widened BEFORE summing: components are ≤ ~4·10⁶ µu,
+    # so v² ≤ 1.6·10¹³ and a BIGINT running sum would overflow (ANSI
+    # abort) near 10⁶ vectors per dimension — far below corpus scale
+    s = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("_v").cast("long").alias("_sv"),
+        F.sum(
+            F.col("_v").cast("decimal(38,0)") * F.col("_v")
+        ).cast("decimal(38,0)").alias("_svv"),
+    )
+    v = s.select(
+        "dim",
+        "n_vecs",
+        F.expr("CAST(_sv div n_vecs AS BIGINT)").alias("mean_q"),
+        F.expr(
+            "CAST((CAST(n_vecs AS DECIMAL(38,0)) * _svv"
+            " - CAST(_sv AS DECIMAL(38,0)) * _sv)"
+            " div (CAST(n_vecs AS DECIMAL(38,0)) * n_vecs) AS BIGINT)"
+        ).alias("var_q2"),
+    )
+    tot = v.agg(F.sum("var_q2").cast("long").alias("_tot_var"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "n_vecs",
+        "mean_q",
+        "var_q2",
+        (F.col("var_q2") < F.lit(int(dead_var_q2))).alias("is_dead"),
+        F.expr(
+            "CAST(CAST(var_q2 AS DECIMAL(38,0)) * 1000000"
+            " div greatest(_tot_var, 1) AS BIGINT)"
+        ).alias("var_share_ppm"),
     )

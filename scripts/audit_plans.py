@@ -1780,6 +1780,92 @@ def audit(spark, sf_dir: str):
         f" row_number absent={'row_number' not in p}",
     )
 
+    # timestamp_lint: same one-window-one-groupBy contract as turn_lint —
+    # the conv-grain groupBy must REUSE the lag window's conv_id
+    # partitioning, so the whole lint is a single shuffle
+    tl = ep.QUERIES["timestamp_lint"](spark, sf_dir)
+    p = plan_of(tl)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "timestamp_lint: 1 shuffle (gap groupBy reuses lag-window"
+        " partitioning)",
+        n_ex == 1,
+        f"Exchange nodes = {n_ex}",
+    )
+
+    # ai_artifacts: the phrase census's shuffle is bounded by the phrase
+    # domain — the per-(doc, phrase) occurrence counts must partial-
+    # aggregate map-side so ≤|phrases| rows/task hit the wire; the corpus
+    # total joins back as a single-row broadcast
+    aa = ep.QUERIES["ai_artifacts"](spark, sf_dir)
+    p = plan_of(aa)
+    check(
+        "ai_artifacts: phrase fold partial-aggregates map-side; corpus"
+        " total is a broadcast, no cartesian",
+        "partial_count" in p
+        and "BroadcastNestedLoopJoin" in p
+        and "CartesianProduct" not in p,
+        f"partial_count present={'partial_count' in p}",
+    )
+
+    # readability: a per-doc score must ride the ingest scan — map-only,
+    # zero Exchange, scan pruned to (doc_id, text)
+    rb = ep.QUERIES["readability"](spark, sf_dir)
+    p = plan_of(rb)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(",")) if m else []
+    check(
+        "readability: map-only, scan pruned to (doc_id, text)",
+        "Exchange" not in p and cols == ["doc_id", "text"],
+        f"Exchange absent={'Exchange' not in p}, ReadSchema={cols}",
+    )
+
+    # length_token_fit: the five sufficient statistics are ONE map-side-
+    # combinable groupBy(source) — a |sources|-row result off a single
+    # corpus pass, no window, no second scan
+    lf = ep.QUERIES["length_token_fit"](spark, sf_dir)
+    p = plan_of(lf)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "length_token_fit: 1 shuffle, sufficient-stats fold partial-"
+        "aggregates map-side",
+        n_ex == 1 and "partial_count" in p and "row_number" not in p,
+        f"Exchange nodes = {n_ex},"
+        f" partial_count present={'partial_count' in p}",
+    )
+
+    # prefix_join: exact similarity join must stay equi-join shaped —
+    # candidates come from the prefix-token equi-join, never a cartesian,
+    # and the corpus-cardinality frequency/size tables are never
+    # force-broadcast (no ResolvedHint in the analyzed plan)
+    pj = ep.QUERIES["prefix_join"](spark, sf_dir)
+    p = plan_of(pj)
+    lp = pj._jdf.queryExecution().analyzed().toString()
+    check(
+        "prefix_join: prefix-token equi-joins only (no cartesian, no"
+        " forced broadcast of vocab/size tables)",
+        "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "ResolvedHint" not in lp,
+        f"cartesian absent={'CartesianProduct' not in p},"
+        f" hint absent={'ResolvedHint' not in lp}",
+    )
+
+    # emb_dims: the n·d posexplode fan-out must fold map-side to d rows
+    # per task; the total-variance branch joins back as a single-row
+    # broadcast, never a second corpus scan
+    ed = ep.QUERIES["emb_dims"](spark, sf_dir)
+    p = plan_of(ed)
+    n_scans = len(re.findall(r"Scan parquet", p))
+    check(
+        "emb_dims: dim fold partial-aggregates map-side; ONE embeddings"
+        " scan + single-row broadcast total",
+        "partial_count" in p
+        and n_scans <= 2
+        and "CartesianProduct" not in p,
+        f"partial_count present={'partial_count' in p}, scans={n_scans}",
+    )
+
     # script_mix: a per-doc screen must ride the ingest scan — map-only,
     # zero Exchange, scan pruned to (doc_id, text)
     sm = ep.QUERIES["script_mix"](spark, sf_dir)

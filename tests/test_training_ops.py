@@ -3840,3 +3840,98 @@ def test_length_token_fit_perfect_line(spark):
     assert r["r2_ppm"] == 1000000
     r = out["noisy"]
     assert 0 <= r["r2_ppm"] < 1000000
+
+
+def test_prefix_join_exact_and_complete(spark):
+    """Known Jaccard values at t=0.6: a pair exactly AT threshold is
+    kept, below-threshold and disjoint pairs are not; jac_ppm exact."""
+    from poc_document_ocr_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    sets = {
+        1: ["a", "b", "c", "d", "e"],
+        2: ["a", "b", "c", "d", "f"],   # J(1,2)=4/6=0.667 -> kept
+        3: ["x", "y", "z"],             # disjoint
+        4: ["a", "b"],                  # J(1,4)=2/5=0.4 -> dropped
+        5: ["a", "b", "c"],
+        6: ["a", "b", "c", "g", "h"],   # J(5,6)=3/5=0.6 exactly -> kept
+    }
+    rows = [(i, s) for i, ss in sets.items() for s in ss]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in prefix_similarity_join(sh, t_ppm=600_000).collect()
+    }
+    # brute-force ground truth at t=0.6
+    import itertools
+
+    expect = {}
+    for i, j in itertools.combinations(sorted(sets), 2):
+        a, b = set(sets[i]), set(sets[j])
+        inter, union = len(a & b), len(a | b)
+        if inter * 1_000_000 >= 600_000 * union:
+            expect[(i, j)] = (inter, union)
+    assert sorted(out) == sorted(expect)
+    assert (out[(1, 2)]["inter"], out[(1, 2)]["union_n"]) == (4, 6)
+    assert out[(1, 2)]["jac_ppm"] == 4 * 1_000_000 // 6
+    assert out[(5, 6)]["jac_ppm"] == 600_000
+
+
+def test_prefix_join_completeness_property(spark):
+    """Property over randomized set families: the prefix-filtered join
+    returns EXACTLY the brute-force qualifying pairs (no misses — the
+    prefix-filter completeness theorem — and no extras)."""
+    import itertools
+
+    from hypothesis import given, settings, strategies as st
+
+    from poc_document_ocr_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.sets(st.sampled_from("abcdefghij"), min_size=1, max_size=8),
+            min_size=2, max_size=8,
+        )
+    )
+    def prop(families):
+        rows = [(i, s) for i, ss in enumerate(families) for s in ss]
+        sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_similarity_join(sh, t_ppm=500_000).collect()
+        }
+        want = set()
+        for i, j in itertools.combinations(range(len(families)), 2):
+            a, b = families[i], families[j]
+            if len(a & b) * 1_000_000 >= 500_000 * len(a | b):
+                want.add((i, j))
+        assert got == want
+
+    prop()
+
+
+def test_emb_dim_profile_exact(spark):
+    """Hand-checked micro-unit² variance, dead flag, and variance
+    share on a 2-dim toy set."""
+    from poc_document_ocr_spark.operators.similarity import (
+        emb_dim_profile,
+    )
+
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {r["dim"]: r for r in emb_dim_profile(emb).collect()}
+    assert sorted(out) == [0, 1]
+    d0, d1 = out[0], out[1]
+    # dim0: both components quantize to 2_000_000 -> zero variance, dead
+    assert (d0["n_vecs"], d0["mean_q"], d0["var_q2"]) == (2, 2_000_000, 0)
+    assert d0["is_dead"] is True and d0["var_share_ppm"] == 0
+    # dim1: 2_000_000 and 3_000_000 -> mean 2_500_000,
+    # var = (2*(4e12+9e12) - 25e12) / 4 = 2.5e11
+    assert (d1["mean_q"], d1["var_q2"]) == (2_500_000, 250_000_000_000)
+    assert d1["is_dead"] is False and d1["var_share_ppm"] == 1_000_000
