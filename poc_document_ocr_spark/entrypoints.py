@@ -8743,6 +8743,98 @@ FROM v, tot
 """
 
 
+def q_pack_order_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-first vs arrival-order packing fill comparison over the
+    shared shard/budget configuration (see
+    :func:`~poc_document_ocr_spark.operators.sampling.pack_order_gain`)."""
+    from .operators.sampling import pack_order_gain, shard_assign
+
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_order_gain(
+        shard_assign(with_tokens, n_shards=8, seed=0), budget=_PACK_BUDGET
+    )
+
+
+_O_PACK_ORDER_GAIN = f"""
+WITH s AS (SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 2) AS h2
+  FROM documents),
+sh AS (SELECT doc_id, n_tokens,
+    CAST((ascii(substr(h2, 1, 1)) * 256 + ascii(substr(h2, 2, 1))) % 8
+      AS INT) AS shard
+  FROM s),
+pa AS (SELECT shard, n_tokens,
+    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM sh),
+ps AS (SELECT shard, n_tokens,
+    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY n_tokens, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+  FROM sh),
+wa AS (SELECT shard,
+    CAST(sum(least(tok, {_PACK_BUDGET})) AS HUGEINT) * 1000000
+      // (count(*) * {_PACK_BUDGET}) AS fill_a,
+    CAST(sum(greatest(tok - {_PACK_BUDGET}, 0)) AS BIGINT) AS ov_a
+  FROM (SELECT shard, pack_id, sum(n_tokens) AS tok
+        FROM pa GROUP BY 1, 2) x GROUP BY shard),
+ws AS (SELECT shard,
+    CAST(sum(least(tok, {_PACK_BUDGET})) AS HUGEINT) * 1000000
+      // (count(*) * {_PACK_BUDGET}) AS fill_s,
+    CAST(sum(greatest(tok - {_PACK_BUDGET}, 0)) AS BIGINT) AS ov_s
+  FROM (SELECT shard, pack_id, sum(n_tokens) AS tok
+        FROM ps GROUP BY 1, 2) x GROUP BY shard)
+SELECT wa.shard,
+  CAST(fill_a AS BIGINT) AS fill_arrival_ppm,
+  CAST(fill_s AS BIGINT) AS fill_sorted_ppm,
+  CAST(fill_s - fill_a AS BIGINT) AS gain_ppm,
+  ov_a AS overflow_arrival,
+  ov_s AS overflow_sorted
+FROM wa JOIN ws ON wa.shard = ws.shard
+"""
+
+
+#: shared weight derivation for the ESS report: a 7-level harmonic
+#: down-weight (the shape dedup weighting produces — most docs full
+#: weight, clusters down-weighted by size)
+_ESS_W = "1000000 {div} (1 + doc_id % 7)"
+
+
+def q_ess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective-sample-size per source under the shared harmonic
+    down-weighting (see
+    :func:`~poc_document_ocr_spark.operators.sampling.ess_report`)."""
+    from .operators.sampling import ess_report
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "w_ppm", F.expr(_ESS_W.format(div="div"))
+    )
+    return ess_report(docs, group_col="source")
+
+
+_O_ESS_REPORT = f"""
+WITH w AS (SELECT source,
+    CAST({_ESS_W.format(div="//")} AS HUGEINT) AS w_ppm
+  FROM documents),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    sum(w_ppm) AS sw, sum(w_ppm * w_ppm) AS sww
+  FROM w GROUP BY source)
+SELECT source, n_docs,
+  CAST(sw AS BIGINT) AS sum_w,
+  CAST(sw * sw // greatest(sww, 1) AS BIGINT) AS ess_docs,
+  CAST((sw * sw // greatest(sww, 1)) * 1000000 // n_docs AS BIGINT)
+    AS ess_ppm
+FROM s
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-reading-ease in exact milli-points per document (see
     :func:`~poc_document_ocr_spark.operators.textstats.readability`)."""
@@ -8948,6 +9040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_token_fit": q_length_token_fit,
     "prefix_join": q_prefix_join,
     "emb_dims": q_emb_dims,
+    "pack_order_gain": q_pack_order_gain,
+    "ess_report": q_ess_report,
     # tail: hash-verified by the driver in earlier rounds (window
     # bookkeeping moved them out of the 50-entry front to make room for
     # never-recorded ops)
@@ -9196,6 +9290,8 @@ ORACLES: dict[str, str] = {
     "length_token_fit": _O_LENGTH_TOKEN_FIT,
     "prefix_join": _O_PREFIX_JOIN,
     "emb_dims": _O_EMB_DIMS,
+    "pack_order_gain": _O_PACK_ORDER_GAIN,
+    "ess_report": _O_ESS_REPORT,
 }
 
 

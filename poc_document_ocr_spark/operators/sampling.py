@@ -47,6 +47,8 @@ __all__ = [
     "weighted_sample_k",
     "mix_concentration",
     "padding_waste",
+    "pack_order_gain",
+    "ess_report",
     "maxlen_sweep",
     "pack_mixing",
     "data_budget",
@@ -193,11 +195,16 @@ def pack_contiguous(
     part_col: str = "shard",
     id_col: str = "doc_id",
     tokens_col: str = "n_tokens",
+    order_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: within each ``part_col`` partition,
     order documents deterministically (by id) and cut the running token
     total into packs of ``budget`` tokens — the grouping a training loader
     uses to fill fixed-size context windows without a driver-side loop.
+
+    ``order_by`` overrides the fill order (default ``(id_col,)`` —
+    arrival order); :func:`pack_order_gain` uses it to measure the fill
+    improvement of shortest-first ordering without a second operator.
 
     ``pack_id = floor(exclusive_prefix_sum(tokens) / budget)``: each pack
     holds ~``budget`` tokens, a document that straddles a boundary belongs
@@ -212,7 +219,8 @@ def pack_contiguous(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = W.partitionBy(part_col).orderBy(id_col)
+    order = list(order_by) if order_by else [id_col]
+    w = W.partitionBy(part_col).orderBy(*order)
     before = F.coalesce(
         F.sum(tokens_col).over(w.rowsBetween(W.unboundedPreceding, -1)),
         F.lit(0),
@@ -225,7 +233,9 @@ def pack_contiguous(
         pack,
     ).withColumn(
         "pack_pos",
-        (F.row_number().over(W.partitionBy(part_col, "pack_id").orderBy(id_col)) - 1)
+        (F.row_number().over(
+            W.partitionBy(part_col, "pack_id").orderBy(*order)
+        ) - 1)
         .cast("int"),
     )
 
@@ -1599,4 +1609,105 @@ def data_budget(
         .withColumn(
             "over_cap", F.col("epochs_x1000") > F.lit(int(repeat_cap_x1000))
         )
+    )
+
+
+def pack_order_gain(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Fill-rate gain of shortest-first packing over arrival-order
+    packing, per shard — the measurement that decides whether a loader
+    should pay the per-shard sort before packing.
+
+    Contiguous packing's waste comes from boundary-straddling documents;
+    ordering a shard's documents shortest-first puts the large straddle-
+    prone documents where the prefix sum crosses budget multiples least
+    often, typically cutting overflow. This op packs BOTH ways (same
+    :func:`pack_contiguous`, only ``order_by`` differs), audits both
+    with :func:`padding_waste`, and reports the exact-ppm delta — a
+    measurement, not an assumption (the gain can be ~0 on uniform
+    lengths, which is itself the answer).
+
+    Shape: two window sorts under the same shard partitioning and two
+    bounded rollups — the corpus is scanned twice (once per ordering);
+    at production scale feed it the tiny ``(shard, id, n_tokens)``
+    projection, which is what the query layer does.
+
+    Returns ``(shard, fill_arrival_ppm, fill_sorted_ppm, gain_ppm,
+    overflow_arrival, overflow_sorted)``.
+    """
+    arrival = padding_waste(
+        pack_contiguous(df, budget, part_col, id_col, tokens_col),
+        budget, part_col, tokens_col,
+    ).select(
+        part_col,
+        F.col("fill_ppm").alias("fill_arrival_ppm"),
+        F.col("overflow_tokens").alias("overflow_arrival"),
+    )
+    shortest = padding_waste(
+        pack_contiguous(
+            df, budget, part_col, id_col, tokens_col,
+            order_by=(tokens_col, id_col),
+        ),
+        budget, part_col, tokens_col,
+    ).select(
+        part_col,
+        F.col("fill_ppm").alias("fill_sorted_ppm"),
+        F.col("overflow_tokens").alias("overflow_sorted"),
+    )
+    return arrival.join(shortest, part_col).select(
+        part_col,
+        "fill_arrival_ppm",
+        "fill_sorted_ppm",
+        (F.col("fill_sorted_ppm") - F.col("fill_arrival_ppm"))
+        .cast("long")
+        .alias("gain_ppm"),
+        "overflow_arrival",
+        "overflow_sorted",
+    )
+
+
+def ess_report(
+    df: DataFrame,
+    group_col: str = "source",
+    weight_col: str = "w_ppm",
+) -> DataFrame:
+    """Effective sample size of a weighted corpus, per group — Kish's
+    ``ESS = (Σw)² / Σw²``, the standard answer to "after dedup
+    down-weighting / mixture reweighting, how many EFFECTIVE documents
+    does each source still contribute?" (a source whose ESS collapses
+    to a few hundred dominates gradients with a handful of documents
+    however large its row count looks).
+
+    Exact integer arithmetic end-to-end: weights are integer ppm, the
+    two sums are DECIMAL(38,0)-widened BEFORE aggregation (Σw² of 10⁹
+    ppm-scale weights overflows BIGINT), and the outputs are truncating
+    divisions — ``ess_docs = (Σw)² div Σw²`` and the weighting
+    efficiency ``ess_ppm = ess_docs·10⁶ div n``.
+
+    One map-side-combinable groupBy; |groups| rows out.
+
+    Returns ``(group, n_docs, sum_w, ess_docs, ess_ppm)``.
+    """
+    w = F.col(weight_col).cast("decimal(38,0)")
+    s = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(w).cast("decimal(38,0)").alias("_sw"),
+        F.sum(w * F.col(weight_col)).cast("decimal(38,0)").alias("_sww"),
+    )
+    return s.select(
+        group_col,
+        "n_docs",
+        F.col("_sw").cast("long").alias("sum_w"),
+        F.expr(
+            "CAST(_sw * _sw div greatest(_sww, 1) AS BIGINT)"
+        ).alias("ess_docs"),
+        F.expr(
+            "CAST((_sw * _sw div greatest(_sww, 1)) * 1000000"
+            " div n_docs AS BIGINT)"
+        ).alias("ess_ppm"),
     )

@@ -1866,6 +1866,31 @@ def audit(spark, sf_dir: str):
         f"partial_count present={'partial_count' in p}, scans={n_scans}",
     )
 
+    # pack_order_gain: both packings window-sort under the SAME shard
+    # partitioning and their rollups reuse it — the comparison must not
+    # introduce a cartesian or a corpus-keyed extra shuffle beyond the
+    # two orderings' sorts
+    pg = ep.QUERIES["pack_order_gain"](spark, sf_dir)
+    p = plan_of(pg)
+    check(
+        "pack_order_gain: shard-partitioned window sorts only, bounded"
+        " shard-grain join, no cartesian",
+        "CartesianProduct" not in p and "partial_count" in p,
+        f"cartesian absent={'CartesianProduct' not in p}",
+    )
+
+    # ess_report: Kish ESS is ONE map-side-combinable groupBy — a
+    # |sources|-row result off a single scan, no window, no second pass
+    er = ep.QUERIES["ess_report"](spark, sf_dir)
+    p = plan_of(er)
+    n_ex = len(re.findall(r"\bExchange\b", p))
+    check(
+        "ess_report: 1 shuffle, sufficient-stats fold partial-aggregates"
+        " map-side",
+        n_ex == 1 and "partial_count" in p and "row_number" not in p,
+        f"Exchange nodes = {n_ex}",
+    )
+
     # script_mix: a per-doc screen must ride the ingest scan — map-only,
     # zero Exchange, scan pruned to (doc_id, text)
     sm = ep.QUERIES["script_mix"](spark, sf_dir)

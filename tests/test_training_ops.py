@@ -3935,3 +3935,57 @@ def test_emb_dim_profile_exact(spark):
     # var = (2*(4e12+9e12) - 25e12) / 4 = 2.5e11
     assert (d1["mean_q"], d1["var_q2"]) == (2_500_000, 250_000_000_000)
     assert d1["is_dead"] is False and d1["var_share_ppm"] == 1_000_000
+
+
+def test_pack_order_gain_measures_sorted_fill(spark):
+    """Shortest-first packing fixes the pathological arrival order
+    (big doc first straddles every boundary); gain_ppm is the exact
+    fill delta and existing pack_contiguous defaults are unchanged."""
+    from poc_document_ocr_spark.operators.sampling import (
+        pack_contiguous,
+        pack_order_gain,
+    )
+
+    # one shard; budget 10. arrival (by id): 9,9,2,2,2 ->
+    # packs: [9],[9,2(start in pack1? prefix sums 0,9,18,20,22 ->
+    # pack ids 0,0,1,2,2] -> pack0={9,9}=18 (overflow 8), pack1={2}=2
+    # (pad 8), pack2={2,2}=4 (pad 6)
+    rows = [(0, 1, 9), (0, 2, 9), (0, 3, 2), (0, 4, 2), (0, 5, 2)]
+    df = spark.createDataFrame(rows, "shard int, doc_id long, n_tokens long")
+    out = pack_order_gain(df, budget=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    # arrival: packs (18, 2, 4) -> filled min(.,10) = 10+2+4 = 16/30
+    assert r["fill_arrival_ppm"] == 16 * 10**6 // 30
+    assert r["overflow_arrival"] == 8
+    # sorted (2,2,2,9,9): prefix 0,2,4,6,15 -> packs 0,0,0,0,1 ->
+    # pack0 = 2+2+2+9 = 15 (overflow 5), pack1 = 9 (pad 1)
+    assert r["fill_sorted_ppm"] == 19 * 10**6 // 20
+    assert r["overflow_sorted"] == 5
+    assert r["gain_ppm"] == r["fill_sorted_ppm"] - r["fill_arrival_ppm"]
+    # default order unchanged: pack ids by doc_id
+    packs = {
+        row["doc_id"]: row["pack_id"]
+        for row in pack_contiguous(df, 10).collect()
+    }
+    assert packs == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
+
+
+def test_ess_report_kish(spark):
+    """Uniform weights give ESS = n (efficiency 1e6 ppm); one dominant
+    weight collapses ESS toward 1."""
+    from poc_document_ocr_spark.operators.sampling import ess_report
+
+    rows = (
+        [("u", 500_000)] * 4             # uniform -> ESS 4
+        + [("d", 1_000_000)] + [("d", 1)] * 9   # dominated -> ESS ~ 1
+    )
+    df = spark.createDataFrame(rows, "source string, w_ppm long")
+    out = {r["source"]: r for r in ess_report(df).collect()}
+    u = out["u"]
+    assert (u["n_docs"], u["ess_docs"], u["ess_ppm"]) == (4, 4, 1_000_000)
+    d = out["d"]
+    sw = 1_000_000 + 9
+    sww = 1_000_000**2 + 9
+    assert d["ess_docs"] == sw * sw // sww == 1
+    assert d["ess_ppm"] == (sw * sw // sww) * 10**6 // 10
