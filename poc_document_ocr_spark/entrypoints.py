@@ -8835,6 +8835,74 @@ FROM s
 """
 
 
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/MRR/nDCG@5 of the BM25 ranking against a
+    deterministic qrels set (each query's source document plus its two
+    same-family successors) — the retrieval-eval harness composed over
+    the existing ranked output (see
+    :func:`~poc_document_ocr_spark.operators.retrieval.retrieval_metrics`)."""
+    from .operators.retrieval import retrieval_metrics
+
+    ranked = q_bm25_topk(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(
+        (F.col("doc_id") % 37 == 3) & (F.col("doc_id") < 300)
+    ).select("doc_id")
+    cand = base.select(
+        F.col("doc_id").alias("_a"),
+        F.explode(
+            F.array(F.lit(0), F.lit(37), F.lit(74))
+        ).alias("_o"),
+    ).select("_a", (F.col("_a") + F.col("_o")).alias("doc_id"))
+    qrels = cand.join(base, "doc_id", "semi").select(
+        F.concat(F.lit("q"), F.col("_a").cast("string")).alias("query_id"),
+        "doc_id",
+    )
+    return retrieval_metrics(ranked, qrels, k=5)
+
+
+def _o_retrieval_metrics() -> str:
+    """DuckDB twin: brute-force joins over the SAME bm25 oracle ranking
+    and the same literal discount table (single Python source)."""
+    from .operators.retrieval import ndcg_discount_table
+
+    d = ndcg_discount_table(5)
+    prefix, run = [], 0
+    for v in d:
+        run += v
+        prefix.append(run)
+    dl = ", ".join(str(v) for v in d)
+    pl = ", ".join(str(v) for v in prefix)
+    return f"""
+WITH r AS ({_O_BM25_TOPK}),
+qb AS (SELECT doc_id FROM documents
+       WHERE doc_id % 37 = 3 AND doc_id < 300),
+qrels AS (SELECT 'q' || CAST(a.doc_id AS VARCHAR) AS query_id,
+            a.doc_id + o.o AS doc_id
+          FROM qb a, UNNEST([0, 37, 74]) AS o(o)
+          WHERE EXISTS (SELECT 1 FROM qb b
+                        WHERE b.doc_id = a.doc_id + o.o)),
+h AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+        CAST(min(r.rank) AS BIGINT) AS first_r,
+        CAST(sum(list_extract([{dl}], r.rank)) AS BIGINT) AS dcg
+      FROM r JOIN qrels q
+        ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+      GROUP BY 1),
+n AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM qrels GROUP BY 1)
+SELECT n.query_id, n_rel,
+  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(coalesce(n_hits, 0) * 1000000 // 5 AS BIGINT) AS prec_ppm,
+  CAST(coalesce(n_hits, 0) * 1000000 // greatest(n_rel, 1) AS BIGINT)
+    AS recall_ppm,
+  CAST(coalesce(1000000 // first_r, 0) AS BIGINT) AS rr_ppm,
+  CAST(coalesce(dcg, 0) * 1000000
+       // list_extract([{pl}], CAST(least(n_rel, 5) AS INT)) AS BIGINT)
+    AS ndcg_ppm
+FROM n LEFT JOIN h ON h.query_id = n.query_id
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-reading-ease in exact milli-points per document (see
     :func:`~poc_document_ocr_spark.operators.textstats.readability`)."""
@@ -9042,6 +9110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_dims": q_emb_dims,
     "pack_order_gain": q_pack_order_gain,
     "ess_report": q_ess_report,
+    "retrieval_metrics": q_retrieval_metrics,
     # tail: hash-verified by the driver in earlier rounds (window
     # bookkeeping moved them out of the 50-entry front to make room for
     # never-recorded ops)
@@ -9292,6 +9361,7 @@ ORACLES: dict[str, str] = {
     "emb_dims": _O_EMB_DIMS,
     "pack_order_gain": _O_PACK_ORDER_GAIN,
     "ess_report": _O_ESS_REPORT,
+    "retrieval_metrics": _o_retrieval_metrics(),
 }
 
 

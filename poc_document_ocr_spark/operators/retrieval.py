@@ -50,7 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "retrieval_metrics", "ndcg_discount_table"]
 
 #: log2 fixed-point scale (2^10) for the idf ratio
 _S = 1024
@@ -161,3 +161,110 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_terms", "score_ppm", "rank")
     )
+
+
+def ndcg_discount_table(k: int) -> list[int]:
+    """Integer micro-unit DCG discounts ``round(10⁶ / log2(r+1))`` for
+    ranks 1..k — computed ONCE here in Python and embedded as literals
+    in both the Spark plan and the DuckDB oracle, so the only log in
+    the whole metric never crosses an engine boundary."""
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 5,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query retrieval quality — precision@k, recall@k, MRR and
+    nDCG@k — over any ranked result table (BM25, ANN, hybrid) and a
+    binary relevance table ``qrels (query, doc)``; the eval harness a
+    retrieval path needs before its output is trusted for
+    decontamination or corpus carving.
+
+    Exact integers throughout: the single transcendental (the DCG
+    ``1/log2(r+1)`` discount) is a k-entry micro-unit literal table
+    from :func:`ndcg_discount_table`, identical in both engines;
+    ``idcg`` is the table's prefix sum at ``min(n_rel, k)``; everything
+    else is counts and truncating ppm division. Queries in ``qrels``
+    with no retrieved hit keep a row (zeros) — silently dropping them
+    would inflate every mean downstream.
+
+    Shape: the hits join is query+doc equi over the rank≤k slice (≤ k
+    rows per query on each side), then one query-grain groupBy; the
+    qrels side aggregates to n_rel per query. Everything after the two
+    bounded joins is |queries| rows.
+
+    Returns ``(query, n_rel, n_hits, prec_ppm, recall_ppm, rr_ppm,
+    ndcg_ppm)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    d = ndcg_discount_table(k)
+    prefix = []
+    run = 0
+    for v in d:
+        run += v
+        prefix.append(run)
+    d_arr = F.array(*[F.lit(v).cast("long") for v in d])
+    p_arr = F.array(*[F.lit(v).cast("long") for v in prefix])
+
+    topk = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_r"),
+    )
+    rel = qrels.select(
+        F.col(query_col).alias("_q"), F.col(doc_col).alias("_d")
+    ).distinct()
+    hits = (
+        topk.join(rel, ["_q", "_d"])
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("_r").cast("long").alias("_first"),
+            F.sum(F.element_at(d_arr, F.col("_r").cast("int")))
+            .cast("long")
+            .alias("_dcg"),
+        )
+    )
+    nrel = rel.groupBy("_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    out = (
+        nrel.join(hits, "_q", "left")
+        .na.fill({"n_hits": 0, "_dcg": 0})
+        .select(
+            F.col("_q").alias(query_col),
+            "n_rel",
+            "n_hits",
+            F.expr(f"CAST(n_hits * CAST(1000000 AS BIGINT) div {k}"
+                   " AS BIGINT)").alias("prec_ppm"),
+            F.expr(
+                "CAST(n_hits * CAST(1000000 AS BIGINT)"
+                " div greatest(n_rel, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.coalesce(
+                F.expr("CAST(CAST(1000000 AS BIGINT) div _first"
+                       " AS BIGINT)"),
+                F.lit(0).cast("long"),
+            ).alias("rr_ppm"),
+            F.col("_dcg"),
+            F.element_at(
+                p_arr, F.least(F.col("n_rel"), F.lit(k)).cast("int")
+            ).alias("_idcg"),
+        )
+        .withColumn(
+            "ndcg_ppm",
+            F.expr(
+                "CAST(_dcg * CAST(1000000 AS BIGINT) div _idcg AS BIGINT)"
+            ),
+        )
+        .drop("_dcg", "_idcg")
+    )
+    return out

@@ -3989,3 +3989,43 @@ def test_ess_report_kish(spark):
     sww = 1_000_000**2 + 9
     assert d["ess_docs"] == sw * sw // sww == 1
     assert d["ess_ppm"] == (sw * sw // sww) * 10**6 // 10
+
+
+def test_retrieval_metrics_exact(spark):
+    """Hand-checked MRR / precision / recall / nDCG@3 on a tiny ranked
+    table, including a query with zero hits (kept as a zero row)."""
+    from poc_document_ocr_spark.operators.retrieval import (
+        ndcg_discount_table,
+        retrieval_metrics,
+    )
+
+    ranked = spark.createDataFrame(
+        [
+            ("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3),
+            ("q2", 20, 1), ("q2", 21, 2), ("q2", 22, 3),
+        ],
+        "query_id string, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", 11), ("q1", 12), ("q1", 99),  # hits at rank 2,3; 1 missed
+            ("q2", 77),                          # never retrieved
+        ],
+        "query_id string, doc_id long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(ranked, qrels, k=3).collect()
+    }
+    d = ndcg_discount_table(3)
+    p = [d[0], d[0] + d[1], d[0] + d[1] + d[2]]
+    r = out["q1"]
+    assert (r["n_rel"], r["n_hits"]) == (3, 2)
+    assert r["prec_ppm"] == 2 * 10**6 // 3
+    assert r["recall_ppm"] == 2 * 10**6 // 3
+    assert r["rr_ppm"] == 10**6 // 2          # first hit at rank 2
+    # dcg = d[2nd] + d[3rd]; idcg = prefix at min(3, 3)
+    assert r["ndcg_ppm"] == (d[1] + d[2]) * 10**6 // p[2]
+    z = out["q2"]
+    assert (z["n_rel"], z["n_hits"], z["prec_ppm"], z["recall_ppm"],
+            z["rr_ppm"], z["ndcg_ppm"]) == (1, 0, 0, 0, 0, 0)
