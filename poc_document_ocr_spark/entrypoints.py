@@ -8903,6 +8903,103 @@ FROM n LEFT JOIN h ON h.query_id = n.query_id
 """
 
 
+#: shared score/label derivation for the reliability report: a
+#: pseudo-uniform ppm score and an outcome drawn Bernoulli(score) by a
+#: second independent hash — calibrated BY CONSTRUCTION up to
+#: discreteness, so per-bin gaps are small but non-zero and the ECE is
+#: a meaningful small integer
+_RELIAB_SCORE = "(doc_id * 7919) % 1000001"
+_RELIAB_Y = (
+    f"CASE WHEN (doc_id * 104729) % 1000000 < {_RELIAB_SCORE}"
+    " THEN 1 ELSE 0 END"
+)
+
+
+def q_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE of the shared synthetic score/outcome
+    pair (see
+    :func:`~poc_document_ocr_spark.operators.textstats.reliability_report`)."""
+    from .operators.textstats import reliability_report
+
+    scored = _docs(spark, sf_dir).select(
+        F.expr(_RELIAB_SCORE).alias("score_ppm"),
+        F.expr(_RELIAB_Y).alias("y"),
+    )
+    return reliability_report(scored, n_bins=10)
+
+
+_O_RELIABILITY = f"""
+WITH sc AS (SELECT {_RELIAB_SCORE} AS s, {_RELIAB_Y} AS y
+            FROM documents),
+per AS (SELECT CAST(least(9, s * 10 // 1000000) AS INT) AS bin,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(s) AS BIGINT) AS ss,
+          CAST(sum(y) AS BIGINT) AS sy
+        FROM sc GROUP BY 1),
+g AS (SELECT bin, n,
+        CAST(ss // n AS BIGINT) AS mean_score_ppm,
+        CAST(sy * 1000000 // n AS BIGINT) AS pos_ppm
+      FROM per),
+ga AS (SELECT *, abs(mean_score_ppm - pos_ppm) AS gap_ppm FROM g),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+          sum(CAST(n AS HUGEINT) * gap_ppm) AS wg
+        FROM ga)
+SELECT bin, n, mean_score_ppm, pos_ppm, gap_ppm,
+  CAST(wg // tn AS BIGINT) AS ece_ppm
+FROM ga, tot
+"""
+
+
+def q_sim_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup operating curve: 100k-ppm similarity buckets with
+    from-above cumulative pair counts over the ground-truth pair table
+    at t = 0.5 (see
+    :func:`~poc_document_ocr_spark.operators.dedup.similarity_curve`)."""
+    from .operators.dedup import (
+        prefix_similarity_join,
+        similarity_curve,
+        word_shingles,
+    )
+
+    corpus = _sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_CORPUS_NEAR}) corpus", "documents"
+    )
+    return similarity_curve(
+        prefix_similarity_join(word_shingles(corpus), t_ppm=500_000)
+    )
+
+
+_O_SIM_CURVE = f"""
+WITH corpus AS ({_CORPUS_NEAR}),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT DISTINCT doc_id,
+         array_to_string(list_slice(w, i + 1, i + 3), ' ') AS shingle
+       FROM w, UNNEST(range(0, len(w) - 2)) AS u(i)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+j AS (SELECT CAST(inter AS BIGINT) AS inter,
+        CAST(za.sz + zb.sz - inter AS BIGINT) AS union_n
+      FROM inter
+      JOIN sz za ON za.doc_id = id_a
+      JOIN sz zb ON zb.doc_id = id_b),
+p AS (SELECT CAST(inter * 1000000 // union_n AS BIGINT) AS jac
+      FROM j WHERE inter * 1000000 >= 500000 * union_n),
+per AS (SELECT CAST((jac // 100000) * 100000 AS BIGINT)
+          AS bucket_lo_ppm,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY 1)
+SELECT bucket_lo_ppm, n_pairs,
+  CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_ppm DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS n_at_or_above
+FROM per
+"""
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-reading-ease in exact milli-points per document (see
     :func:`~poc_document_ocr_spark.operators.textstats.readability`)."""
@@ -9111,6 +9208,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_order_gain": q_pack_order_gain,
     "ess_report": q_ess_report,
     "retrieval_metrics": q_retrieval_metrics,
+    "reliability": q_reliability,
+    "sim_curve": q_sim_curve,
     # tail: hash-verified by the driver in earlier rounds (window
     # bookkeeping moved them out of the 50-entry front to make room for
     # never-recorded ops)
@@ -9362,6 +9461,8 @@ ORACLES: dict[str, str] = {
     "pack_order_gain": _O_PACK_ORDER_GAIN,
     "ess_report": _O_ESS_REPORT,
     "retrieval_metrics": _o_retrieval_metrics(),
+    "reliability": _O_RELIABILITY,
+    "sim_curve": _O_SIM_CURVE,
 }
 
 

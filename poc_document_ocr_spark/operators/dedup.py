@@ -32,6 +32,7 @@ __all__ = [
     "lsh_incremental_pairs",
     "ngram_jaccard",
     "prefix_similarity_join",
+    "similarity_curve",
     "edit_distance_verify",
     "simhash64",
     "simhash_hamming",
@@ -1706,4 +1707,47 @@ def prefix_similarity_join(
                 " AS BIGINT)"
             ).alias("jac_ppm"),
         )
+    )
+
+
+def similarity_curve(
+    pairs: DataFrame,
+    sim_col: str = "jac_ppm",
+    bucket_ppm: int = 100_000,
+) -> DataFrame:
+    """Operating curve of a verified similarity-pair table: how many
+    pairs a dedup pass would act on at each candidate threshold — the
+    table a corpus owner reads before picking the dedup cutoff (the
+    knee of this curve IS the operating point; picking 0.8 vs 0.85
+    blind can double the removed volume).
+
+    Composes over EXACT pair tables (:func:`prefix_similarity_join`),
+    so the curve is ground truth, not an LSH estimate. One groupBy over
+    a ≤ ``10⁶/bucket_ppm``-row bucket domain, then a cumulative
+    from-above window on that bounded domain.
+
+    Returns ``(bucket_lo_ppm, n_pairs, n_at_or_above)`` — ``n_at_or_above``
+    is the pair count a threshold at ``bucket_lo_ppm`` would act on.
+    """
+    from pyspark.sql.window import Window as W
+
+    if bucket_ppm <= 0:
+        raise ValueError("bucket_ppm must be positive")
+    b = (
+        F.col(sim_col).cast("long") / F.lit(bucket_ppm)
+    )
+    per = (
+        pairs.select(
+            (F.floor(b) * F.lit(bucket_ppm)).cast("long")
+            .alias("bucket_lo_ppm")
+        )
+        .groupBy("bucket_lo_ppm")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = (
+        W.orderBy(F.col("bucket_lo_ppm").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return per.withColumn(
+        "n_at_or_above", F.sum("n_pairs").over(w).cast("long")
     )

@@ -20,6 +20,7 @@ __all__ = [
     "STOPWORDS",
     "AI_ARTIFACT_PHRASES",
     "ai_artifact_census",
+    "reliability_report",
     "readability",
     "length_token_fit",
     "LANG_MARKERS",
@@ -2602,4 +2603,74 @@ def length_token_fit(
             f"CAST((({cov} * 1000000) div greatest({vx}, 1)) * {cov}"
             f" div greatest({vy}, 1) AS BIGINT)"
         ).alias("r2_ppm"),
+    )
+
+
+def reliability_report(
+    df: DataFrame,
+    score_col: str = "score_ppm",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration reliability diagram + ECE for a [0,1]-ppm quality
+    score against a binary outcome — the check run before a learned
+    quality classifier's scores are used as sampling weights or
+    threshold gates (a score that says 0.9 should be right ~90% of the
+    time; if not, every downstream keep-rate calculation lies).
+
+    Exact integers: bins are ``least(n_bins−1, score·n_bins div 10⁶)``,
+    per-bin mean predicted score and observed positive rate are
+    truncating ppm divisions, the per-bin gap is their absolute
+    difference, and the expected calibration error is the n-weighted
+    gap mean — one groupBy over an ``n_bins``-row domain (map-side
+    combinable; at most n_bins partial rows per task), then the ECE
+    joins back from a single-row broadcast.
+
+    Returns one row per non-empty bin:
+    ``(bin, n, mean_score_ppm, pos_ppm, gap_ppm, ece_ppm)`` — ``ece_ppm``
+    repeated on every row so the table stays one relation.
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    b = F.expr(
+        f"least({n_bins} - 1, CAST({score_col} AS BIGINT) * {n_bins}"
+        " div 1000000)"
+    ).cast("int")
+    per = (
+        df.select(
+            b.alias("bin"),
+            F.col(score_col).cast("long").alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_s").cast("long").alias("_ss"),
+            F.sum("_y").cast("long").alias("_sy"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.expr("CAST(_ss div n AS BIGINT)").alias("mean_score_ppm"),
+            F.expr(
+                "CAST(_sy * CAST(1000000 AS BIGINT) div n AS BIGINT)"
+            ).alias("pos_ppm"),
+        )
+        .withColumn(
+            "gap_ppm", F.abs(F.col("mean_score_ppm") - F.col("pos_ppm"))
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("_n"),
+        F.sum(
+            F.col("n").cast("decimal(38,0)") * F.col("gap_ppm")
+        ).cast("decimal(38,0)").alias("_wg"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "mean_score_ppm",
+        "pos_ppm",
+        "gap_ppm",
+        F.expr("CAST(_wg div _n AS BIGINT)").alias("ece_ppm"),
     )

@@ -4029,3 +4029,44 @@ def test_retrieval_metrics_exact(spark):
     z = out["q2"]
     assert (z["n_rel"], z["n_hits"], z["prec_ppm"], z["recall_ppm"],
             z["rr_ppm"], z["ndcg_ppm"]) == (1, 0, 0, 0, 0, 0)
+
+
+def test_reliability_report_ece(spark):
+    """Perfectly calibrated bin has gap 0; anti-calibrated bin carries
+    the gap; ECE is the n-weighted mean."""
+    from poc_document_ocr_spark.operators.textstats import (
+        reliability_report,
+    )
+
+    rows = (
+        [(250_000, 1)] * 1 + [(250_000, 0)] * 3    # bin2: pred .25, obs .25
+        + [(950_000, 0)] * 4                       # bin9: pred .95, obs 0
+    )
+    df = spark.createDataFrame(rows, "score_ppm long, y int")
+    out = {r["bin"]: r for r in reliability_report(df, n_bins=10).collect()}
+    assert sorted(out) == [2, 9]
+    b2 = out[2]
+    assert (b2["mean_score_ppm"], b2["pos_ppm"], b2["gap_ppm"]) == (
+        250_000, 250_000, 0)
+    b9 = out[9]
+    assert (b9["pos_ppm"], b9["gap_ppm"]) == (0, 950_000)
+    # ECE = (4*0 + 4*950000) / 8
+    assert b2["ece_ppm"] == b9["ece_ppm"] == 4 * 950_000 // 8
+
+
+def test_similarity_curve_cumulative(spark):
+    """Bucketing and from-above cumulative counts are exact."""
+    from poc_document_ocr_spark.operators.dedup import similarity_curve
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 999_999), (1, 3, 950_000), (2, 3, 830_000),
+         (4, 5, 610_000), (6, 7, 600_000)],
+        "id_a long, id_b long, jac_ppm long",
+    )
+    out = {r["bucket_lo_ppm"]: r for r in similarity_curve(pairs).collect()}
+    assert sorted(out) == [600_000, 800_000, 900_000]
+    assert out[900_000]["n_pairs"] == 2
+    assert out[900_000]["n_at_or_above"] == 2
+    assert out[800_000]["n_at_or_above"] == 3
+    assert out[600_000]["n_pairs"] == 2
+    assert out[600_000]["n_at_or_above"] == 5
