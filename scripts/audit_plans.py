@@ -1891,6 +1891,43 @@ def audit(spark, sf_dir: str):
         f"Exchange nodes = {n_ex}",
     )
 
+    # retrieval_metrics: both joins are bounded equi (rank≤k slice ×
+    # qrels); nothing corpus-cardinality is force-broadcast and no
+    # cartesian appears anywhere in the composed bm25+metrics plan
+    rm = ep.QUERIES["retrieval_metrics"](spark, sf_dir)
+    p = plan_of(rm)
+    check(
+        "retrieval_metrics: bounded equi joins only (no cartesian)",
+        "CartesianProduct" not in p,
+        f"cartesian absent={'CartesianProduct' not in p}",
+    )
+
+    # reliability: the bin fold must partial-aggregate map-side (≤n_bins
+    # rows per task on the wire); the ECE total joins back as a
+    # single-row broadcast, not a second corpus scan
+    rl = ep.QUERIES["reliability"](spark, sf_dir)
+    p = plan_of(rl)
+    n_scans = len(re.findall(r"Scan parquet", p))
+    check(
+        "reliability: bin fold partial-aggregates map-side, ONE corpus"
+        " scan + broadcast ECE total",
+        "partial_count" in p and n_scans <= 2
+        and "CartesianProduct" not in p,
+        f"partial_count present={'partial_count' in p}, scans={n_scans}",
+    )
+
+    # sim_curve: the cumulative window runs on the bounded bucket
+    # domain (≤10 rows), so the single-partition window is safe BY
+    # CARDINALITY; the underlying pair generation must stay equi-join
+    sv = ep.QUERIES["sim_curve"](spark, sf_dir)
+    p = plan_of(sv)
+    check(
+        "sim_curve: equi-join pair generation, bounded-domain"
+        " cumulative window",
+        "CartesianProduct" not in p and "partial_count" in p,
+        f"cartesian absent={'CartesianProduct' not in p}",
+    )
+
     # script_mix: a per-doc screen must ride the ingest scan — map-only,
     # zero Exchange, scan pruned to (doc_id, text)
     sm = ep.QUERIES["script_mix"](spark, sf_dir)
