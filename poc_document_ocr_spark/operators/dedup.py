@@ -1619,6 +1619,7 @@ def prefix_similarity_join(
     shingled: DataFrame,
     t_ppm: int = 600_000,
     id_col: str = "doc_id",
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """EXACT all-pair Jaccard similarity join via prefix filtering —
     the deterministic twin of the LSH candidate generator (public
@@ -1653,6 +1654,26 @@ def prefix_similarity_join(
     Returns ``(id_a, id_b, inter, union_n, jac_ppm)`` for every pair
     with Jaccard ≥ t_ppm/10⁶ — id_a < id_b, no duplicates, NO missed
     pairs (the property the DuckDB oracle verifies by brute force).
+
+    OPERATING RULE AT SCALE: run this over the DISTINCT-text
+    representatives (exact dedup first), never the raw corpus. The
+    exact qualifying-pair set is Θ(Σ family²) — a corpus with a
+    million-member byte-identical family has ~5·10¹¹ true pairs, and
+    no exact algorithm can emit fewer rows than exist (measured twice:
+    the 18.8M-row synthetic bench corpus exhausts >70 GB of spill on
+    BOTH the raw corpus and its distinct-text representatives — the
+    generator's near-identical template families keep the true pair
+    count quadratic either way; BENCH.md session 25). Identical docs
+    collapse to one representative whose pair rows stand for the whole
+    family×family block; near-identical families need an upstream
+    cluster-canonical pass (``canonical_docs``) first.
+
+    ``max_candidates`` is the disk-safety guard (the ``cosine_topk``
+    ``max_queries`` precedent): when set, the candidate count is
+    measured BEFORE verification and a ``ValueError`` aborts the job
+    while the only materialized artifact is a count — not after 70 GB
+    of doomed shuffle spill. Pay the extra candidate pass whenever the
+    corpus's duplicate structure is unknown.
     """
     from pyspark.sql.window import Window as W
 
@@ -1691,6 +1712,16 @@ def prefix_similarity_join(
         .select("id_a", "id_b")
         .distinct()
     )
+    if max_candidates is not None:
+        n_cand = cands.count()
+        if n_cand > max_candidates:
+            raise ValueError(
+                f"prefix_similarity_join: {n_cand} candidate pairs exceed"
+                f" max_candidates={max_candidates}; the corpus's duplicate"
+                " structure makes the exact pair set intractable at this"
+                " threshold — collapse families first (exact dedup /"
+                " canonical_docs) or raise t_ppm"
+            )
     verified = ngram_jaccard(shingled, cands, id_col=id_col)
     return (
         verified.filter(

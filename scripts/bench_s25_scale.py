@@ -55,12 +55,17 @@ def planted_vectors(spark, sf_dir: str, copies: int):
 
 
 def prefix_join_job(docs):
+    # operating rule (see prefix_similarity_join docstring): exact-dedup
+    # to distinct-text representatives FIRST — the raw corpus's template
+    # families make the TRUE pair set quadratic (the raw-corpus run
+    # exhausted 36 GB of spill at 18.8M rows)
     from poc_document_ocr_spark.operators.dedup import (
         prefix_similarity_join,
         word_shingles,
     )
 
-    return prefix_similarity_join(word_shingles(docs), t_ppm=900_000)
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    return prefix_similarity_join(word_shingles(reps), t_ppm=900_000)
 
 
 def emb_dims_job(vecs):

@@ -4070,3 +4070,22 @@ def test_similarity_curve_cumulative(spark):
     assert out[800_000]["n_at_or_above"] == 3
     assert out[600_000]["n_pairs"] == 2
     assert out[600_000]["n_at_or_above"] == 5
+
+
+def test_prefix_join_candidate_guard(spark):
+    """max_candidates aborts before verification when the duplicate
+    structure makes the exact pair set blow up."""
+    import pytest
+
+    from poc_document_ocr_spark.operators.dedup import (
+        prefix_similarity_join,
+    )
+
+    # 10 identical sets -> 45 true pairs, every prefix token shared
+    rows = [(i, s) for i in range(10) for s in ("a", "b", "c")]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    with pytest.raises(ValueError, match="max_candidates"):
+        prefix_similarity_join(sh, t_ppm=600_000, max_candidates=10)
+    # generous cap passes through and returns all 45 exact pairs
+    out = prefix_similarity_join(sh, t_ppm=600_000, max_candidates=100)
+    assert out.count() == 45
