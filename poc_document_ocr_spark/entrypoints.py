@@ -8743,6 +8743,36 @@ FROM v, tot
 """
 
 
+def q_source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid dispersion — semantic monoculture /
+    broken-encoder detector at source grain (see
+    :func:`~poc_document_ocr_spark.operators.similarity.source_centroids`)."""
+    from .operators.similarity import source_centroids
+
+    load_views(spark, sf_dir, "embeddings")
+    return source_centroids(spark.table("embeddings"))
+
+
+_O_SOURCE_CENTROIDS = """
+WITH q AS (SELECT label AS source, vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(floor((x + 2.0) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+e AS (SELECT source, vec_id, i - 1 AS dim, qv[i] AS v
+      FROM q, UNNEST(generate_series(1, len(qv))) AS u(i)),
+c AS (SELECT source, dim, CAST(sum(v) // count(*) AS BIGINT) AS cdim
+      FROM e GROUP BY 1, 2),
+d AS (SELECT e.source, e.vec_id,
+        CAST(sum((e.v - c.cdim) * (e.v - c.cdim)) AS BIGINT) AS d2
+      FROM e JOIN c ON c.source = e.source AND c.dim = e.dim
+      GROUP BY 1, 2)
+SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(CAST(sum(d2) AS HUGEINT) // count(*) AS BIGINT) AS msd_q2,
+  CAST(min(d2) AS BIGINT) AS min_d2, CAST(max(d2) AS BIGINT) AS max_d2
+FROM d GROUP BY source
+"""
+
+
 def q_pack_order_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-first vs arrival-order packing fill comparison over the
     shared shard/budget configuration (see
@@ -9198,6 +9228,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "loop_detect": q_loop_detect,
     "context_taint": q_context_taint,
     "compress_ratio": q_compress_ratio,
+    "source_centroids": q_source_centroids,
     # round-4 session-18 ops (overflow; CORRECTNESS_FULL-verified)
     "timestamp_lint": q_timestamp_lint,
     "ai_artifacts": q_ai_artifact_census,
@@ -9409,6 +9440,7 @@ ORACLES: dict[str, str] = {
     "containment": _O_CONTAINMENT,
     # compress_ratio: deliberately NO oracle (DuckDB has no zlib) — the
     # driver records the weaker rows-only check; unit tests pin values
+    "source_centroids": _O_SOURCE_CENTROIDS,
     "skew_report": _O_SKEW_REPORT,
     "cross_source_dup": _O_CROSS_SOURCE_DUP,
     "dedup_survivorship": _O_DEDUP_SURVIVORSHIP,

@@ -33,6 +33,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "quantize_vec",
+    "source_centroids",
     "emb_dim_profile",
     "kmeans_lloyd",
     "semantic_dedup",
@@ -748,7 +749,9 @@ def _dim_partials_explode(emb: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _dim_partials_arrow(emb: DataFrame, vec_col: str) -> DataFrame:
+def _dim_partials_arrow(
+    emb: DataFrame, vec_col: str, group_col: str | None = None
+) -> DataFrame:
     """(dim, n_vecs, _sv, _svv) partials via an Arrow-batched
     partition-local fold: each pandas batch collapses to ``d`` rows of
     numpy column sums, so the n·d element fan-out never materializes as
@@ -764,21 +767,32 @@ def _dim_partials_arrow(emb: DataFrame, vec_col: str) -> DataFrame:
     arbitrary-precision Python ints emitted as DECIMAL(38,0). Rows with
     NULL vectors are skipped (posexplode parity); components must be
     non-null (the embeddings contract).
+
+    With ``group_col`` the fold keys each batch on (group, length) and
+    the output carries a ``_grp`` column — per-group per-dim partials
+    folding to |groups|·d rows per batch (the :func:`source_centroids`
+    pass-1 shape).
     """
     from decimal import Decimal
 
     offset, scale = float(QUANT_OFFSET), float(QUANT_SCALE)
+    grouped = group_col is not None
 
     def fold(batches):
         for pdf in batches:
+            if grouped:
+                pdf = pdf[pdf[vec_col].notna()]
             col = pdf[vec_col].dropna()
             if not len(col):
                 continue
-            # group by vector length so ragged inputs fold per-shape
+            # key on (group?, length) so ragged inputs fold per-shape
             # exactly like the explode twin (each length contributes
             # counts only to the dims it actually has)
-            for d, sub in col.groupby(col.map(len)):
-                d = int(d)
+            keys = [pdf[group_col]] if grouped else []
+            for key, sub in col.groupby(keys + [col.map(len)], dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                d = int(key[-1])
                 if d == 0:
                     continue
                 m = np.asarray(sub.tolist(), dtype=np.float64)
@@ -791,22 +805,107 @@ def _dim_partials_arrow(emb: DataFrame, vec_col: str) -> DataFrame:
                     s = (blk * blk).sum(axis=0, dtype=np.int64)
                     for j in range(d):
                         svv[j] += int(s[j])
-                yield pd.DataFrame(
-                    {
-                        "dim": np.arange(d, dtype=np.int32),
-                        "n_vecs": np.full(d, n, dtype=np.int64),
-                        "_sv": sv,
-                        "_svv": [Decimal(x) for x in svv],
-                    }
-                )
+                out = {
+                    "dim": np.arange(d, dtype=np.int32),
+                    "n_vecs": np.full(d, n, dtype=np.int64),
+                    "_sv": sv,
+                    "_svv": [Decimal(x) for x in svv],
+                }
+                if grouped:
+                    out = {"_grp": [key[0]] * d, **out}
+                yield pd.DataFrame(out)
 
-    partials = emb.select(vec_col).mapInPandas(
-        fold, "dim int, n_vecs long, _sv long, _svv decimal(38,0)"
-    )
-    return partials.groupBy("dim").agg(
+    if grouped:
+        partials = emb.select(
+            F.col(group_col).cast("string").alias(group_col), vec_col
+        ).mapInPandas(
+            fold,
+            "_grp string, dim int, n_vecs long, _sv long, _svv decimal(38,0)",
+        )
+        gcols = ["_grp", "dim"]
+    else:
+        partials = emb.select(vec_col).mapInPandas(
+            fold, "dim int, n_vecs long, _sv long, _svv decimal(38,0)"
+        )
+        gcols = ["dim"]
+    return partials.groupBy(*gcols).agg(
         F.sum("n_vecs").cast("long").alias("n_vecs"),
         F.sum("_sv").cast("long").alias("_sv"),
         F.sum("_svv").cast("decimal(38,0)").alias("_svv"),
+    )
+
+
+def source_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-source embedding centroid dispersion: how tightly each
+    source's vectors cluster around their own mean — the semantic
+    monoculture / broken-encoder detector run per corpus source (a
+    source whose dispersion collapses toward 0 is embedding-constant:
+    either genuinely boilerplate or an encoder batch that emitted one
+    vector; one whose dispersion explodes relative to peers is likely
+    mislabeled or mixed). Complements :func:`emb_dim_profile` (per-DIM,
+    corpus-wide) and ``cluster_purity`` (cluster-grain): this is
+    source-grain, embedding-space.
+
+    Exactness: vectors are quantized to the shared ``floor((x+2)·10⁶)``
+    micro-units; per-(source, dim) centroids are ``Σv div n`` (all
+    components positive post-offset, so integer division agrees
+    cross-engine); per-vector squared distance to the OWN-source
+    centroid is a BIGINT ``Σ(v−c)²`` (components ≤ ~4·10⁶ µu ⇒ a
+    4096-dim distance ≤ 6.6·10¹⁶ — safely inside int64; the per-source
+    SUM of distances is DECIMAL-widened).
+
+    Scale shape: pass 1 is the grouped Arrow partition fold
+    (:func:`_dim_partials_arrow` with ``group_col`` — |sources|·d
+    partial rows per batch, no explode fan-out anywhere); the centroid
+    table is re-assembled to |sources| rows of d-length arrays and
+    joined back with an EXPLICIT broadcast — a bounded model-artifact
+    side (the allowed broadcast class; sources×dims, never
+    corpus-cardinality). Pass 2 is one corpus scan with a JVM HOF
+    distance + one map-side combinable groupBy(source). Two corpus
+    scans total — callers that already materialize the quantized table
+    feed it to both passes.
+
+    Returns ``(source, n_vecs, msd_q2, min_d2, max_d2)`` — mean squared
+    distance (µu², ``div n`` floor) with min/max per-vector extremes.
+    """
+    src = F.col(group_col).alias("source")
+    q = emb.select(
+        src, F.col(id_col).alias("_id"), quantize_vec(F.col(vec_col)).alias("_q")
+    )
+    by_dim = _dim_partials_arrow(
+        emb.select(src, F.col(vec_col)), vec_col, group_col="source"
+    ).select(
+        F.col("_grp").alias("source"),
+        "dim",
+        F.expr("CAST(_sv div n_vecs AS BIGINT)").alias("_c"),
+    )
+    cents = by_dim.groupBy("source").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "_c"))
+        ).alias("_dc")
+    ).select(
+        "source", F.transform("_dc", lambda s: s["_c"]).alias("_cent")
+    )
+    d2 = q.join(F.broadcast(cents), "source").select(
+        "source",
+        F.aggregate(
+            F.zip_with("_q", "_cent", lambda v, c: (v - c) * (v - c)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_d2"),
+    )
+    return d2.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.expr(
+            "CAST(sum(CAST(_d2 AS DECIMAL(38,0))) div count(1) AS BIGINT)"
+        ).alias("msd_q2"),
+        F.min("_d2").alias("min_d2"),
+        F.max("_d2").alias("max_d2"),
     )
 
 

@@ -1872,6 +1872,26 @@ def audit(spark, sf_dir: str):
         f" scans={n_scans}",
     )
 
+    # source_centroids: pass-1 dim fold partial-aggregates map-side, the
+    # centroid side joins back as an explicit BROADCAST (bounded
+    # sources×dims model artifact — the allowed class), and the distance
+    # pass is a HOF + map-side-combinable groupBy; never a cartesian
+    sc_df = ep.QUERIES["source_centroids"](spark, sf_dir)
+    p = plan_of(sc_df)
+    check(
+        "source_centroids: grouped Arrow fold (no explode fan-out),"
+        " map-side partials, bounded centroid broadcast, no cartesian",
+        "partial_count" in p
+        and "MapInPandas" in p
+        and "Generate posexplode" not in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p,
+        f"partials={'partial_count' in p},"
+        f" mapInPandas={'MapInPandas' in p},"
+        f" explode absent={'Generate posexplode' not in p},"
+        f" bhj={'BroadcastHashJoin' in p}",
+    )
+
     # pack_order_gain: both packings window-sort under the SAME shard
     # partitioning and their rollups reuse it — the comparison must not
     # introduce a cartesian or a corpus-keyed extra shuffle beyond the

@@ -74,6 +74,15 @@ def emb_dims_job(vecs):
     return emb_dim_profile(vecs)
 
 
+def source_cent_job(vecs):
+    from poc_document_ocr_spark.operators.similarity import source_centroids
+
+    labeled = vecs.withColumn(
+        "label", F.concat(F.lit("src"), F.pmod("vec_id", F.lit(20)))
+    )
+    return source_centroids(labeled)
+
+
 def pack_gain_job(docs):
     from poc_document_ocr_spark.operators.sampling import (
         pack_order_gain,
@@ -119,6 +128,7 @@ def main() -> None:
     jobs = {
         "prefix_join": lambda: consume(prefix_join_job(docs)),
         "emb_dims": lambda: consume(emb_dims_job(vecs)),
+        "source_centroids": lambda: consume(source_cent_job(vecs)),
         "pack_order_gain": lambda: consume(pack_gain_job(docs)),
         "ess_report": lambda: consume(ess_job(docs)),
     }
@@ -133,6 +143,7 @@ def main() -> None:
     warm = {
         "prefix_join": lambda: consume(prefix_join_job(small_d)),
         "emb_dims": lambda: consume(emb_dims_job(small_v)),
+        "source_centroids": lambda: consume(source_cent_job(small_v)),
         "pack_order_gain": lambda: consume(pack_gain_job(small_d)),
         "ess_report": lambda: consume(ess_job(small_d)),
     }

@@ -3937,6 +3937,33 @@ def test_emb_dim_profile_exact(spark):
     assert d1["is_dead"] is False and d1["var_share_ppm"] == 1_000_000
 
 
+def test_source_centroids_exact(spark):
+    """Hand-checked per-source centroid dispersion: integer centroid
+    (Σv div n), per-vector Σ(v−c)², DECIMAL-widened mean."""
+    from poc_document_ocr_spark.operators.similarity import (
+        source_centroids,
+    )
+
+    # source a: [0,0] and [0,1] -> centroid q (2e6, 2.5e6);
+    #   d2 each = (0)² + (±0.5e6)² = 2.5e11 -> msd 2.5e11
+    # source b: single vector -> centroid = itself, d2 = 0
+    rows = [
+        (1, "a", [0.0, 0.0]),
+        (2, "a", [0.0, 1.0]),
+        (3, "b", [1.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    out = {r["source"]: r for r in source_centroids(emb).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_vecs"], a["msd_q2"]) == (2, 250_000_000_000)
+    assert a["min_d2"] == a["max_d2"] == 250_000_000_000
+    assert (b["n_vecs"], b["msd_q2"], b["min_d2"], b["max_d2"]) == (
+        1, 0, 0, 0,
+    )
+
+
 def test_emb_dim_profile_arrow_matches_explode(spark):
     """The Arrow partition-fold path is bit-identical to the posexplode
     twin — including ragged vector lengths and NULL vectors (skipped by
