@@ -2513,18 +2513,18 @@ def q_cos_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir, "embeddings")
     emb = spark.table("embeddings")
     b = signlsh_buckets(emb, _ANN_PLANES)
-    a = b.select(
+    bn = b.withColumn("_nrm", norm(F.col("embedding")))
+    a = bn.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        "bucket",
+        F.col("_nrm").alias("_na"), "bucket",
     )
-    c = b.select(
+    c = bn.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        "bucket",
+        F.col("_nrm").alias("_nb"), "bucket",
     )
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = dot(F.col("va"), F.col("vb")) / (
-        norm(F.col("va")) * norm(F.col("vb"))
-    )
+    # per-vector norms hoisted before the self-join (pair-stage hoist)
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return pairs.filter(cos >= 0.2).select("id_a", "id_b", "bucket")
 
 

@@ -56,6 +56,12 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
+    # NOTE (measured negative result): unrolling array-array dots to
+    # d-term getItem expressions is 2.2× SLOWER than the zip_with/
+    # aggregate HOF (285.9 s vs 127.6 s on semantic_dedup's 379k-pair
+    # point) — the unroll wins only against a LITERAL side (k-means
+    # centroids 2×, sign-LSH planes 3.3×). Keep vector-vector products
+    # on the HOF; hoist per-vector factors (norms) out of pair joins.
     return F.sqrt(dot(a, a))
 
 
@@ -81,10 +87,16 @@ def _exact_topk(
     """
     if q.limit(max_queries + 1).count() > max_queries:
         raise ValueError(err)
-    sims = c.join(F.broadcast(q), join_pred).withColumn(
-        "cos",
-        dot(F.col("q_vec"), F.col("n_vec"))
-        / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+    # norms hoisted to the per-vector sides: |C|+|Q| folds, not 2·|C|·|Q|
+    # (the semantic_dedup pair-stage lesson — 3.0× measured there)
+    sims = (
+        c.withColumn("_nc", norm(F.col("n_vec")))
+        .join(F.broadcast(q.withColumn("_nq", norm(F.col("q_vec")))), join_pred)
+        .withColumn(
+            "cos",
+            dot(F.col("q_vec"), F.col("n_vec"))
+            / (F.col("_nq") * F.col("_nc")),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
@@ -205,12 +217,14 @@ def cross_set_screen(
     """
     cb = signlsh_buckets(corpus, planes, id_col=id_col, vec_col=vec_col)
     pb = signlsh_buckets(probes, planes, id_col=id_col, vec_col=vec_col)
-    c = cb.select(F.col(id_col), F.col(vec_col).alias("_vc"), "bucket")
-    p = pb.select(F.col(id_col).alias("_pid"), F.col(vec_col).alias("_vp"),
-                  "bucket")
-    cos = dot(F.col("_vc"), F.col("_vp")) / (
-        norm(F.col("_vc")) * norm(F.col("_vp"))
-    )
+    # per-vector norms BEFORE the bucket join (the pair-stage hoist)
+    c = cb.select(
+        F.col(id_col), F.col(vec_col).alias("_vc"), "bucket"
+    ).withColumn("_nc", norm(F.col("_vc")))
+    p = pb.select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).alias("_vp"), "bucket"
+    ).withColumn("_np", norm(F.col("_vp")))
+    cos = dot(F.col("_vc"), F.col("_vp")) / (F.col("_nc") * F.col("_np"))
     return (
         c.join(p, "bucket")
         .filter(cos >= tau)
@@ -285,14 +299,14 @@ def ivf_topk(
     ).select("q_id", "q_vec", F.col("p.i").alias("cell"))
     cs = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "cell"
-    )
+    ).withColumn("_nn", norm(F.col("n_vec")))
     sims = (
-        cs.join(F.broadcast(qs), "cell")
+        cs.join(F.broadcast(qs.withColumn("_nq", norm(F.col("q_vec")))), "cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
             "cos",
             dot(F.col("q_vec"), F.col("n_vec"))
-            / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+            / (F.col("_nq") * F.col("_nn")),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -495,15 +509,26 @@ def semantic_dedup(
     # one narrow join puts (vector, cell, dist) on each row; the kmeans
     # output is id-grain so this is a plain equi join on the id
     labeled = emb.select(id_col, vec_col).join(cells, id_col)
+    # per-VECTOR norm before the self-join: 2·n norm folds instead of
+    # 2·|pairs| — the per-pair norm recomputation was 2/3 of the pair
+    # stage's arithmetic (measured 127.6 s → 42.8 s on the 379k-pair
+    # 40k-vector point, 3.0×). The dot itself STAYS the zip_with/
+    # aggregate HOF: an A/B of a 64-term unrolled getItem expression
+    # measured 2.2× SLOWER than the HOF for array-array dots (285.9 s
+    # same point) — the unroll win only holds when one side is literal
+    # (k-means centroids, LSH planes); division (not a tau·na·nb
+    # rearrangement) keeps zero-norm vectors excluded via NaN exactly
+    # like the unfactored cosine
+    labeled = labeled.withColumn("_nrm", norm(F.col(vec_col)))
     a = labeled.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("_na"), "cell",
     )
     b = labeled.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("_nb"), "cell",
     )
-    cos = dot(F.col("va"), F.col("vb")) / (
-        norm(F.col("va")) * norm(F.col("vb"))
-    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -561,14 +586,14 @@ def lsh_topk(
         F.col(id_col).alias("n_id"),
         F.col(vec_col).alias("n_vec"),
         "bucket",
-    )
+    ).withColumn("_nn", norm(F.col("n_vec")))
     sims = (
-        cs.join(F.broadcast(qs), "bucket")
+        cs.join(F.broadcast(qs.withColumn("_nq", norm(F.col("q_vec")))), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
         .withColumn(
             "cos",
             dot(F.col("q_vec"), F.col("n_vec"))
-            / (norm(F.col("q_vec")) * norm(F.col("n_vec"))),
+            / (F.col("_nq") * F.col("_nn")),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
@@ -660,8 +685,12 @@ def bitext_mine(
 
     Returns ``(src_id, tgt_id, cos_ppm, margin_ppm, mutual)``.
     """
-    av = a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_av"))
-    bv = b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bv"))
+    av = a.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("_av")
+    ).withColumn("_na", norm(F.col("_av")))
+    bv = b.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bv")
+    ).withColumn("_nb", norm(F.col("_bv")))
     if candidates is None:
         for side, name in ((av, "a"), (bv, "b")):
             if side.limit(max_side + 1).count() > max_side:
@@ -676,9 +705,9 @@ def bitext_mine(
             .join(av, "a_id")
             .join(bv, "b_id")
         )
-    cos = dot(F.col("_av"), F.col("_bv")) / (
-        norm(F.col("_av")) * norm(F.col("_bv"))
-    )
+    # norms ride the per-vector tables through the candidate joins —
+    # |A|+|B| folds instead of 2·|pairs| (the pair-stage hoist)
+    cos = dot(F.col("_av"), F.col("_bv")) / (F.col("_na") * F.col("_nb"))
     # the ppm pair table feeds both rank windows, both k-averages and
     # both argmaxes — checkpoint it LAZILY so the dot-product folds run
     # once, not once per consumer (the curate_pipeline convention)
