@@ -504,8 +504,13 @@ def semantic_dedup(
     """
     from .dedup import canonical_docs, connected_components
 
+    # THREE consumers read the assignment (the pair join's labeled side,
+    # the canonical scores, the final cell join) — checkpoint it lazily
+    # so the k-distance assignment pass and its plan compile run once,
+    # not once per consumer (the curation_funnel convention; ownership
+    # is the returned plan's, freed with it)
     cells = kmeans_lloyd(emb, k=k, iters=iters, id_col=id_col,
-                         vec_col=vec_col)
+                         vec_col=vec_col).localCheckpoint(eager=False)
     # one narrow join puts (vector, cell, dist) on each row; the kmeans
     # output is id-grain so this is a plain equi join on the id
     labeled = emb.select(id_col, vec_col).join(cells, id_col)
