@@ -334,12 +334,17 @@ def quantize_vec(vec_col: Column) -> Column:
     )
 
 
-#: unrolled-literal distance expressions above this k·dim size hit
-#: superlinear Catalyst compile cost (k=64 × 64d measured ~190s of pure
-#: plan compilation at 40k rows, and a transform/zip_with HOF twin is
-#: interpreter-bound at ~110s for k=128 on the same rows); larger
-#: centroid sets switch to the Arrow-batched matmul formulation
-_UNROLL_MAX_TERMS = 2048
+#: k·dim size at or below which the assignment uses unrolled-literal
+#: distance expressions instead of the Arrow matmul. Measured A/B at
+#: 40k×64d rows: matmul wins at EVERY tested k (k=4: 3.0 s vs 6.2 s
+#: unrolled; k=8: 1.3 vs 11.3; k=16: 3.0 vs 25.4) because Catalyst
+#: compile cost is row-independent and superlinear in expression size
+#: (k=64×64d ≈ 190 s of pure compile), while the Arrow worker's fixed
+#: start-up is ~1-3 s once per stage. Default 0 = always matmul; the
+#: unrolled builder stays for the cross-impl equality pin
+#: (test_kmeans_arrow_assignment_equals_unrolled) and as a no-Arrow
+#: fallback knob.
+_UNROLL_MAX_TERMS = 0
 
 
 def _nearest_centroid(qv_col: Column, centroids: list[list[int]]) -> Column:
@@ -348,22 +353,22 @@ def _nearest_centroid(qv_col: Column, centroids: list[list[int]]) -> Column:
     (components ≤ 4·10⁶ → squares ≤ 1.6·10¹³, × 64 dims ≈ 10¹⁵ < 2⁶³).
 
     Two formulations with identical integer semantics, chosen by
-    ``k·dim``:
+    ``k·dim`` against ``_UNROLL_MAX_TERMS`` (default 0 — always the
+    matmul; see the constant's measurement note):
 
-    * small (≤ ``_UNROLL_MAX_TERMS``): distances UNROLLED into explicit
-      per-dimension arithmetic (centroid components are plan literals,
-      each distance a flat codegen expression). Measured 2× faster than
-      an HOF form at k=4 × 64d (70.1s → 34.7s for 2 Lloyd iterations at
-      400k vectors), but Catalyst compile cost grows superlinearly in
-      the expression size — minutes at k=64 × 64d.
-    * large: a vectorized Arrow-batched pandas UDF computing the full
-      batch×k distance matrix as an int64 numpy matmul
+    * unrolled: distances as explicit per-dimension codegen arithmetic
+      (centroid components are plan literals). Beats an HOF form 2×
+      (70.1s → 34.7s, k=4 × 64d, 2 Lloyd iterations at 400k vectors)
+      but pays row-independent Catalyst compile that loses to the
+      matmul at every measured size; kept as the equality-pin twin and
+      a no-Arrow fallback.
+    * matmul (default): a vectorized Arrow-batched pandas UDF computing
+      the full batch×k distance matrix as an int64 numpy matmul
       (``d = |q|² + |c|² − 2·q·Cᵀ``), argmin per row with numpy's
       first-minimum tie-break — the SAME lowest-index rule as
       ``array_min`` over (d, i) structs. int64 numpy arithmetic is
       exact at these magnitudes, so the two paths can never disagree on
-      a cell assignment (pinned by a unit test), and the batch matmul
-      is ~100× the HOF throughput at k=128.
+      a cell assignment (pinned by a unit test).
     """
     if len(centroids) * len(centroids[0]) <= _UNROLL_MAX_TERMS:
         cands = []

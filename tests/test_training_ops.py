@@ -1148,6 +1148,9 @@ def test_kmeans_arrow_assignment_equals_unrolled(spark, monkeypatch):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
+    # default is the Arrow matmul (threshold 0); force the unrolled
+    # branch explicitly for its side of the comparison
+    monkeypatch.setattr(S, "_UNROLL_MAX_TERMS", 10**9)
     unrolled = {
         r["vec_id"]: (r["cell"], r["dist"])
         for r in S.kmeans_lloyd(df, k=5, iters=2).collect()
