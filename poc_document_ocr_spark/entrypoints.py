@@ -8773,6 +8773,32 @@ FROM d GROUP BY source
 """
 
 
+def q_source_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source centroid distance matrix — aggregate-similarity
+    mirror detection at source grain (see
+    :func:`~poc_document_ocr_spark.operators.similarity.source_affinity`)."""
+    from .operators.similarity import source_affinity
+
+    load_views(spark, sf_dir, "embeddings")
+    return source_affinity(spark.table("embeddings"))
+
+
+_O_SOURCE_AFFINITY = """
+WITH q AS (SELECT label AS source,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> CAST(floor((x + 2.0) * 1000000.0) AS BIGINT)) AS qv
+  FROM embeddings),
+e AS (SELECT source, i - 1 AS dim, qv[i] AS v
+      FROM q, UNNEST(generate_series(1, len(qv))) AS u(i)),
+c AS (SELECT source, dim, CAST(sum(v) // count(*) AS BIGINT) AS cdim
+      FROM e GROUP BY 1, 2)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(sum((a.cdim - b.cdim) * (a.cdim - b.cdim)) AS BIGINT) AS d2_q2
+FROM c a JOIN c b ON a.dim = b.dim AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 def q_pack_order_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shortest-first vs arrival-order packing fill comparison over the
     shared shard/budget configuration (see
@@ -9229,6 +9255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_taint": q_context_taint,
     "compress_ratio": q_compress_ratio,
     "source_centroids": q_source_centroids,
+    "source_affinity": q_source_affinity,
     # round-4 session-18 ops (overflow; CORRECTNESS_FULL-verified)
     "timestamp_lint": q_timestamp_lint,
     "ai_artifacts": q_ai_artifact_census,
@@ -9441,6 +9468,7 @@ ORACLES: dict[str, str] = {
     # compress_ratio: deliberately NO oracle (DuckDB has no zlib) — the
     # driver records the weaker rows-only check; unit tests pin values
     "source_centroids": _O_SOURCE_CENTROIDS,
+    "source_affinity": _O_SOURCE_AFFINITY,
     "skew_report": _O_SKEW_REPORT,
     "cross_source_dup": _O_CROSS_SOURCE_DUP,
     "dedup_survivorship": _O_DEDUP_SURVIVORSHIP,

@@ -34,6 +34,7 @@ __all__ = [
     "ivf_topk",
     "quantize_vec",
     "source_centroids",
+    "source_affinity",
     "emb_dim_profile",
     "kmeans_lloyd",
     "semantic_dedup",
@@ -945,6 +946,70 @@ def source_centroids(
         ).alias("msd_q2"),
         F.min("_d2").alias("min_d2"),
         F.max("_d2").alias("max_d2"),
+    )
+
+
+def source_affinity(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inter-source centroid distance matrix: exact squared L2 (µu²)
+    between every pair of per-source embedding centroids — the
+    mirror-/syndication-detector at SOURCE grain (two sources whose
+    centroids nearly coincide are candidates for the same underlying
+    feed; the document-grain twin is ``cross_source_dup``, which finds
+    shared near-dup clusters — this sees sources that are similar in
+    AGGREGATE even when no individual pair crosses the near-dup bar)
+    and the input to mixture design (upweighting ten mutually-near
+    sources is upweighting one source ten times).
+
+    Exactness: centroids are the :func:`source_centroids` integer
+    centroids (``Σv div n`` per dim in the shared µu quantization);
+    pair distance is ``Σ(cₐ−c_b)²`` — BIGINT exact, identical in
+    DuckDB. Scale shape: pass 1 is the grouped Arrow fold (bounded
+    |sources|·d partials); the pair stage is |sources|² rows of
+    d-length HOF folds — sources number in the thousands at most, so
+    the quadratic stage is bounded by construction (it never touches
+    corpus-cardinality data).
+
+    Returns ``(source_a, source_b, d2_q2)`` for ``source_a <
+    source_b``, ordered by neither (callers sort).
+    """
+    cents = (
+        _dim_partials_arrow(
+            emb.select(F.col(group_col).alias("source"), F.col(vec_col)),
+            vec_col,
+            group_col="source",
+        )
+        .select(
+            F.col("_grp").alias("source"),
+            "dim",
+            F.expr("CAST(_sv div n_vecs AS BIGINT)").alias("_c"),
+        )
+        .groupBy("source")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "_c"))).alias("_dc")
+        )
+        .select("source", F.transform("_dc", lambda s: s["_c"]).alias("_cent"))
+        # both self-join sides read the centroid table — checkpoint the
+        # BOUNDED |sources| rows so the corpus fold runs once, not twice
+        .localCheckpoint(eager=False)
+    )
+    a = cents.select(
+        F.col("source").alias("source_a"), F.col("_cent").alias("_ca")
+    )
+    b = cents.select(
+        F.col("source").alias("source_b"), F.col("_cent").alias("_cb")
+    )
+    d2 = F.aggregate(
+        F.zip_with("_ca", "_cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", d2.alias("d2_q2"))
     )
 
 

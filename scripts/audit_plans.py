@@ -1892,6 +1892,20 @@ def audit(spark, sf_dir: str):
         f" bhj={'BroadcastHashJoin' in p}",
     )
 
+    # source_affinity: the |sources|² pair stage joins ONLY the bounded
+    # checkpointed centroid table (Scan ExistingRDD on both sides) — a
+    # parquet scan inside the pair join would mean corpus-cardinality
+    # data leaked into the quadratic stage
+    sa_df = ep.QUERIES["source_affinity"](spark, sf_dir)
+    p = plan_of(sa_df)
+    check(
+        "source_affinity: pair stage over bounded checkpointed centroids"
+        " only (no corpus scan in the quadratic stage)",
+        "Scan ExistingRDD" in p and "Scan parquet" not in p,
+        f"rdd scan={'Scan ExistingRDD' in p},"
+        f" parquet absent={'Scan parquet' not in p}",
+    )
+
     # pack_order_gain: both packings window-sort under the SAME shard
     # partitioning and their rollups reuse it — the comparison must not
     # introduce a cartesian or a corpus-keyed extra shuffle beyond the

@@ -3967,6 +3967,37 @@ def test_source_centroids_exact(spark):
     )
 
 
+def test_source_affinity_exact(spark):
+    """Hand-checked inter-source centroid distance: integer centroids,
+    exact Σ(cₐ−c_b)² in µu², only a<b pairs."""
+    from poc_document_ocr_spark.operators.similarity import (
+        source_affinity,
+    )
+
+    # a: centroid of [0,0],[0,1] -> (2e6, 2.5e6)
+    # b: single [1,-1]           -> (3e6, 1e6)
+    # c: single [0,0]            -> (2e6, 2e6)
+    rows = [
+        (1, "a", [0.0, 0.0]),
+        (2, "a", [0.0, 1.0]),
+        (3, "b", [1.0, -1.0]),
+        (4, "c", [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["d2_q2"]
+        for r in source_affinity(emb).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    # a-b: (1e6)² + (1.5e6)² = 3.25e12; a-c: 0 + (0.5e6)² = 2.5e11
+    # b-c: (1e6)² + (1e6)² = 2e12
+    assert out[("a", "b")] == 3_250_000_000_000
+    assert out[("a", "c")] == 250_000_000_000
+    assert out[("b", "c")] == 2_000_000_000_000
+
+
 def test_emb_dim_profile_arrow_matches_explode(spark):
     """The Arrow partition-fold path is bit-identical to the posexplode
     twin — including ragged vector lengths and NULL vectors (skipped by
