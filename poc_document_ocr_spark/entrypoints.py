@@ -3765,13 +3765,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_SEMANTIC_DEDUP = f"""
 WITH RECURSIVE km AS ({_O_KMEANS_CELLS}),
-e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-j AS (SELECT e2.vec_id, e2.v, km.cell FROM e2 JOIN km USING (vec_id)),
-prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) /
-              (sqrt(list_dot_product(a.v, a.v)) *
-               sqrt(list_dot_product(b.v, b.v))) >= 0.35),
+e2 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+         x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
+nn AS (SELECT vec_id, CAST(sum(CAST(qv[i] AS HUGEINT) * qv[i]) AS HUGEINT)
+         AS n2
+       FROM e2, UNNEST(generate_series(1, len(qv))) AS u(i)
+       GROUP BY vec_id),
+j AS (SELECT e2.vec_id, e2.qv, nn.n2, km.cell
+      FROM e2 JOIN km USING (vec_id) JOIN nn USING (vec_id)),
+pe AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.n2 AS na, b.n2 AS nb,
+         CAST(a.qv[i] AS HUGEINT) * b.qv[i] AS prod
+       FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id,
+            UNNEST(generate_series(1, len(a.qv))) AS u(i)),
+pd AS (SELECT id_a, id_b, any_value(na) AS na, any_value(nb) AS nb,
+         CAST(sum(prod) AS HUGEINT) AS dt
+       FROM pe GROUP BY id_a, id_b),
+-- integer-exact quantized cosine: cos >= 0.350 <=> dt > 0 AND
+-- dt^2 * 10^6 >= 350^2 * na * nb, all int128 arithmetic
+prs AS (SELECT id_a, id_b FROM pd
+        WHERE dt > 0
+          AND dt * dt * 1000000 >= CAST(122500 AS HUGEINT) * na * nb),
 edges AS (SELECT id_a AS src, id_b AS dst FROM prs
           UNION SELECT id_b AS src, id_a AS dst FROM prs),
 reach(node, r) AS (

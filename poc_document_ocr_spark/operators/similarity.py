@@ -482,6 +482,7 @@ def semantic_dedup(
     tau: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pairs_impl: str = "matmul",
 ) -> DataFrame:
     """Embedding-space near-duplicate pruning end-to-end — the SemDeDup
     shape (Abbas et al. 2303.09540): cluster the corpus into k-means
@@ -493,10 +494,13 @@ def semantic_dedup(
     1. :func:`kmeans_lloyd` — integer-exact cell assignment (byte-identical
        at any parallelism), ``dist`` = squared quantized L2 to the final
        centroid;
-    2. within-cell candidate pairs — an EQUI join on ``cell`` (never the
+    2. within-cell similar pairs — strictly cell-local (never the
        global all-pairs the paper exists to avoid: at 10⁹ vectors the
        cell count grows with the corpus so per-cell pair fan-out stays
-       bounded, and AQE splits any hot cell), exact cosine ≥ ``tau``;
+       bounded) under the INTEGER-EXACT quantized-cosine predicate of
+       :func:`_cell_similar_pairs` (``tau`` quantizes to ppk; default
+       impl is the per-cell int64 numpy Gram matmul, ``pairs_impl=
+       "join"`` selects the AQE-splittable cell-equi join twin);
     3. ``connected_components`` over the pair graph (checkpointed min-label
        propagation, O(1) plan depth);
     4. ``canonical_docs`` keep-one policy with score = ``dist`` — the
@@ -510,7 +514,7 @@ def semantic_dedup(
     """
     from .dedup import canonical_docs, connected_components
 
-    # THREE consumers read the assignment (the pair join's labeled side,
+    # THREE consumers read the assignment (the pair stage's labeled side,
     # the canonical scores, the final cell join) — checkpoint it lazily
     # so the k-distance assignment pass and its plan compile run once,
     # not once per consumer (the curation_funnel convention; ownership
@@ -520,31 +524,12 @@ def semantic_dedup(
     # one narrow join puts (vector, cell, dist) on each row; the kmeans
     # output is id-grain so this is a plain equi join on the id
     labeled = emb.select(id_col, vec_col).join(cells, id_col)
-    # per-VECTOR norm before the self-join: 2·n norm folds instead of
-    # 2·|pairs| — the per-pair norm recomputation was 2/3 of the pair
-    # stage's arithmetic (measured 127.6 s → 42.8 s on the 379k-pair
-    # 40k-vector point, 3.0×). The dot itself STAYS the zip_with/
-    # aggregate HOF: an A/B of a 64-term unrolled getItem expression
-    # measured 2.2× SLOWER than the HOF for array-array dots (285.9 s
-    # same point) — the unroll win only holds when one side is literal
-    # (k-means centroids, LSH planes); division (not a tau·na·nb
-    # rearrangement) keeps zero-norm vectors excluded via NaN exactly
-    # like the unfactored cosine
-    labeled = labeled.withColumn("_nrm", norm(F.col(vec_col)))
-    a = labeled.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        F.col("_nrm").alias("_na"), "cell",
-    )
-    b = labeled.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        F.col("_nrm").alias("_nb"), "cell",
-    )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cos >= tau)
-        .select("id_a", "id_b")
+    # integer-exact quantized-cosine pair stage (see _cell_similar_pairs
+    # for the predicate, the two impls, and the overflow margins); tau
+    # quantizes to parts-per-thousand
+    pairs = _cell_similar_pairs(
+        labeled, int(round(tau * 1000)), id_col=id_col, vec_col=vec_col,
+        impl=pairs_impl,
     )
     comp = connected_components(pairs)
     scored = cells.select(id_col, F.col("dist").alias("score"), "cell")
@@ -946,6 +931,157 @@ def source_centroids(
         ).alias("msd_q2"),
         F.min("_d2").alias("min_d2"),
         F.max("_d2").alias("max_d2"),
+    )
+
+
+def _cell_similar_pairs(
+    labeled: DataFrame,
+    tau_ppk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "matmul",
+) -> DataFrame:
+    """Within-cell similar pairs under an INTEGER-EXACT quantized cosine
+    predicate — the pair stage of :func:`semantic_dedup`.
+
+    Predicate (identical in both impls and in the DuckDB oracle):
+    vectors quantize to centered micro-units ``q = floor(x·10⁶)`` (no
+    offset — cosine is direction, an offset would change it); with
+    ``dot = Σ qₐ·q_b``, ``na = Σ qₐ²``, ``nb = Σ q_b²`` a pair is kept
+    iff ``dot > 0 AND dot²·10⁶ ≥ tau_ppk²·na·nb`` — the algebraic form
+    of ``cos ≥ tau_ppk/1000`` with no division, no sqrt, and no float
+    anywhere, so every engine agrees bit-for-bit (the float-cosine HOF
+    formulation this replaces was exact only under identical fold
+    order). Zero vectors can never pair (``dot > 0`` fails).
+    Threshold resolution is 10⁻³ (ppk, not ppm): the DuckDB twin needs
+    ``dot²·scale ≤ int128`` and ppm would overflow at
+    ``(Σ64·(4·10⁶)²)²·10¹² ≈ 6.5·10⁴⁰ > 2¹²⁷``.
+
+    Overflow margins (d ≤ 64, |x| ≤ 4): ``|q| ≤ 4·10⁶``, per-element
+    product ≤ 1.6·10¹³, dot ≤ 1.0·10¹⁵ (int64-safe with margin);
+    ``dot²·10⁶ ≤ 1.1·10³⁶`` < int128/DECIMAL(38).
+
+    impls (equality pinned by a unit test):
+
+    * ``matmul`` (default): ``applyInPandas`` per cell — int64 numpy
+      Gram blocks (1024-row slabs, |cell|·8 KB each), a float64
+      prefilter with ±10⁻⁹ relative margin, and exact Python-int
+      arbitration ONLY for borderline pairs (float64 products of
+      ≤2⁵³-exact ints are wrong by ≤3·10⁻¹⁶ relative, so the margin is
+      conservative by 10⁶×). One cell = one task: AQE cannot split a
+      hot cell here, so the caller-scales-k contract carries the skew
+      story (SemDeDup cells are size-targeted by construction); callers
+      with pathological cells use ``impl="join"`` which AQE can split.
+    * ``join``: the cell-equi self-join with the SAME predicate as JVM
+      expressions — quantized arrays, one zip_with/aggregate dot, and
+      the comparison DECIMAL(38,0)-widened. Per-vector ``n2`` is
+      computed once per side before the join (the norm-hoist lesson).
+
+    Returns ``(id_a, id_b)`` with ``id_a < id_b``.
+    """
+    t2 = int(tau_ppk) * int(tau_ppk)
+    if impl == "join":
+        qcol = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(1e6)).cast("long"),
+        )
+        lab = labeled.select(
+            F.col(id_col), F.col("cell"), qcol.alias("_q")
+        ).withColumn(
+            "_n2",
+            F.aggregate(
+                F.zip_with("_q", "_q", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        a = lab.select(
+            F.col(id_col).alias("id_a"), F.col("_q").alias("_qa"),
+            F.col("_n2").alias("_na"), "cell",
+        )
+        b = lab.select(
+            F.col(id_col).alias("id_b"), F.col("_q").alias("_qb"),
+            F.col("_n2").alias("_nb"), "cell",
+        )
+        dt = F.aggregate(
+            F.zip_with("_qa", "_qb", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_dt", dt)
+            .filter(
+                (F.col("_dt") > 0)
+                & (
+                    F.col("_dt").cast("decimal(38,0)")
+                    * F.col("_dt")
+                    * F.lit(1_000_000)
+                    >= F.lit(t2).cast("decimal(38,0)")
+                    * F.col("_na")
+                    * F.col("_nb")
+                )
+            )
+            .select("id_a", "id_b")
+        )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"id_a": pd.array([], dtype="int64"),
+             "id_b": pd.array([], dtype="int64")}
+        )
+        if n < 2:
+            return empty
+        q = np.floor(
+            np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        n2 = (q * q).sum(axis=1)
+        n2f = n2.astype(np.float64)
+        t2f = float(t2)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, n, 1024):
+            blk = q[lo : lo + 1024]
+            rows = np.arange(lo, lo + blk.shape[0])
+            dt = blk @ q.T  # int64 exact (dot ≤ ~1e15 < 2^63)
+            tri = np.arange(n)[None, :] > rows[:, None]
+            lf = np.square(dt.astype(np.float64)) * 1e6
+            rf = t2f * (n2f[rows][:, None] * n2f[None, :])
+            cand = tri & (dt > 0) & (lf >= rf * (1.0 - 1e-9))
+            certain = cand & (lf >= rf * (1.0 + 1e-9))
+            border = cand & ~certain
+            bi, bj = np.nonzero(border)
+            if len(bi):
+                ok = np.fromiter(
+                    (
+                        int(dt[i, j]) ** 2 * 1_000_000
+                        >= t2 * int(n2[lo + i]) * int(n2[j])
+                        for i, j in zip(bi, bj)
+                    ),
+                    dtype=bool,
+                    count=len(bi),
+                )
+                certain = certain.copy()
+                certain[bi[ok], bj[ok]] = True
+            ki, kj = np.nonzero(certain)
+            if len(ki):
+                ia = ids[lo + ki]
+                ib = ids[kj]
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return labeled.select(F.col(id_col), F.col(vec_col), "cell").groupBy(
+        "cell"
+    ).applyInPandas(
+        lambda _key, pdf: fold(pdf), "id_a long, id_b long"
     )
 
 

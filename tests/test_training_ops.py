@@ -1405,6 +1405,65 @@ def test_semantic_dedup_prunes_within_cells_keeps_farthest(spark):
         assert len(cells) == 1
 
 
+def test_cell_pairs_matmul_equals_join_impl(spark):
+    """The per-cell numpy Gram pair stage and the cell-equi-join twin
+    implement the SAME integer predicate — identical pair sets on a
+    corpus with near-duplicates, orthogonals, negatives, and a zero
+    vector (which must never pair)."""
+    from poc_document_ocr_spark.operators.similarity import (
+        _cell_similar_pairs,
+    )
+
+    rows = []
+    for i in range(60):
+        base = [1.0, 0.5 * (i % 3), 0.25 * (i % 5), -1.0]
+        rows.append((i, i % 4, [c + 0.001 * (i % 7) for c in base]))
+    rows.append((100, 0, [0.0, 0.0, 0.0, 0.0]))  # zero vector
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<float>"
+    )
+    for tau_ppk in (350, 900, 990):
+        mm = {
+            (r["id_a"], r["id_b"])
+            for r in _cell_similar_pairs(df, tau_ppk, impl="matmul").collect()
+        }
+        jn = {
+            (r["id_a"], r["id_b"])
+            for r in _cell_similar_pairs(df, tau_ppk, impl="join").collect()
+        }
+        assert mm == jn, f"tau_ppk={tau_ppk}: {mm ^ jn}"
+        assert all(100 not in p for p in mm)  # zero vector never pairs
+        assert mm  # non-degenerate
+
+
+def test_cell_pairs_exact_threshold_boundary(spark):
+    """At tau_ppk=1000 (cos ≥ 1.000) only EXACTLY-parallel vectors pair
+    — the equality case lands on the integer boundary dot²·10⁶ ==
+    tau²·na·nb, which float cosine cannot decide reliably; both impls
+    must include it (≥, not >) and exercise the matmul impl's
+    borderline Python-int arbitration."""
+    from poc_document_ocr_spark.operators.similarity import (
+        _cell_similar_pairs,
+    )
+
+    # dyadic components → floor(x·10⁶) is exact; 1 ∥ 2 (scaled copy),
+    # 3 near-parallel but not parallel
+    rows = [
+        (1, 0, [1.0, 0.5, -0.25]),
+        (2, 0, [2.0, 1.0, -0.5]),
+        (3, 0, [1.0, 0.5, -0.250001]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    for impl in ("matmul", "join"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in _cell_similar_pairs(df, 1000, impl=impl).collect()
+        }
+        assert got == {(1, 2)}, f"{impl}: {got}"
+
+
 def test_apply_mixture_downsamples_only_overrepresented(spark):
     from poc_document_ocr_spark.operators.sampling import apply_mixture
 
