@@ -30,5 +30,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query."""
-    return dict(_ep.ORACLES)
+    """DuckDB-runnable ANSI SQL oracle per query (static map plus the
+    per-sf construction-literal oracles built at call time)."""
+    return _ep.oracles()

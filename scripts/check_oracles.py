@@ -63,6 +63,9 @@ def main() -> int:
         json_path = argv[1]
         argv = argv[2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    # construction-literal oracles (compress_ratio) are built per-sf at
+    # oracle_sql() call time; point them at the dir under test
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     only = set(argv[1:])
     spark = get_spark("check_oracles", cpus=8, shuffle_partitions=8)
     con = duckdb.connect()
