@@ -1464,6 +1464,134 @@ def test_cell_pairs_exact_threshold_boundary(spark):
         assert got == {(1, 2)}, f"{impl}: {got}"
 
 
+def test_cell_pairs_auto_routes_hot_cells_to_join(spark):
+    """The auto impl enforces the cell-size contract at runtime
+    (VERDICT r4 "what's wrong" #1): a planted hot cell above
+    ``matmul_max_cell`` routes to the AQE-splittable join branch while
+    small cells keep the matmul fold — output set-equal to both pure
+    impls, and the executed plan carries BOTH branch shapes unioned."""
+    from poc_document_ocr_spark.operators.similarity import (
+        _cell_similar_pairs,
+    )
+
+    # adversarial centroid collapse: 40 of 48 vectors share cell 0
+    rows = []
+    for i in range(40):
+        rows.append((i, 0, [1.0, 0.001 * i, -0.5, 0.25]))
+    for i in range(40, 48):
+        rows.append((i, 1 + i % 3, [0.5, 1.0, 0.125 * (i % 4), -1.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in _cell_similar_pairs(df, 900, impl="join").collect()
+    }
+    auto = _cell_similar_pairs(df, 900, impl="auto", matmul_max_cell=16)
+    got = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    assert got == want
+    assert got == {
+        (r["id_a"], r["id_b"])
+        for r in _cell_similar_pairs(df, 900, impl="matmul").collect()
+    }
+    plan = auto._sc._jvm.PythonSQLUtils.explainString(
+        auto._jdf.queryExecution(), "formatted"
+    )
+    # both branches present: the matmul fold (FlatMapGroupsInPandas)
+    # AND the cell-equi join, unioned; never a cartesian product
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Union" in plan
+    assert "Join" in plan or "SortMergeJoin" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cell_pairs_duplicate_ids_never_emit_degenerate_pair(spark):
+    """Duplicate vec_ids within a cell: the matmul fold must not emit a
+    degenerate (x, x) pair via min/max of identical ids — parity with
+    the join impl's strict id_a < id_b (ADVICE r4)."""
+    from poc_document_ocr_spark.operators.similarity import (
+        _cell_similar_pairs,
+    )
+
+    rows = [
+        (7, 0, [1.0, 0.5, -0.25]),
+        (7, 0, [1.0, 0.5, -0.25]),  # same id, near-identical vector
+        (9, 0, [1.0, 0.5, -0.2500001]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<double>"
+    )
+    for impl in ("matmul", "join"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in _cell_similar_pairs(df, 990, impl=impl).collect()
+        }
+        assert all(a != b for a, b in got), f"{impl}: {got}"
+        assert got == {(7, 9)}, f"{impl}: {got}"
+
+
+def test_similarity_impl_params_validated(spark):
+    """Unrecognized impl strings raise instead of silently selecting a
+    default path (ADVICE r4); tau finer than ppk resolution raises."""
+    import pytest as _pytest
+
+    from poc_document_ocr_spark.operators.similarity import (
+        _cell_similar_pairs,
+        emb_dim_profile,
+        semantic_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.5])], "vec_id long, cell int, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="unknown impl"):
+        _cell_similar_pairs(df, 900, impl="Join")
+    with _pytest.raises(ValueError, match="unknown impl"):
+        emb_dim_profile(df, impl="gram")
+    with _pytest.raises(ValueError, match="parts-per-thousand"):
+        semantic_dedup(df.drop("cell"), k=2, tau=0.3456)
+
+
+def test_semantic_dedup_size_targeted_default_k(spark):
+    """k=None sizes the cell count to the corpus (SemDeDup's constant-
+    cell-size construction) — floor of 4 cells on small inputs, and the
+    result still prunes the planted near-dup pair."""
+    from poc_document_ocr_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.5, -0.25, 0.0]),
+        (2, [1.0, 0.5, -0.25, 0.0]),  # exact dup of 1 → same cell always
+        (3, [-1.0, 0.5, 0.25, 1.0]),
+        (4, [0.0, -1.0, 1.0, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, tau=0.99).collect()}
+    assert len(out) == 4
+    comp = {out[1]["component"], out[2]["component"]}
+    assert len(comp) == 1  # 1 and 2 clustered
+    assert out[1]["cluster_size"] == 2
+    assert sum(1 for r in out.values() if not r["is_canon"]) == 1
+
+
+def test_dim_partials_preserve_group_type(spark):
+    """source_affinity/source_centroids over an INTEGER group column
+    return the original type, not a silent string coercion (ADVICE r4)."""
+    from poc_document_ocr_spark.operators.similarity import source_affinity
+
+    rows = []
+    for s in (10, 20):
+        for i in range(4):
+            rows.append((s * 100 + i, s, [float(s), 0.5 * i, -1.0]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    out = source_affinity(df, group_col="label")
+    types = dict(out.dtypes)
+    assert types["source_a"] == "int" and types["source_b"] == "int"
+    got = out.collect()
+    assert len(got) == 1 and got[0]["source_a"] == 10
+
+
 def test_apply_mixture_downsamples_only_overrepresented(spark):
     from poc_document_ocr_spark.operators.sampling import apply_mixture
 
