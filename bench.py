@@ -12,11 +12,25 @@ Workloads:
   contributions → forward-fill runs → per-field merge folds.
 * ``dedup_minhash`` / ``ann_topk`` / ``token_stats`` — training-data ops
   at the sf dir.
+* ``semantic_dedup`` — the round-4 flagship at 400k planted vectors
+  (k=128 cells, end-to-end SemDeDup with the planted-family correctness
+  assertion), promoted into the per-round suite (VERDICT r4 task #5).
+* ``curate_pipeline`` — the composed normalize→quality→dedup→mixture→
+  pack plan over the extracted bench corpus (1.88M docs at sf0.1),
+  promoted likewise.
 
-Methodology: one small warm-up pass compiles the plan shapes (whole-stage
-codegen + Python worker start are one-time costs that amortize at scale);
-timed runs then measure steady-state execution. The synthetic corpus is
-generated once per sf and cached as parquet under ``.bench_cache/``.
+Methodology (same-window by construction, VERDICT r4 task #4): one small
+warm-up pass compiles every timed plan shape (whole-stage codegen +
+Python worker start are one-time costs that amortize at scale); the
+timed measurement then runs the WHOLE suite as interleaved passes —
+every stage once per pass, per-stage medians taken across passes — so
+any two stages' numbers come from the same host windows and ratios
+between them (e.g. consolidate/extract) never mix measurement windows.
+The per-pass consolidate/extract ratio is reported directly. Hypervisor
+steal is sampled around every run; a pass member inside a contended
+window is flagged and extra passes run until every stage has a clean
+sample (bounded). The synthetic corpus is generated once per sf and
+cached as parquet under ``.bench_cache/``.
 """
 
 from __future__ import annotations
@@ -132,8 +146,63 @@ def main() -> None:
         },
     )
 
+    import poc_document_ocr_spark.entrypoints as ep
+    from poc_document_ocr_spark.operators.similarity import semantic_dedup
+    from scripts._bench_common import consume, docs_of
+
     turns = synth_transcripts(spark, sf)
     n_turns = turns.count()
+
+    # extracted bench corpus, materialized once (the production shape:
+    # extraction results land in storage before aggregation) — input to
+    # consolidate_folds and curate_pipeline
+    ex_path = os.path.join(_REPO, ".bench_cache", f"extracted_{sf}.parquet")
+    if not os.path.exists(os.path.join(ex_path, "_SUCCESS")):
+        extract_turns(turns).write.mode("overwrite").parquet(ex_path)
+    extracted = spark.read.parquet(ex_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    bench_docs = docs_of(extracted)
+    orig_docs_fn = ep._docs
+
+    def planted_vectors(copies: int):
+        # each base vector replicated copies× with a deterministic
+        # perturbation (the bench_r4_scale construction): near-identical
+        # within a family, geometry unchanged across families — 400k
+        # vectors at sf0.1 (2000 base × 200)
+        reps = spark.range(copies).select(F.col("id").alias("rep"))
+        return emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("rep") * n_emb).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + ((F.col("rep") * 37 + i) % 11).cast("float") * F.lit(1e-4),
+            ).alias("embedding"),
+        )
+
+    def run_semantic_dedup():
+        # SemDeDup end-to-end at 400k vectors, k=128 (cells ~3k rows —
+        # all under MATMUL_MAX_CELL, so the auto pair stage takes the
+        # Gram fold; the planted-family assertion pins correctness at
+        # bench scale every round)
+        out = semantic_dedup(planted_vectors(200), k=128, iters=1, tau=0.9)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_canon").cast("long")).alias("canon"),
+            F.countDistinct("component").alias("comps"),
+        ).collect()[0]
+        assert n_emb <= agg["comps"] <= n_emb + 100, f"planted dedup: {agg}"
+        assert agg["canon"] == agg["comps"], f"canon per cluster: {agg}"
+
+    def run_curate():
+        # the EXACT q_curate_pipeline path with _docs served from the
+        # extracted bench corpus (the bench_curate_clean convention)
+        ep._docs = lambda _s, _d: bench_docs
+        try:
+            consume(ep.QUERIES["curate_pipeline"](spark, "unused"))
+        finally:
+            ep._docs = orig_docs_fn
 
     # ---- warm-up: compile every timed plan shape on small slices ----------
     # (whole-stage-codegen compilation and Python-worker start are one-time
@@ -147,30 +216,105 @@ def main() -> None:
     consolidate_stage(extract_turns_compact(warm)).agg(
         F.count(F.lit(1))
     ).collect()
-    docs_warm = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    consolidate_stage(extracted.limit(2000)).agg(F.count(F.lit(1))).collect()
+    docs_warm = docs.limit(50)
     lsh_candidate_pairs(minhash_signatures(word_shingles(docs_warm))).count()
-    emb_warm = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    emb_warm = emb.limit(64)
     cosine_topk(emb_warm, emb_warm.filter(F.col("vec_id") < 2), k=5).count()
     token_stats(docs_warm).agg(F.count(F.lit(1))).collect()
+    semantic_dedup(planted_vectors(2), k=8, iters=1, tau=0.9).count()
+    small_docs = bench_docs.limit(5000).localCheckpoint()
+    ep._docs = lambda _s, _d: small_docs
+    try:
+        consume(ep.QUERIES["curate_pipeline"](spark, "unused"))
+    finally:
+        ep._docs = orig_docs_fn
 
-    timings: dict[str, float] = {}
+    # ---- timed: interleaved same-window passes ----------------------------
+    # METHODOLOGY: the whole suite runs as interleaved passes — every stage
+    # once per pass, in a fixed order — so per-stage medians are taken from
+    # the SAME host windows and cross-stage ratios never mix measurement
+    # windows (the round-4 2.23×-vs-1.50× footnote cannot recur by
+    # construction). Hypervisor steal is sampled around every run: a run
+    # whose window's steal share exceeds _STEAL_MAX is flagged (this host
+    # measures >20% steal spikes — BENCH.md); after the base passes, extra
+    # passes run until every stage has ≥1 clean sample (bounded at
+    # _MAX_PASSES), and a stage with no clean sample reports the median of
+    # all its runs, flagged in `contended_runs` so cross-round comparisons
+    # know the number is soft.
+    stages: list[tuple[str, object]] = [
+        # headline: per-turn extraction, shuffle-free — parallelism comes
+        # from input splits, the UDF runs under the scan's partitioning;
+        # compact mapInPandas is the measured-fastest Python boundary
+        (
+            "extract",
+            lambda: extract_turns_compact(turns)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.length("extracted_text")).alias("chars"),
+            )
+            .collect(),
+        ),
+        # full pipeline fold (includes the embedded extraction stage)
+        (
+            "consolidate",
+            lambda: consolidate_stage(extract_turns_compact(turns))
+            .agg(F.count(F.lit(1)))
+            .collect(),
+        ),
+        # folds only, from the materialized extracted table — isolates the
+        # fold pipeline from the pandas-UDF extraction cost
+        (
+            "consolidate_folds",
+            lambda: consolidate_stage(extracted)
+            .agg(F.count(F.lit(1)))
+            .collect(),
+        ),
+        (
+            "dedup_minhash",
+            lambda: lsh_candidate_pairs(
+                minhash_signatures(word_shingles(docs))
+            ).count(),
+        ),
+        (
+            "token_stats",
+            lambda: token_stats(docs).agg(F.count(F.lit(1))).collect(),
+        ),
+        (
+            "ann_topk",
+            lambda: cosine_topk(
+                emb, emb.filter(F.col("vec_id") < 8), k=10
+            ).count(),
+        ),
+        ("semantic_dedup", run_semantic_dedup),
+        ("curate_pipeline", run_curate),
+    ]
+    if os.environ.get("SPARK_GRAFT_BENCH_VARIANTS"):
+        # the struct-udf and salted-shuffle extraction variants are NOT in
+        # the per-round suite — their A/B numbers are recorded in BENCH.md
+        stages[1:1] = [
+            (
+                "extract_struct",
+                lambda: extract_turns(turns)
+                .agg(F.sum(F.length("extracted_text")))
+                .collect(),
+            ),
+            (
+                "extract_salted",
+                lambda: extract_turns(salted_repartition(turns))
+                .agg(F.sum(F.length("extracted_text")))
+                .collect(),
+            ),
+        ]
+
+    _BASE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    _MAX_PASSES = _BASE_PASSES + 2
+    runs: dict[str, list[tuple[float, bool]]] = {n: [] for n, _ in stages}
     contended: dict[str, int] = {}
-
-    def timed(name: str, fn, max_tries: int = 5) -> None:
-        # METHODOLOGY: median of 3 CLEAN timed runs after the warm-up pass
-        # above. The first full-size execution of a plan can pay a one-time
-        # JIT profile-recompile (and, after an idle gap, Python-worker
-        # respawn) — local-mode session artifacts, not workload cost; the
-        # median keeps one outlier from defining the number. Additionally,
-        # hypervisor steal is sampled around every run: a window whose steal
-        # share exceeds _STEAL_MAX is a noisy-neighbor window (this host
-        # measures >20% steal spikes — BENCH.md) and the run is discarded
-        # and re-tried, up to max_tries; if no clean window is found the
-        # median of ALL runs is reported and the query is flagged in
-        # `contended` so cross-round comparisons know the number is soft.
-        clean: list[float] = []
-        all_runs: list[float] = []
-        for _ in range(max_tries):
+    pass_ratios: list[float] = []
+    for pass_no in range(_MAX_PASSES):
+        pass_times: dict[str, float] = {}
+        for name, fn in stages:
             spark.catalog.clearCache()
             s0, j0 = _steal_sample()
             t0 = time.monotonic()
@@ -178,83 +322,32 @@ def main() -> None:
             dt = time.monotonic() - t0
             s1, j1 = _steal_sample()
             steal_share = (s1 - s0) / max(j1 - j0, 1)
-            all_runs.append(dt)
-            if steal_share <= _STEAL_MAX:
-                clean.append(dt)
-            else:
+            clean = steal_share <= _STEAL_MAX
+            runs[name].append((dt, clean))
+            if not clean:
                 contended[name] = contended.get(name, 0) + 1
-            if len(clean) >= 3:
-                break
-        sel = sorted(clean if clean else all_runs)
+            pass_times[name] = dt
+        # same-window ratio: both walls from THIS pass
+        pass_ratios.append(
+            round(pass_times["consolidate"] / pass_times["extract"], 3)
+        )
+        if pass_no + 1 >= _BASE_PASSES and all(
+            any(c for _, c in rs) for rs in runs.values()
+        ):
+            break
+
+    timings: dict[str, float] = {}
+    for name, _ in stages:
+        sel = sorted(d for d, c in runs[name] if c) or sorted(
+            d for d, _c in runs[name]
+        )
         timings[name] = round(sel[len(sel) // 2], 3)
-
-    # headline: per-turn extraction over the full corpus, shuffle-free —
-    # parallelism comes from input splits, the UDF runs under the scan's
-    # partitioning; compact mapInPandas (keys+text in, flat batch out) is
-    # the measured-fastest Python boundary (the 100 TB default path)
-    timed(
-        "extract",
-        lambda: extract_turns_compact(turns)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.length("extracted_text")).alias("chars"),
-        )
-        .collect(),
-    )
-    # (the struct-udf and salted-shuffle variants are NOT in the per-round
-    # suite — their A/B numbers are recorded in BENCH.md; re-time them with
-    # SPARK_GRAFT_BENCH_VARIANTS=1 when revisiting the comparison)
-    if os.environ.get("SPARK_GRAFT_BENCH_VARIANTS"):
-        timed(
-            "extract_struct",
-            lambda: extract_turns(turns)
-            .agg(F.sum(F.length("extracted_text")))
-            .collect(),
-        )
-        timed(
-            "extract_salted",
-            lambda: extract_turns(salted_repartition(turns))
-            .agg(F.sum(F.length("extracted_text")))
-            .collect(),
-        )
-    # full fold pipeline (includes the embedded extraction stage)
-    timed(
-        "consolidate",
-        lambda: consolidate_stage(extract_turns_compact(turns))
-        .agg(F.count(F.lit(1)))
-        .collect(),
-    )
-    # folds only, from a materialized extracted table (the production shape:
-    # extraction results land in storage before aggregation) — isolates the
-    # fold pipeline from the pandas-UDF extraction cost
-    ex_path = os.path.join(_REPO, ".bench_cache", f"extracted_{sf}.parquet")
-    if not os.path.exists(os.path.join(ex_path, "_SUCCESS")):
-        extract_turns(turns).write.mode("overwrite").parquet(ex_path)
-    extracted = spark.read.parquet(ex_path)
-    timed(
-        "consolidate_folds",
-        lambda: consolidate_stage(extracted).agg(F.count(F.lit(1))).collect(),
-    )
-
-    # training-data ops over the sf-dir tables
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed(
-        "dedup_minhash",
-        lambda: lsh_candidate_pairs(
-            minhash_signatures(word_shingles(docs))
-        ).count(),
-    )
-    timed("token_stats", lambda: token_stats(docs).agg(F.count(F.lit(1))).collect())
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    timed(
-        "ann_topk",
-        lambda: cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10).count(),
-    )
 
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline suite wall time (extraction + folds + dedup + "
-        "ann), steady-state after warm-up",
+        "ann + semantic_dedup@400k + curate_pipeline), interleaved "
+        "same-window passes, steady-state after warm-up",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -262,10 +355,13 @@ def main() -> None:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["extract"], 1),
         "cpus": cpus,
+        # per-pass consolidate/extract ratios — each computed inside one
+        # contiguous window, so the headline ratio needs no footnote
+        "consolidate_over_extract_per_pass": pass_ratios,
     }
     if contended:
-        # queries whose number includes noisy-neighbor windows (count of
-        # discarded contended runs) — soft numbers, see BENCH.md
+        # stages with runs inside noisy-neighbor windows (count of flagged
+        # runs) — a stage listed here AND lacking any clean run is soft
         out["contended_runs"] = contended
     print(json.dumps(out))
 
