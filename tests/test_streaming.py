@@ -471,3 +471,117 @@ def test_consolidate_sink_reingest_under_new_run_id_does_not_double_count(
     expect = consolidate_stage(batch)
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_streaming_state_plateau_soak(spark):
+    """Continuous-trigger soak (VERDICT r4 task #7): the state-store
+    boundedness claims, previously proven only by construction, measured
+    on a live processing-time run over the rate source.
+
+    * ``streaming_dedup_keys`` with UNIQUE keys (value is monotonic, so
+      without eviction state grows linearly with input forever): state
+      must EVICT with the watermark — final state ≪ total input — and
+      PLATEAU (late-run state stops growing); a 4× larger watermark
+      horizon must hold proportionally more state (eviction is actually
+      tied to the horizon, not an artifact).
+    * ``streaming_sessionize`` with recycling users: state is per-ACTIVE-
+      USER, not per-event — numRowsTotal pinned to the user cardinality
+      while thousands of events flow through.
+
+    Gated by SPARK_GRAFT_SKIP_SOAK=1 for quick local iterations; runs in
+    the default suite (~2.5 min).
+    """
+    import time
+
+    import pytest as _pytest
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SOAK"):
+        _pytest.skip("SPARK_GRAFT_SKIP_SOAK set")
+
+    from poc_document_ocr_spark.streaming.windows import (
+        streaming_dedup_keys,
+        streaming_sessionize,
+    )
+
+    import tempfile
+
+    def soak(out_df, dur_s):
+        ckpt = tempfile.mkdtemp(prefix="soak_ckpt_")
+        q = (
+            out_df.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        samples = []  # (elapsed_s, state_rows) per *new* batch
+        seen = set()
+        t0 = time.time()
+        try:
+            while time.time() - t0 < dur_s:
+                time.sleep(2)
+                p = q.lastProgress
+                if not p or not p.get("stateOperators"):
+                    continue
+                if p["batchId"] in seen:
+                    continue
+                seen.add(p["batchId"])
+                samples.append(
+                    (time.time() - t0,
+                     p["stateOperators"][0]["numRowsTotal"])
+                )
+            total_in = sum(
+                pr["numInputRows"]
+                for pr in q.recentProgress
+                if pr.get("numInputRows")
+            )
+        finally:
+            q.stop()
+        return samples, total_in
+
+    def rate(rps):
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rps)
+            .load()
+        )
+
+    def dedup_run(horizon_s, dur_s):
+        ev = rate(200).select(
+            F.col("timestamp").alias("ts"),
+            F.col("value").alias("user_id"),  # unique forever
+            F.concat(F.lit("e"), F.col("value") % 5).alias("event_type"),
+        )
+        out = streaming_dedup_keys(
+            ev, keys=("user_id", "event_type"),
+            watermark=f"{horizon_s} seconds",
+        )
+        return soak(out, dur_s)
+
+    # --- dedup, short horizon --------------------------------------------
+    s_small, in_small = dedup_run(horizon_s=5, dur_s=40)
+    assert len(s_small) >= 5, s_small
+    final_small = s_small[-1][1]
+    # eviction happened: unique keys, so no-eviction state == total input
+    assert final_small < 0.7 * in_small, (final_small, in_small)
+    # plateau: past the ramp (first 60% of wall), state stops growing
+    late = [v for t, v in s_small if t > 0.6 * s_small[-1][0]]
+    mid = [v for t, v in s_small if 0.3 * s_small[-1][0] < t <= 0.6 * s_small[-1][0]]
+    assert late and mid
+    assert max(late) <= 1.5 * max(mid), (max(late), max(mid))
+
+    # --- dedup, 4x horizon: proportionally more state, still bounded ------
+    s_big, in_big = dedup_run(horizon_s=20, dur_s=90)
+    final_big = s_big[-1][1]
+    assert final_big < 0.7 * in_big, (final_big, in_big)
+    assert final_small < 0.7 * final_big, (final_small, final_big)
+
+    # --- sessions: state rows pinned to ACTIVE USERS, not events ----------
+    ev = rate(200).select(
+        (F.col("value") % 17).alias("user_id"),
+        F.col("timestamp").alias("ts"),
+    )
+    s_sess, in_sess = soak(streaming_sessionize(ev, gap_minutes=30), 25)
+    assert s_sess and in_sess > 1000, (s_sess, in_sess)
+    assert max(v for _, v in s_sess) <= 17, s_sess
+    assert s_sess[-1][1] == 17, s_sess
