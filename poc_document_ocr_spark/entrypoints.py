@@ -16,6 +16,27 @@ independently in portable SQL on the oracle side.
 All aliases are lowercase in both engines (the driver hash sorts columns by
 name). No floating-point sums cross engines — only min/max/count and
 division of identical integers/parsed literals (IEEE-identical).
+
+Cross-engine dialect hazards — a checklist for new query authors, from the
+three bugs actually hit in round 4 (VERDICT r4 task #9):
+
+1. **Quantize thresholds so the widest intermediate fits int128.** DuckDB's
+   HUGEINT caps at 2¹²⁷; a ppm-quantized squared-cosine predicate overflows
+   at ``(Σ64·(4·10⁶)²)²·10¹² ≈ 6.5·10⁴⁰``. Work the bound BEFORE picking the
+   resolution (the similarity predicate uses ppk — ``dot²·10⁶ ≤ 1.1·10³⁶``
+   — and documents the margin). Spark DECIMAL(38,0) has the same ceiling.
+2. **Only sqrt is IEEE-exact among float math.** Cross-engine float may
+   agree for ``sqrt`` of an identical double (correctly-rounded in both),
+   but NOT for ``pow``/``ln``/``exp`` or any accumulation order the engines
+   sequence differently. The HLL alpha constant is therefore expressed as a
+   rational plus sqrt-only arithmetic; never let a transcendental or a
+   float SUM cross the engine boundary.
+3. **Count characters with translate()-style deletion, not regex.** Two
+   char-class regex passes over the same text in one task measured ≈25×
+   slower than ``translate`` deletion + length difference, and regex
+   class semantics differ subtly between engines (POSIX classes vs Java);
+   ``translate`` has identical literal semantics in both. The same applies
+   to counting: ``length(x) - length(translate(x, chars, ''))``.
 """
 
 from __future__ import annotations
