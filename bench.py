@@ -204,6 +204,17 @@ def main() -> None:
         finally:
             ep._docs = orig_docs_fn
 
+    # SPARK_GRAFT_BENCH_STAGES subsets the suite (comma-separated names) —
+    # the scaling harness uses it to keep the N-vs-4N pair on the core six
+    # stages, semantics-identical to earlier rounds' pairs
+    _only = os.environ.get("SPARK_GRAFT_BENCH_STAGES")
+    _want = (
+        {s.strip() for s in _only.split(",") if s.strip()} if _only else None
+    )
+
+    def _wanted(name: str) -> bool:
+        return _want is None or name in _want
+
     # ---- warm-up: compile every timed plan shape on small slices ----------
     # (whole-stage-codegen compilation and Python-worker start are one-time
     # session costs; at 100 TB they are invisible, at bench scale they are
@@ -222,13 +233,15 @@ def main() -> None:
     emb_warm = emb.limit(64)
     cosine_topk(emb_warm, emb_warm.filter(F.col("vec_id") < 2), k=5).count()
     token_stats(docs_warm).agg(F.count(F.lit(1))).collect()
-    semantic_dedup(planted_vectors(2), k=8, iters=1, tau=0.9).count()
-    small_docs = bench_docs.limit(5000).localCheckpoint()
-    ep._docs = lambda _s, _d: small_docs
-    try:
-        consume(ep.QUERIES["curate_pipeline"](spark, "unused"))
-    finally:
-        ep._docs = orig_docs_fn
+    if _wanted("semantic_dedup"):
+        semantic_dedup(planted_vectors(2), k=8, iters=1, tau=0.9).count()
+    if _wanted("curate_pipeline"):
+        small_docs = bench_docs.limit(5000).localCheckpoint()
+        ep._docs = lambda _s, _d: small_docs
+        try:
+            consume(ep.QUERIES["curate_pipeline"](spark, "unused"))
+        finally:
+            ep._docs = orig_docs_fn
 
     # ---- timed: interleaved same-window passes ----------------------------
     # METHODOLOGY: the whole suite runs as interleaved passes — every stage
@@ -307,6 +320,8 @@ def main() -> None:
             ),
         ]
 
+    stages = [(n, f) for n, f in stages if _wanted(n)]
+
     _BASE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     _MAX_PASSES = _BASE_PASSES + 2
     runs: dict[str, list[tuple[float, bool]]] = {n: [] for n, _ in stages}
@@ -328,9 +343,10 @@ def main() -> None:
                 contended[name] = contended.get(name, 0) + 1
             pass_times[name] = dt
         # same-window ratio: both walls from THIS pass
-        pass_ratios.append(
-            round(pass_times["consolidate"] / pass_times["extract"], 3)
-        )
+        if "consolidate" in pass_times and "extract" in pass_times:
+            pass_ratios.append(
+                round(pass_times["consolidate"] / pass_times["extract"], 3)
+            )
         if pass_no + 1 >= _BASE_PASSES and all(
             any(c for _, c in rs) for rs in runs.values()
         ):
@@ -344,9 +360,14 @@ def main() -> None:
         timings[name] = round(sel[len(sel) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    suite_desc = (
+        "extraction + folds + dedup + ann + semantic_dedup@400k + "
+        "curate_pipeline"
+        if _want is None
+        else "stages: " + ",".join(n for n, _ in stages)
+    )
     out = {
-        "metric": "headline suite wall time (extraction + folds + dedup + "
-        "ann + semantic_dedup@400k + curate_pipeline), interleaved "
+        "metric": f"headline suite wall time ({suite_desc}), interleaved "
         "same-window passes, steady-state after warm-up",
         "value": total,
         "unit": "sec",
