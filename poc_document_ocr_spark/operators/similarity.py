@@ -490,6 +490,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pairs_impl: str = "auto",
+    matmul_max_cell: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate pruning end-to-end — the SemDeDup
     shape (Abbas et al. 2303.09540): cluster the corpus into k-means
@@ -554,9 +555,13 @@ def semantic_dedup(
     # output is id-grain so this is a plain equi join on the id
     labeled = emb.select(id_col, vec_col).join(cells, id_col)
     # integer-exact quantized-cosine pair stage (see _cell_similar_pairs
-    # for the predicate, the impls, and the overflow margins)
+    # for the predicate, the impls, and the overflow margins);
+    # matmul_max_cell=None takes the module default cap
     pairs = _cell_similar_pairs(
         labeled, tau_ppk, id_col=id_col, vec_col=vec_col, impl=pairs_impl,
+        matmul_max_cell=(
+            MATMUL_MAX_CELL if matmul_max_cell is None else matmul_max_cell
+        ),
     )
     comp = connected_components(pairs)
     scored = cells.select(id_col, F.col("dist").alias("score"), "cell")

@@ -1505,6 +1505,40 @@ def test_cell_pairs_auto_routes_hot_cells_to_join(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_semantic_dedup_auto_equals_forced_impls_under_skew(spark):
+    """End-to-end: semantic_dedup over a corpus whose k-means clustering
+    collapses (many near-identical vectors → one hot cell) returns
+    identical (component, canon) output under pairs_impl auto / matmul /
+    join — the routed union composes with connected components and the
+    keep-farthest policy exactly like either pure branch."""
+    from poc_document_ocr_spark.operators import similarity as sim
+
+    rows = []
+    for i in range(60):  # one dense family → one hot cell under k=2
+        rows.append((i, [1.0, 0.5, -0.25, 0.0001 * i]))
+    for i in range(60, 70):
+        rows.append((i, [-1.0, 1.0, 0.5 * (i % 3), 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # force the auto split to exercise BOTH branches: a 16-row cell cap
+    # routes the ~60-row hot cell to join while small cells stay matmul
+    outs = {}
+    for impl in ("auto", "matmul", "join"):
+        res = sim.semantic_dedup(
+            df, k=2, iters=2, tau=0.98, pairs_impl=impl,
+            matmul_max_cell=16 if impl == "auto" else None,
+        )
+        outs[impl] = {
+            (r["vec_id"], r["component"], r["canon_id"], r["is_canon"])
+            for r in res.collect()
+        }
+    assert outs["auto"] == outs["matmul"] == outs["join"]
+    assert len(outs["auto"]) == 70
+    # the dense family actually clustered (the test is not vacuous)
+    comps = {c for _, c, _, _ in outs["auto"]}
+    assert len(comps) < 70
+
+
 def test_cell_pairs_duplicate_ids_never_emit_degenerate_pair(spark):
     """Duplicate vec_ids within a cell: the matmul fold must not emit a
     degenerate (x, x) pair via min/max of identical ids — parity with
