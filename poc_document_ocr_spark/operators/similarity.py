@@ -1027,12 +1027,13 @@ def _cell_similar_pairs(
 
     impls (equality pinned by a unit test):
 
-    * ``matmul``: ``applyInPandas`` per cell — int64 numpy Gram blocks
-      (1024-row slabs, |cell|·8 KB each), a float64 prefilter with
-      ±10⁻⁹ relative margin, and exact Python-int arbitration ONLY for
-      borderline pairs (float64 products of ≤2⁵³-exact ints are wrong
-      by ≤3·10⁻¹⁶ relative, so the margin is conservative by 10⁶×).
-      One cell = one task: AQE cannot split a hot cell here.
+    * ``matmul``: ``applyInPandas`` per cell — blocked float64 BLAS Gram
+      products (1024-row slabs; 4× the no-BLAS int64 matmul) under a
+      provably-safe dynamic margin, with exact Python-int arbitration
+      ONLY for borderline pairs (see :func:`_gram_pair_positions` for
+      the Cauchy–Schwarz error bound and the sign-safety proof — the
+      result is exactly the integer predicate). One cell = one task:
+      AQE cannot split a hot cell here.
     * ``join``: the cell-equi self-join with the SAME predicate as JVM
       expressions — quantized arrays, one zip_with/aggregate dot, and
       the comparison DECIMAL(38,0)-widened. Per-vector ``n2`` is
@@ -1174,36 +1175,67 @@ def _gram_pair_positions(q, t2: int):
     under the integer-exact predicate — the shared kernel of the matmul
     pair fold and the contracted component-edge fold.
 
-    Blocked int64 Gram products (1024-row slabs), a float64 prefilter
-    with ±10⁻⁹ relative margin, and exact Python-int arbitration ONLY for
-    borderline pairs (see :func:`_cell_similar_pairs` for the margins).
+    Blocked float64 BLAS Gram products (1024-row slabs; measured 4× the
+    int64 numpy matmul, which has no BLAS path), a margined prefilter,
+    and exact Python-int arbitration for borderline pairs. The result is
+    still EXACTLY the integer predicate — the float stage only ever
+    classifies pairs provably far from the threshold:
+
+    * float dot error (Cauchy–Schwarz): ``|dtf − dot| ≤ d·ε·Σ|qᵃqᵇ| ≤
+      d·ε·√(na·nb)`` with ε = 2⁻⁵², so the error of ``lf = dtf²·10⁶``
+      RELATIVE TO ``rf = t2·na·nb`` is ≤ ``2d·ε·10⁶/t2`` — the margin is
+      set to 4× that bound (floor 10⁻⁹, the old exact-int-dt margin);
+      pairs inside the band go to exact arbitration, everything outside
+      is provably classified.
+    * sign safety needs no extra check: a sign-flipped pair (``dtf>0``,
+      true ``dot ≤ 0``) has ``|dot| < d·ε·√(na·nb)``, hence ``lf <
+      (d·ε)²·na·nb·10⁶ ≪ rf·(1−margin)`` for any ``t2 ≥ 1`` — it can
+      never enter the candidate band. The exact arbitration nevertheless
+      re-checks ``dot > 0`` with integer dots (belt and braces).
+
     Returns two equal-length index arrays ``(gi, gj)`` with ``gi < gj``
     positionally; the caller maps positions to ids and applies any
     duplicate-id masking.
     """
-    n = q.shape[0]
-    n2 = (q * q).sum(axis=1)
+    n, d = q.shape
+    n2 = (q * q).sum(axis=1)  # int64 exact (≤ d·(4·10⁶)² ≈ 10¹⁵)
     n2f = n2.astype(np.float64)
+    qf = q.astype(np.float64)  # ≤ 4·10⁶ ≪ 2⁵³: exact widen
     t2f = float(t2)
+    # the sign-safety argument above needs t2 ≥ 1 (any real tau does);
+    # a degenerate t2=0 (tau=0: keep every dot>0 pair) arbitrates every
+    # candidate exactly instead — margin=inf forces the border path
+    margin = (
+        max(1e-9, 4.0 * d * 2.220446049250313e-16 * 1e6 / t2f)
+        if t2 >= 1
+        else float("inf")
+    )
     out_i: list[np.ndarray] = []
     out_j: list[np.ndarray] = []
     for lo in range(0, n, 1024):
-        blk = q[lo : lo + 1024]
-        rows = np.arange(lo, lo + blk.shape[0])
-        dt = blk @ q.T  # int64 exact (dot ≤ ~1e15 < 2^63)
+        rows = np.arange(lo, min(lo + 1024, n))
+        dtf = qf[lo : lo + 1024] @ qf.T  # BLAS; error bounded above
         tri = np.arange(n)[None, :] > rows[:, None]
-        lf = np.square(dt.astype(np.float64)) * 1e6
+        lf = np.square(dtf) * 1e6
         rf = t2f * (n2f[rows][:, None] * n2f[None, :])
-        cand = tri & (dt > 0) & (lf >= rf * (1.0 - 1e-9))
-        certain = cand & (lf >= rf * (1.0 + 1e-9))
+        if t2 >= 1:
+            cand = tri & (dtf > 0) & (lf >= rf * (1.0 - margin))
+            certain = cand & (lf >= rf * (1.0 + margin))
+        else:
+            # degenerate t2=0: the float sign alone is not protected by
+            # the rf argument — arbitrate every upper-tri pair exactly
+            cand = tri
+            certain = np.zeros_like(tri)
         border = cand & ~certain
         bi, bj = np.nonzero(border)
         if len(bi):
+            ed = (q[lo + bi] * q[bj]).sum(axis=1)  # exact int64 dots
             ok = np.fromiter(
                 (
-                    int(dt[i, j]) ** 2 * 1_000_000
-                    >= t2 * int(n2[lo + i]) * int(n2[j])
-                    for i, j in zip(bi, bj)
+                    int(ed[k]) > 0
+                    and int(ed[k]) ** 2 * 1_000_000
+                    >= t2 * int(n2[lo + bi[k]]) * int(n2[bj[k]])
+                    for k in range(len(bi))
                 ),
                 dtype=bool,
                 count=len(bi),
