@@ -35,6 +35,10 @@ _GUTTER_SUPPORT = 0.8
 #: Standalone page-number / header-footer line patterns.
 _PAGENO_RE = re.compile(r"^\s*(?:page\s+\d+(?:\s+of\s+\d+)?|-?\s*\d+\s*-?)\s*$", re.I)
 
+#: A candidate gutter: a run of >= _MIN_GUTTER spaces (precompiled — this
+#: runs per line in the extraction hot loop).
+_GUTTER_RUN_RE = re.compile(r" {%d,}" % _MIN_GUTTER)
+
 
 @dataclass
 class LayoutExtraction:
@@ -104,7 +108,7 @@ def _find_gutter(lines: list[_Line]) -> tuple[int, int] | None:
     support = [0] * width
     for ln in nonblank:
         t = ln.text
-        for m in re.finditer(r" {%d,}" % _MIN_GUTTER, t):
+        for m in _GUTTER_RUN_RE.finditer(t):
             a, b = m.span()
             # interior gutters only: text on both sides of the space run
             if not t[:a].strip() or not t[b:].strip():
@@ -149,17 +153,12 @@ def extract_layout(text: str) -> LayoutExtraction:
         spans.append((s, s + len(stripped)))
 
     for page in pages:
-        body = [
-            ln
-            for ln in page
-            if not (
-                ln.text.strip()
-                and (
-                    ln.text.strip() in skip_texts
-                    or _PAGENO_RE.match(ln.text)
-                )
-            )
-        ]
+        body = []
+        for ln in page:
+            st = ln.text.strip()
+            if st and (st in skip_texts or _PAGENO_RE.match(ln.text)):
+                continue
+            body.append(ln)
         gutter = _find_gutter(body)
         if gutter is not None:
             any_two_col = True
@@ -170,7 +169,7 @@ def extract_layout(text: str) -> LayoutExtraction:
             splits: list[tuple[_Line, int, int]] = []
             for ln in body:
                 cut = (gs, ge)
-                for m in re.finditer(r" {%d,}" % _MIN_GUTTER, ln.text):
+                for m in _GUTTER_RUN_RE.finditer(ln.text):
                     if m.start() < ge and m.end() > gs:
                         cut = m.span()
                         break
