@@ -51,6 +51,7 @@ from poc_document_ocr_spark.operators.dedup import (
 )
 from poc_document_ocr_spark.operators.extraction import (
     extract_turns,
+    extract_turns_arrow,
     extract_turns_compact,
     salted_repartition,
 )
@@ -220,11 +221,12 @@ def main() -> None:
     # session costs; at 100 TB they are invisible, at bench scale they are
     # not — timed runs below measure steady-state execution)
     warm = turns.filter(F.crc32(F.col("conv_id")) % 337 == 0)
+    extract_turns_arrow(warm).agg(F.count(F.lit(1))).collect()
     extract_turns_compact(warm).agg(F.count(F.lit(1))).collect()
     if os.environ.get("SPARK_GRAFT_BENCH_VARIANTS"):
         extract_turns(warm).agg(F.count(F.lit(1))).collect()
         extract_turns(salted_repartition(warm)).agg(F.count(F.lit(1))).collect()
-    consolidate_stage(extract_turns_compact(warm)).agg(
+    consolidate_stage(extract_turns_arrow(warm)).agg(
         F.count(F.lit(1))
     ).collect()
     consolidate_stage(extracted.limit(2000)).agg(F.count(F.lit(1))).collect()
@@ -258,10 +260,12 @@ def main() -> None:
     stages: list[tuple[str, object]] = [
         # headline: per-turn extraction, shuffle-free — parallelism comes
         # from input splits, the UDF runs under the scan's partitioning;
-        # compact mapInPandas is the measured-fastest Python boundary
+        # mapInArrow is the measured-fastest Python boundary (flattened
+        # span ListArray assembly; ~6-10% over compact mapInPandas after
+        # the fast-scanner cut shrank the parse share — BENCH.md)
         (
             "extract",
-            lambda: extract_turns_compact(turns)
+            lambda: extract_turns_arrow(turns)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.length("extracted_text")).alias("chars"),
@@ -271,7 +275,7 @@ def main() -> None:
         # full pipeline fold (includes the embedded extraction stage)
         (
             "consolidate",
-            lambda: consolidate_stage(extract_turns_compact(turns))
+            lambda: consolidate_stage(extract_turns_arrow(turns))
             .agg(F.count(F.lit(1)))
             .collect(),
         ),

@@ -314,14 +314,25 @@ def extract_turns_arrow(
             rows = [_dispatch.extract_safe(t, fn) for t in texts]
             arrays = [rb.column(rb.schema.get_field_index(k)) for k in keys]
             arrays.append(pa.array([r[0] for r in rows], pa.string()))
+            # spans as flattened offsets + two int32 child arrays — no
+            # per-span dict allocation, one ListArray assembly per batch
+            offsets = [0]
+            starts: list[int] = []
+            ends: list[int] = []
+            total = 0
+            for r in rows:
+                sp = r[1]
+                total += len(sp)
+                offsets.append(total)
+                for s, e in sp:
+                    starts.append(s)
+                    ends.append(e)
+            struct = pa.StructArray.from_arrays(
+                [pa.array(starts, pa.int32()), pa.array(ends, pa.int32())],
+                ["start", "end"],
+            )
             arrays.append(
-                pa.array(
-                    [
-                        [{"start": s, "end": e} for (s, e) in r[1]]
-                        for r in rows
-                    ],
-                    span_t,
-                )
+                pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
             )
             arrays.append(pa.array([r[2] for r in rows], pa.string()))
             arrays.append(pa.array([r[3] for r in rows], pa.string()))
