@@ -88,15 +88,23 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     mode = sys.argv[2] if len(sys.argv) > 2 else "cluster"
     if mode == "cluster":
-        # N → 4N executors at 4 cores each: both points leave the 32-core
-        # box headroom, so the ratio measures the ENGINE's scaling rather
-        # than full-box memory-bandwidth saturation (the 1×8→4×8 full-box
-        # pair is reported separately in BENCH.md with the saturation
-        # evidence)
-        lo = {"sf_dir": sf_dir, "cpus": 4, "executors": (1, 4)}
-        hi = {"sf_dir": sf_dir, "cpus": 16, "executors": (4, 4)}
-        label_lo, label_hi = "local-cluster[1,4] (4 cores)", \
-            "local-cluster[4,4] (16 cores)"
+        # N → 4N executors, same cores per executor: both points must leave
+        # the 32-core box headroom so the ratio measures the ENGINE's
+        # scaling rather than the box's shared memory-bandwidth ceiling.
+        # The ceiling moved twice as per-core extraction got faster (rounds
+        # 1-4 used 1×8→4×8, then 1×4→4×4; the final-session fast scanner +
+        # Arrow boundary pushed per-core throughput high enough that 16
+        # active cores already saturate — BENCH.md records the ladder), so
+        # the shape is now an argument:
+        #   python scripts/bench_scaling.py [sf_dir] cluster [lo_execs
+        #   lo_cores hi_execs hi_cores]   (default 1 2 4 2)
+        le, lc, he, hc = (
+            [int(x) for x in sys.argv[3:7]] if len(sys.argv) > 6 else (1, 2, 4, 2)
+        )
+        lo = {"sf_dir": sf_dir, "cpus": le * lc, "executors": (le, lc)}
+        hi = {"sf_dir": sf_dir, "cpus": he * hc, "executors": (he, hc)}
+        label_lo = f"local-cluster[{le},{lc}] ({le * lc} cores)"
+        label_hi = f"local-cluster[{he},{hc}] ({he * hc} cores)"
     else:
         lo_n = int(sys.argv[3]) if len(sys.argv) > 3 else 8
         hi_n = int(sys.argv[4]) if len(sys.argv) > 4 else 32
