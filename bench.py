@@ -378,7 +378,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_turns": n_turns,
-        "turns_per_sec": round(n_turns / timings["extract"], 1),
+        "turns_per_sec": (
+            round(n_turns / timings["extract"], 1)
+            if "extract" in timings
+            else None
+        ),
         "cpus": cpus,
         # per-pass consolidate/extract ratios — each computed inside one
         # contiguous window, so the headline ratio needs no footnote
