@@ -1826,6 +1826,17 @@ def number_support(
 #: bytes a text corpus should never carry; shared verbatim with the DuckDB
 #: oracle (RE2 and java.util.regex both read \xNN ranges identically)
 CTRL_CHAR_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+#: the same fixed set as a translate() deletion string (see _CTRL_CHARS:
+#: a fixed character class with empty replacement is a character map, and
+#: the translate form avoids stacking a second regex pattern per task)
+CTRL_CHAR_SET = "".join(
+    chr(c) for c in [*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20)]
+)
+#: fixed-set translate strings for the script-mix per-script counters
+_LATIN_SET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+_CYRILLIC_SET = "".join(chr(c) for c in range(0x0400, 0x0500))
 
 #: UTF-8-decoded-as-Latin-1 artifact markers: U+00C3 leads every two-byte
 #: sequence mangled that way (the garbled-accent family), U+00E2 leads the
@@ -1865,8 +1876,11 @@ def encoding_screen(df: DataFrame, id_col: str = "doc_id",
         )
 
     n_repl = _count("�")
+    # translate() deletion of the fixed control set — value-identical to
+    # regexp_replace(text, CTRL_CHAR_RE, '') (the oracle keeps the regex
+    # form) without stacking a second regex pattern in the screen's task
     n_ctrl = (
-        n_chars - F.length(F.regexp_replace(text, CTRL_CHAR_RE, ""))
+        n_chars - F.length(F.translate(text, CTRL_CHAR_SET, ""))
     ).cast("long")
     n_moji = (_count(MOJIBAKE_MARKERS[0])
               + _count(MOJIBAKE_MARKERS[1])).cast("long")
@@ -2123,11 +2137,15 @@ def script_mix(df: DataFrame, id_col: str = "doc_id",
     text = F.col(text_col)
     n_chars = F.length(text).cast("long")
     n_words = F.size(F.split(text, " ")).cast("long")
+    # fixed-class counts as translate() deletions (value-identical to the
+    # [A-Za-z] / [Ѐ-ӿ] regex removals the DuckDB oracle replays; the
+    # per-word rlike probes below keep the regex engine — those are
+    # genuine pattern tests, not character maps)
     n_lat = (
-        n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+        n_chars - F.length(F.translate(text, _LATIN_SET, ""))
     ).cast("long")
     n_cyr = (
-        n_chars - F.length(F.regexp_replace(text, "[Ѐ-ӿ]", ""))
+        n_chars - F.length(F.translate(text, _CYRILLIC_SET, ""))
     ).cast("long")
     n_mixed = F.expr(
         f"CAST(size(filter(split({text_col}, ' '),"
