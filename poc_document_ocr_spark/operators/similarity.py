@@ -569,16 +569,43 @@ def semantic_dedup(
     # "matmul"/"join" keeps the full pair list end to end.
     cap = MATMUL_MAX_CELL if matmul_max_cell is None else matmul_max_cell
     if pairs_impl == "auto":
-        pairs = _cell_component_edges(
+        star, hot = _cell_component_edges_split(
             labeled, tau_ppk, id_col=id_col, vec_col=vec_col,
             matmul_max_cell=cap,
         )
+        # The star edges are FINAL per-component summaries (root = min id
+        # in its component; a root never appears as a member, members are
+        # unique — see _cell_component_edges), so for them the component
+        # labeling is a projection, not a fixpoint. The iterative
+        # connected_components pass only needs to run over hot-cell full
+        # pairs — and hot cells are empty in the common case (the probe
+        # is one limit(1) action against the lazily-checkpointed routed
+        # frame). Components never span cells, so the union is exact.
+        comp_star = (
+            star.select(
+                F.col("id_a").alias("node"), F.col("id_a").alias("component")
+            )
+            .distinct()
+            .unionByName(
+                star.select(
+                    F.col("id_b").alias("node"),
+                    F.col("id_a").alias("component"),
+                )
+            )
+        )
+        if hot.limit(1).count() == 0:
+            comp = comp_star
+        else:
+            hot_pairs = _cell_similar_pairs(
+                hot, tau_ppk, id_col=id_col, vec_col=vec_col, impl="join"
+            )
+            comp = comp_star.unionByName(connected_components(hot_pairs))
     else:
         pairs = _cell_similar_pairs(
             labeled, tau_ppk, id_col=id_col, vec_col=vec_col,
             impl=pairs_impl, matmul_max_cell=cap,
         )
-    comp = connected_components(pairs)
+        comp = connected_components(pairs)
     scored = cells.select(id_col, F.col("dist").alias("score"), "cell")
     canon = canonical_docs(
         scored.drop("cell"), comp, id_col=id_col, score_col="score"
@@ -1252,41 +1279,10 @@ def _gram_pair_positions(q, t2: int):
     return np.concatenate(out_i), np.concatenate(out_j)
 
 
-def _cell_component_edges(
-    labeled: DataFrame,
-    tau_ppk: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    matmul_max_cell: int = MATMUL_MAX_CELL,
-) -> DataFrame:
-    """Cell-locally CONTRACTED edge set for component finding — the
-    component-equivalent of :func:`_cell_similar_pairs` that emits, per
-    cell-local connected component of the similar-pair graph, STAR edges
-    ``(root, member)`` with ``root`` = min id in the component, instead
-    of the full near-clique pair list.
-
-    Why this is sound: pairs are generated strictly within k-means
-    cells and every vector lives in exactly one cell, so the GLOBAL
-    component structure is the disjoint union of the per-cell local
-    structures — a test pins that components never span cells. Each
-    cell's components can therefore be finalized inside the Arrow fold
-    (vectorized min-label propagation over the position-pair arrays)
-    and summarized as |members| star edges. ``connected_components``
-    over the star edges yields byte-identical ``(node, component)``
-    output (component = min reachable id — the star root IS that min)
-    while its input shrinks from Θ(Σ|component|²) near-clique pairs to
-    Θ(Σ|component|): measured at the 400k/2000-family bench shape this
-    cut the pair+CC stages from 14.4 s + 28.1 s to ~4 s + ~2 s.
-
-    Hot cells above ``matmul_max_cell`` route to the AQE-splittable join
-    twin and contribute their FULL pair list (CC absorbs either form;
-    equality under routing is pinned end-to-end). Duplicate-id positions
-    collapse into their component and never emit a degenerate ``(x, x)``
-    edge, matching the pair impls' masking.
-
-    Returns ``(id_a, id_b)`` with ``id_a < id_b`` (root is the min).
-    """
-    t2 = int(tau_ppk) * int(tau_ppk)
+def _make_component_fold(t2: int, id_col: str, vec_col: str):
+    """The per-cell contract-to-stars fold shared by
+    :func:`_cell_component_edges` and :func:`_cell_component_edges_split`
+    (one definition so the two entry points can never drift)."""
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
@@ -1338,6 +1334,45 @@ def _cell_component_edges(
         )
         return pd.DataFrame({"id_a": arr[:, 0], "id_b": arr[:, 1]})
 
+    return fold
+
+
+def _cell_component_edges(
+    labeled: DataFrame,
+    tau_ppk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    matmul_max_cell: int = MATMUL_MAX_CELL,
+) -> DataFrame:
+    """Cell-locally CONTRACTED edge set for component finding — the
+    component-equivalent of :func:`_cell_similar_pairs` that emits, per
+    cell-local connected component of the similar-pair graph, STAR edges
+    ``(root, member)`` with ``root`` = min id in the component, instead
+    of the full near-clique pair list.
+
+    Why this is sound: pairs are generated strictly within k-means
+    cells and every vector lives in exactly one cell, so the GLOBAL
+    component structure is the disjoint union of the per-cell local
+    structures — a test pins that components never span cells. Each
+    cell's components can therefore be finalized inside the Arrow fold
+    (vectorized min-label propagation over the position-pair arrays)
+    and summarized as |members| star edges. ``connected_components``
+    over the star edges yields byte-identical ``(node, component)``
+    output (component = min reachable id — the star root IS that min)
+    while its input shrinks from Θ(Σ|component|²) near-clique pairs to
+    Θ(Σ|component|): measured at the 400k/2000-family bench shape this
+    cut the pair+CC stages from 14.4 s + 28.1 s to ~4 s + ~2 s.
+
+    Hot cells above ``matmul_max_cell`` route to the AQE-splittable join
+    twin and contribute their FULL pair list (CC absorbs either form;
+    equality under routing is pinned end-to-end). Duplicate-id positions
+    collapse into their component and never emit a degenerate ``(x, x)``
+    edge, matching the pair impls' masking.
+
+    Returns ``(id_a, id_b)`` with ``id_a < id_b`` (root is the min).
+    """
+    t2 = int(tau_ppk) * int(tau_ppk)
+    fold = _make_component_fold(t2, id_col, vec_col)
     counts = labeled.groupBy("cell").agg(F.count(F.lit(1)).alias("_cell_n"))
     # lazy checkpoint: the star filter and (under a hot cell) both join
     # sides re-read the routed frame — materialize the upstream once
@@ -1358,6 +1393,40 @@ def _cell_component_edges(
             big, tau_ppk, id_col=id_col, vec_col=vec_col, impl="join"
         )
     )
+
+
+def _cell_component_edges_split(
+    labeled: DataFrame,
+    tau_ppk: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    matmul_max_cell: int = MATMUL_MAX_CELL,
+) -> tuple[DataFrame, DataFrame]:
+    """The routed halves of :func:`_cell_component_edges` kept SEPARATE:
+    ``(star_edges, hot_rows)`` — the contracted small-cell star edges and
+    the still-unfolded hot-cell rows. :func:`semantic_dedup` uses the
+    split to skip the iterative global component pass entirely when no
+    hot cell exists (the common case): the star edges are already final
+    per-component ``(root=min id, member)`` summaries, so the component
+    labeling is a projection of the edge list, not a fixpoint
+    computation. Same fold, same routing, same edges as the unioned
+    form — only the consumption differs."""
+    t2 = int(tau_ppk) * int(tau_ppk)
+    counts = labeled.groupBy("cell").agg(F.count(F.lit(1)).alias("_cell_n"))
+    routed = labeled.join(F.broadcast(counts), "cell").localCheckpoint(
+        eager=False
+    )
+    small = routed.filter(
+        F.col("_cell_n") <= F.lit(int(matmul_max_cell))
+    ).drop("_cell_n")
+    big = routed.filter(
+        F.col("_cell_n") > F.lit(int(matmul_max_cell))
+    ).drop("_cell_n")
+    fold = _make_component_fold(t2, id_col, vec_col)
+    star = small.select(F.col(id_col), F.col(vec_col), "cell").groupBy(
+        "cell"
+    ).applyInPandas(lambda _key, pdf: fold(pdf), "id_a long, id_b long")
+    return star, big
 
 
 def source_affinity(
